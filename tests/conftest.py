@@ -1,0 +1,93 @@
+"""Shared fixtures: one SparkSession per test run + the DuckDB oracle
+comparator that mirrors the driver's correctness gate (row-count +
+schema-width + order-insensitive value hash over name-sorted columns)."""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+from pathlib import Path
+
+import duckdb
+import pytest
+
+REPO = Path(__file__).resolve().parents[1]
+if str(REPO) not in sys.path:
+    sys.path.insert(0, str(REPO))
+
+from ut_data_engineering_group_project_2022_spark.session import get_spark  # noqa: E402
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
+SF_DIR_ORACLE = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", SF_DIR)
+TABLES = (
+    "region nation customer supplier part orders lineitem events documents embeddings"
+).split()
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark("ut-dwh-tests", cpus=int(os.environ.get("SPARK_GRAFT_CPUS", "8")))
+    yield s
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR_ORACLE}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def _norm_cell(v):
+    """Normalize a cell for cross-engine comparison."""
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return str(int(v))
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NaN"
+        if v == int(v) and abs(v) < 1e15:
+            return str(int(v))
+        return repr(v)
+    if isinstance(v, int):
+        return str(v)
+    return str(v)
+
+
+def canonical_rows(columns, rows):
+    """Sort columns by name, stringify cells, sort rows — order-insensitive."""
+    order = sorted(range(len(columns)), key=lambda i: columns[i])
+    out = [tuple(_norm_cell(r[i]) for i in order) for r in rows]
+    out.sort()
+    return [c for _, c in sorted(zip(columns, columns))], out
+
+
+def compare_with_oracle(spark_df, duck_con, oracle_sql, limit=2_000_000):
+    """Assert Spark result == DuckDB oracle result (driver-gate semantics)."""
+    s_rows = [tuple(r) for r in spark_df.collect()]
+    s_cols = list(spark_df.columns)
+    rel = duck_con.sql(oracle_sql)
+    d_rows = [tuple(r) for r in rel.fetchall()]
+    d_cols = list(rel.columns)
+
+    assert sorted(s_cols) == sorted(
+        [c.lower() for c in d_cols]
+    ) or sorted(s_cols) == sorted(d_cols), (
+        f"column mismatch: spark={sorted(s_cols)} duck={sorted(d_cols)}"
+    )
+    assert len(s_rows) == len(d_rows), (
+        f"row count mismatch: spark={len(s_rows)} duck={len(d_rows)}"
+    )
+    _, s_canon = canonical_rows(s_cols, s_rows)
+    _, d_canon = canonical_rows(d_cols, d_rows)
+    mismatches = [
+        (a, b) for a, b in zip(s_canon, d_canon) if a != b
+    ]
+    assert not mismatches, (
+        f"value mismatch ({len(mismatches)} rows); first 3: {mismatches[:3]}"
+    )

@@ -1,0 +1,139 @@
+"""Similarity search over embedding columns.
+
+Two paths:
+  * brute-force cosine top-k — the exact baseline. All math is composed
+    left-to-right in doubles (`F.aggregate` over `F.zip_with`) so the
+    DuckDB oracle (`list_dot_product` over DOUBLE[]) matches bit-for-bit.
+  * LSH-bucketed ANN — the 100 TB path: deterministic pseudo-random
+    hyperplanes (md5-derived, no RNG state to ship), sign-bit bucket key,
+    candidates restricted to same-bucket rows. Sub-linear candidate sets;
+    recall is tested against the brute-force baseline in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window as W
+from pyspark.sql import functions as F
+
+from ut_data_engineering_group_project_2022_spark.functions.text import md5_int60
+
+
+def as_double(col: Column | str) -> Column:
+    return F.col(col).cast("array<double>") if isinstance(col, str) else col.cast("array<double>")
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential left-fold dot product (matches DuckDB list_dot_product)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+
+
+def knn_bruteforce(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k of `corpus` rows for every `queries` row.
+
+    Broadcast the query side (it is the small side by construction) so the
+    corpus scan stays shuffle-free; the only shuffle is the per-query top-k
+    window, partitioned by query id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    c = corpus.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    scored = c.join(F.broadcast(q)).select(
+        "query_id",
+        "neighbor_id",
+        cosine(F.col("qv"), F.col("cv")).alias("score"),
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rn")
+    )
+
+
+def hyperplane(dim: int, plane_id: int) -> list[float]:
+    """Deterministic pseudo-random unit-free hyperplane from md5 — no RNG."""
+    raise NotImplementedError("driver-side helper unused; planes built in-plan")
+
+
+def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+    """Sign-bit LSH bucket key from deterministic md5-derived hyperplanes.
+
+    plane[p][d] = (md5_int60('p|d') mod 2001 - 1000) / 1000.0  in [-1, 1]
+    bucket bit p = 1 iff dot(vec, plane[p]) > 0.
+    """
+    bucket = F.lit(0).cast("bigint")
+    for p in range(n_planes):
+        coeffs = F.array(
+            *[
+                (
+                    (md5_int60(F.lit(f"{p}|{d}")) % F.lit(2001) - F.lit(1000)).cast(
+                        "double"
+                    )
+                    / F.lit(1000.0)
+                )
+                for d in range(dim)
+            ]
+        )
+        proj = F.aggregate(
+            F.zip_with(vec, coeffs, lambda x, c: x * c),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(0)
+    return bucket
+
+
+def knn_lsh(
+    vectors: DataFrame,
+    k: int,
+    dim: int,
+    n_planes: int = 8,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """ANN top-k within LSH buckets: the scale path for pairwise similarity.
+
+    Output schema matches `knn_bruteforce` (query_id, neighbor_id, score, rn)
+    restricted to same-bucket candidates; recall vs exact is a test gate.
+    """
+    v = vectors.select(
+        F.col(id_col).alias("vid"), as_double(vec_col).alias("vec")
+    ).withColumn("bucket", lsh_bucket(F.col("vec"), dim, n_planes))
+    a = v.select(
+        F.col("vid").alias("query_id"), F.col("vec").alias("qv"), "bucket"
+    )
+    b = v.select(
+        F.col("vid").alias("neighbor_id"), F.col("vec").alias("cv"),
+        F.col("bucket").alias("bucket_b"),
+    )
+    scored = (
+        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("query_id") != F.col("neighbor_id")))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cosine(F.col("qv"), F.col("cv")).alias("score"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rn")
+    )

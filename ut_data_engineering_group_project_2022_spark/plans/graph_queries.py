@@ -1,0 +1,200 @@
+"""Graph analytics queries (SURVEY G1-G9) over the customer-supplier
+bipartite graph derived from the star schema.
+
+PageRank/edges/similarity/reachability carry full DuckDB oracles (the
+pagerank oracle unrolls the iterations as chained CTEs). Label
+propagation and betweenness are rows-only: their contracts are the
+deterministic algorithms in operators/graph.py, gated by closed-form
+tests on hand-built graphs in tests/test_graph.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ut_data_engineering_group_project_2022_spark.catalog import table
+from ut_data_engineering_group_project_2022_spark.operators import graph
+from ut_data_engineering_group_project_2022_spark.plans.registry import register
+
+_EDGES_SQL = """
+  SELECT 'c' || o.o_custkey::VARCHAR AS src,
+         's' || l.l_suppkey::VARCHAR AS dst,
+         COUNT(*) AS weight
+  FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+  GROUP BY 1, 2
+"""
+
+
+@register(
+    "graph_edges",
+    oracle=f"SELECT src, dst, weight FROM ({_EDGES_SQL})",
+    doc="Graph projection: weighted customer->supplier edge DataFrame "
+    "(SURVEY G1/S8; ref api_to_neo4j.py:23-83 node/edge MERGE).",
+    tags=("graph",),
+)
+def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.customer_supplier_edges(spark, sf_dir)
+
+
+@register(
+    "graph_degree",
+    oracle=f"""
+    WITH e0 AS ({_EDGES_SQL}),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)
+    SELECT src AS node_id, COUNT(*) AS degree FROM e GROUP BY src
+    """,
+    doc="Undirected node degree over the projected graph.",
+    tags=("graph",),
+)
+def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
+    und = graph.undirect(graph.customer_supplier_edges(spark, sf_dir))
+    return und.groupBy(F.col("src").alias("node_id")).agg(
+        F.count(F.lit(1)).alias("degree")
+    )
+
+
+@register(
+    "graph_pagerank",
+    oracle=f"""
+    WITH e0 AS ({_EDGES_SQL}),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    n AS (SELECT DISTINCT src AS id FROM e),
+    cnt AS (SELECT COUNT(*)::DOUBLE AS nn FROM n),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    p0 AS (SELECT id, 1.0 / c.nn AS pr FROM n CROSS JOIN cnt c),
+    p1 AS (
+      SELECT n.id, 0.15 / c.nn + 0.85 * COALESCE(s.contrib, 0.0) AS pr
+      FROM n CROSS JOIN cnt c
+      LEFT JOIN (SELECT e.dst AS id, SUM(p0.pr / deg.d) AS contrib
+                 FROM e JOIN p0 ON p0.id = e.src JOIN deg ON deg.src = e.src
+                 GROUP BY e.dst) s ON s.id = n.id
+    ),
+    p2 AS (
+      SELECT n.id, 0.15 / c.nn + 0.85 * COALESCE(s.contrib, 0.0) AS pr
+      FROM n CROSS JOIN cnt c
+      LEFT JOIN (SELECT e.dst AS id, SUM(p1.pr / deg.d) AS contrib
+                 FROM e JOIN p1 ON p1.id = e.src JOIN deg ON deg.src = e.src
+                 GROUP BY e.dst) s ON s.id = n.id
+    ),
+    p3 AS (
+      SELECT n.id, 0.15 / c.nn + 0.85 * COALESCE(s.contrib, 0.0) AS pr
+      FROM n CROSS JOIN cnt c
+      LEFT JOIN (SELECT e.dst AS id, SUM(p2.pr / deg.d) AS contrib
+                 FROM e JOIN p2 ON p2.id = e.src JOIN deg ON deg.src = e.src
+                 GROUP BY e.dst) s ON s.id = n.id
+    )
+    SELECT id AS node_id, ROUND(pr, 6) AS pagerank FROM p3
+    """,
+    doc="PageRank, 3 iterations, damping 0.85 (SURVEY G2; GDS defaults, "
+    "ref graph_queries.cyp:33-45) as an iterative DataFrame loop; oracle "
+    "unrolls the iterations as CTEs.",
+    tags=("graph", "pagerank"),
+    bench=True,
+)
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = graph.undirect(graph.customer_supplier_edges(spark, sf_dir))
+    return graph.pagerank(edges, iterations=3, damping=0.85)
+
+
+@register(
+    "graph_node_similarity",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL}),
+    nbr AS (SELECT src, dst FROM e),
+    deg AS (SELECT src, COUNT(*) AS d FROM nbr GROUP BY src),
+    shared AS (
+      SELECT a.src AS c1, b.src AS c2, COUNT(*) AS shared
+      FROM nbr a JOIN nbr b ON a.dst = b.dst AND a.src < b.src
+      GROUP BY a.src, b.src
+    )
+    SELECT s.c1, s.c2,
+           s.shared::DOUBLE / (d1.d + d2.d - s.shared) AS jaccard
+    FROM shared s JOIN deg d1 ON d1.src = s.c1 JOIN deg d2 ON d2.src = s.c2
+    WHERE s.shared::DOUBLE / (d1.d + d2.d - s.shared) >= 0.6
+    """,
+    doc="Node similarity: Jaccard of neighbor sets over customer pairs "
+    "(SURVEY G8; ref graph_queries.cyp:85-97), self-pairs excluded.",
+    tags=("graph", "similarity"),
+)
+def graph_node_similarity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = graph.customer_supplier_edges(spark, sf_dir).select("src", "dst")
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    a = e.select(F.col("src").alias("c1"), "dst")
+    b = e.select(F.col("src").alias("c2"), F.col("dst").alias("dst_b"))
+    shared = (
+        a.join(b, (F.col("dst") == F.col("dst_b")) & (F.col("c1") < F.col("c2")))
+        .groupBy("c1", "c2")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    d1 = deg.select(F.col("src").alias("c1"), F.col("d").alias("d1"))
+    d2 = deg.select(F.col("src").alias("c2"), F.col("d").alias("d2"))
+    jac = F.col("shared").cast("double") / (
+        F.col("d1") + F.col("d2") - F.col("shared")
+    )
+    return (
+        shared.join(d1, "c1")
+        .join(d2, "c2")
+        .select("c1", "c2", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.6)
+    )
+
+
+@register(
+    "graph_reach_2hop",
+    oracle=f"""
+    WITH e AS ({_EDGES_SQL})
+    SELECT a.src AS c_node, COUNT(DISTINCT b.src) - 1 AS n_2hop
+    FROM e a JOIN e b ON a.dst = b.dst
+    GROUP BY a.src
+    """,
+    doc="Bounded path expansion (SURVEY J11 `*1..k`): customers reachable "
+    "in 2 hops (shared supplier), excluding self.",
+    tags=("graph", "path"),
+)
+def graph_reach_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = graph.customer_supplier_edges(spark, sf_dir).select("src", "dst")
+    b = e.select(F.col("src").alias("src_b"), F.col("dst").alias("dst_b"))
+    return (
+        e.join(b, F.col("dst") == F.col("dst_b"))
+        .groupBy(F.col("src").alias("c_node"))
+        .agg((F.countDistinct("src_b") - F.lit(1)).alias("n_2hop"))
+    )
+
+
+@register(
+    "graph_label_propagation",
+    oracle=None,  # deterministic algorithm gated by closed-form tests
+    doc="Community detection via synchronous min-label propagation "
+    "(SURVEY G6 Louvain stand-in, delta documented in operators/graph.py).",
+    tags=("graph", "community"),
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = graph.customer_supplier_edges(spark, sf_dir)
+    return graph.label_propagation(edges, max_iter=5)
+
+
+@register(
+    "graph_betweenness_nations",
+    oracle=None,  # exact Brandes, gated by closed-form tests on known graphs
+    doc="Betweenness centrality (SURVEY G7) on the nation co-trade graph "
+    "(nations linked when a customer order ships from a supplier nation).",
+    tags=("graph", "centrality"),
+)
+def graph_betweenness_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    c = table(spark, sf_dir, "customer")
+    s = table(spark, sf_dir, "supplier")
+    edges = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .select(
+            F.concat(F.lit("n"), F.col("c_nationkey").cast("string")).alias("src"),
+            F.concat(F.lit("n"), F.col("s_nationkey").cast("string")).alias("dst"),
+        )
+        .distinct()
+    )
+    return graph.betweenness_exact(edges)

@@ -1,0 +1,359 @@
+"""LLM training-data pipeline queries: dedup, similarity search, text
+analysis over the `documents` / `embeddings` tables.
+
+Every deterministic operator carries a full DuckDB oracle — including
+MinHash-LSH and SimHash, which share the md5-based 60-bit hash primitive
+with the oracle SQL (functions/text.py). Only the ANN-LSH variant is
+rows-only (its value is recall-vs-exact, gated in tests/, not SQL parity).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ut_data_engineering_group_project_2022_spark.catalog import table
+from ut_data_engineering_group_project_2022_spark.functions.text import (
+    md5_int60,
+    normalise,
+    tokens,
+)
+from ut_data_engineering_group_project_2022_spark.operators import dedup, similarity
+from ut_data_engineering_group_project_2022_spark.plans.registry import register
+
+# DuckDB shingle-set expression shared by the jaccard/minhash oracles.
+_SHINGLES_SQL = """
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                                  for i in range(1, len(w) - 1)])
+              ELSE []::VARCHAR[] END AS shingles
+  FROM (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+        FROM documents)
+"""
+
+
+@register(
+    "llm_dedup_exact",
+    oracle="""
+    SELECT md5(text) AS text_hash, MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents GROUP BY 1
+    """,
+    doc="Exact dedup: hash-groupBy on raw text, keeper = min doc_id.",
+    tags=("llm", "dedup"),
+)
+def llm_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.exact_dup_groups(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_ngram_jaccard",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           len(list_intersect(a.shingles, b.shingles))::DOUBLE
+             / (len(a.shingles) + len(b.shingles)
+                - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+    WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+      AND len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / (len(a.shingles) + len(b.shingles)
+               - len(list_intersect(a.shingles, b.shingles))) >= 0.12
+    """,
+    doc="Exact pairwise 3-word-shingle Jaccard >= 0.12 — the quadratic "
+    "near-dup baseline the LSH path is verified against.",
+    tags=("llm", "dedup"),
+)
+def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    return dedup.pairwise_jaccard(dedup.shingle_docs(docs), min_jaccard=0.12)
+
+
+@register(
+    "llm_minhash_lsh",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+    ),
+    perms AS (
+      SELECT i::BIGINT AS perm, (2 * i + 3)::BIGINT AS a,
+             ((i * 1000003) % 2147483647)::BIGINT AS b
+      FROM range(32) t(i)
+    ),
+    sig AS (
+      SELECT doc_id, perm, perm // 4 AS band,
+             MIN((a * h + b) % 2147483647) AS minh
+      FROM th CROSS JOIN perms GROUP BY doc_id, perm
+    ),
+    bandsig AS (
+      SELECT doc_id, band, string_agg(minh::VARCHAR, '-' ORDER BY perm) AS bsig
+      FROM sig GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandsig a
+      JOIN bandsig b ON a.band = b.band AND a.bsig = b.bsig
+                     AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+             / (len(sa.shingles) + len(sb.shingles)
+                - len(list_intersect(sa.shingles, sb.shingles))) AS jaccard
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.doc_a
+    JOIN sh sb ON sb.doc_id = c.doc_b
+    """,
+    doc="MinHash (32 perms) + LSH (8 bands x 4 rows) candidate pairs with "
+    "exact-Jaccard verification — sub-quadratic near-dup at scale.",
+    tags=("llm", "dedup", "lsh"),
+    bench=True,
+)
+def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.minhash_lsh_dedup(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_simhash_fingerprints",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+        FROM documents)
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
+    ),
+    bitsum AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th CROSS JOIN (SELECT i::INT AS i FROM range(48) t(i)) bits
+      GROUP BY doc_id, i
+    )
+    SELECT doc_id,
+           SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash48
+    FROM bitsum GROUP BY doc_id
+    """,
+    doc="48-bit SimHash fingerprints over distinct tokens (md5-derived bits).",
+    tags=("llm", "dedup", "simhash"),
+)
+def llm_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return dedup.simhash_fingerprints(table(spark, sf_dir, "documents"))
+
+
+@register(
+    "llm_simhash_pairs",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+        FROM documents)
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
+    ),
+    bitsum AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th CROSS JOIN (SELECT i::INT AS i FROM range(48) t(i)) bits
+      GROUP BY doc_id, i
+    ),
+    fp AS (
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS f
+      FROM bitsum GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.f, b.f))::INT AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= 14
+    """,
+    doc="SimHash near-dup pairs: Hamming distance <= 14 over 48-bit prints.",
+    tags=("llm", "dedup", "simhash"),
+)
+def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = dedup.simhash_fingerprints(table(spark, sf_dir, "documents"))
+    return dedup.simhash_pairs(fps, max_hamming=14)
+
+
+@register(
+    "llm_knn_bruteforce",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT vec_id AS query_id, e AS qv FROM v WHERE vec_id < 10),
+    c AS (SELECT vec_id AS neighbor_id, e AS cv FROM v WHERE vec_id >= 10),
+    scored AS (
+      SELECT q.query_id, c.neighbor_id,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(cv, cv)))
+               AS raw_score
+      FROM c CROSS JOIN q
+    )
+    SELECT query_id, neighbor_id, ROUND(raw_score, 6) AS score, rn FROM (
+      SELECT query_id, neighbor_id, raw_score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY raw_score DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) t WHERE rn <= 5
+    """,
+    doc="Brute-force cosine top-5 neighbors for query vectors (vec_id < 10) "
+    "over the rest — the exact ANN baseline.",
+    tags=("llm", "similarity"),
+    bench=True,
+)
+def llm_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.knn_bruteforce(
+        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10), k=5
+    )
+
+
+@register(
+    "llm_knn_lsh",
+    oracle=None,  # recall-vs-exact is the gate (tests/test_similarity.py)
+    doc="ANN top-5 within sign-bit LSH buckets (deterministic md5 hyperplanes) "
+    "— the sub-quadratic scale path; recall tested against brute force.",
+    tags=("llm", "similarity", "lsh"),
+)
+def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.knn_lsh(emb, k=5, dim=64, n_planes=8)
+
+
+@register(
+    "llm_text_langid",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_extract_all(lower(text), '\\bthe\\b')) AS n_the,
+           len(regexp_extract_all(lower(text), '\\ba\\b')) AS n_a,
+           len(regexp_extract_all(lower(text), '\\bdata\\b')) AS n_data,
+           CASE WHEN len(regexp_extract_all(lower(text), '\\bthe\\b'))
+                     >= len(regexp_extract_all(lower(text), '\\ba\\b'))
+                     AND len(regexp_extract_all(lower(text), '\\bthe\\b')) > 0
+                THEN 'en' ELSE 'other' END AS predicted_lang,
+           lang
+    FROM documents
+    """,
+    doc="N-gram/stopword language-ID heuristic: whole-word marker counts + "
+    "deterministic argmax label.",
+    tags=("llm", "text"),
+)
+def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    low = F.lower("text")
+    n_the = F.regexp_count(low, F.lit(r"\bthe\b"))
+    n_a = F.regexp_count(low, F.lit(r"\ba\b"))
+    n_data = F.regexp_count(low, F.lit(r"\bdata\b"))
+    return d.select(
+        "doc_id",
+        n_the.alias("n_the"),
+        n_a.alias("n_a"),
+        n_data.alias("n_data"),
+        F.when((n_the >= n_a) & (n_the > 0), "en")
+        .otherwise("other")
+        .alias("predicted_lang"),
+        "lang",
+    )
+
+
+@register(
+    "llm_text_quality",
+    oracle="""
+    SELECT doc_id, n_chars, n_tokens,
+           ROUND(alpha_ratio, 6) AS alpha_ratio,
+           ROUND(space_ratio, 6) AS space_ratio,
+           ROUND(mean_token_len, 6) AS mean_token_len,
+           ROUND(0.5 * alpha_ratio
+                 + 0.3 * (CASE WHEN n_tokens BETWEEN 20 AND 500 THEN 1 ELSE 0 END)
+                 + 0.2 * (1.0 - space_ratio), 6) AS quality_score
+    FROM (
+      SELECT doc_id,
+             length(text)::INT AS n_chars,
+             len(regexp_split_to_array(trim(text), '\\s+'))::INT AS n_tokens,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+               / length(text) AS alpha_ratio,
+             length(regexp_replace(text, '[^ ]', '', 'g'))::DOUBLE
+               / length(text) AS space_ratio,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+               / len(regexp_split_to_array(trim(text), '\\s+')) AS mean_token_len
+      FROM documents
+    ) t
+    """,
+    doc="Quality scoring: length / character-class / token-shape ratios "
+    "combined into a deterministic score.",
+    tags=("llm", "text"),
+)
+def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    n_chars = F.length("text")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    n_alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
+    n_space = F.length(F.regexp_replace("text", "[^ ]", ""))
+    alpha_ratio = n_alpha.cast("double") / n_chars
+    space_ratio = n_space.cast("double") / n_chars
+    mean_token_len = n_alpha.cast("double") / n_tokens
+    quality = (
+        F.lit(0.5) * alpha_ratio
+        + F.lit(0.3) * F.when(n_tokens.between(20, 500), 1).otherwise(0)
+        + F.lit(0.2) * (F.lit(1.0) - space_ratio)
+    )
+    return d.select(
+        "doc_id",
+        n_chars.cast("int").alias("n_chars"),
+        n_tokens.cast("int").alias("n_tokens"),
+        F.round(alpha_ratio, 6).alias("alpha_ratio"),
+        F.round(space_ratio, 6).alias("space_ratio"),
+        F.round(mean_token_len, 6).alias("mean_token_len"),
+        F.round(quality, 6).alias("quality_score"),
+    )
+
+
+@register(
+    "llm_token_count",
+    oracle="""
+    SELECT doc_id,
+           len(regexp_split_to_array(trim(text), '\\s+'))::INT AS n_ws_tokens,
+           len(regexp_extract_all(lower(text),
+               '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::INT AS n_bpe_tokens,
+           length(text)::INT AS n_chars
+    FROM documents
+    """,
+    doc="Token counting: whitespace tokens + BPE-ish regex token classes.",
+    tags=("llm", "text"),
+)
+def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("int").alias("n_ws_tokens"),
+        F.regexp_count(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"))
+        .cast("int")
+        .alias("n_bpe_tokens"),
+        F.length("text").cast("int").alias("n_chars"),
+    )
+
+
+@register(
+    "llm_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS fp_md5,
+           ('0x' || substr(md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))),
+                    1, 15))::BIGINT AS fp_int60
+    FROM documents
+    """,
+    doc="Document fingerprinting: md5 of normalise(text) (ref transforms.py:5-6 "
+    "normalization) + 60-bit integer form.",
+    tags=("llm", "text"),
+)
+def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    norm = normalise("text")
+    return d.select(
+        "doc_id",
+        F.md5(norm).alias("fp_md5"),
+        md5_int60(norm).alias("fp_int60"),
+    )

@@ -1,0 +1,514 @@
+"""Operator-targeted queries — one per SURVEY §2 operator family.
+
+Each query is the smallest realistic expression of an operator from the
+reference's inventory (SURVEY.md §2, with reference file:line cited per
+query) on the driver's tables, paired with a DuckDB oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ut_data_engineering_group_project_2022_spark.catalog import table
+from ut_data_engineering_group_project_2022_spark.plans.registry import register
+
+
+# --- Dedup / distinct (SURVEY D1-D4) --------------------------------------
+
+
+@register(
+    "op_distinct_dims",
+    oracle="""
+    SELECT DISTINCT c_mktsegment AS segment FROM customer ORDER BY segment
+    """,
+    doc="SELECT DISTINCT before dim insert (SURVEY D3; ref pop_DWH.py:158-203).",
+    tags=("dedup",),
+)
+def op_distinct_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(F.col("c_mktsegment").alias("segment")).distinct().orderBy("segment")
+
+
+@register(
+    "op_dedup_first_wins",
+    oracle="""
+    SELECT md5(lower(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g'))) AS norm_key,
+           MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+    doc="Dedup on normalise(title+authors) derived key, first occurrence wins "
+    "(SURVEY D1; ref transforms.py:5-21). Keyed by lowercased alnum-only md5.",
+    tags=("dedup", "text"),
+)
+def op_dedup_first_wins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    norm = F.md5(F.regexp_replace(F.lower("text"), "[^a-z0-9]", ""))
+    return d.groupBy(norm.alias("norm_key")).agg(
+        F.min("doc_id").alias("keep_id"), F.count(F.lit(1)).alias("n_copies")
+    )
+
+
+@register(
+    "op_dedup_keep_last",
+    oracle="""
+    SELECT user_id, event_type, event_id, value
+    FROM (
+      SELECT user_id, event_type, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+                                ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    ) t WHERE rn = 1
+    """,
+    doc="Keep-last dedup by recency (SURVEY D2; ref transformations_largejson "
+    "notebook cell 14): latest event per (user, type).",
+    tags=("dedup", "window"),
+)
+def op_dedup_keep_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "event_type").orderBy(
+        F.desc("ts"), F.desc("event_id")
+    )
+    return (
+        e.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id", "value")
+    )
+
+
+# --- Joins (SURVEY J3-J7) -------------------------------------------------
+
+
+@register(
+    "op_lookup_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber,
+           COALESCE(p.p_brand, 'Unknown') AS brand
+    FROM lineitem l
+    LEFT JOIN (SELECT * FROM part WHERE p_size < 25) p
+      ON l.l_partkey = p.p_partkey
+    """,
+    doc="Key-lookup left join with 'Unknown' sentinel imputation on miss "
+    "(SURVEY J3+F6; ref pop_DWH.py:150-155,62-63).",
+    tags=("join", "sentinel"),
+)
+def op_lookup_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    p = table(spark, sf_dir, "part").filter(F.col("p_size") < 25)
+    return li.join(F.broadcast(p), li.l_partkey == p.p_partkey, "left").select(
+        "l_orderkey",
+        "l_linenumber",
+        F.coalesce("p_brand", F.lit("Unknown")).alias("brand"),
+    )
+
+
+@register(
+    "op_anti_join",
+    oracle="""
+    SELECT c_custkey, c_name FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+    """,
+    doc="Anti-join insert-if-absent (SURVEY J4/J5; ref pop_DWH.py:190-205): "
+    "customers with no orders.",
+    tags=("join",),
+)
+def op_anti_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    return c.join(o, c.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "op_semi_join_chain",
+    oracle="""
+    SELECT c.c_custkey, (SUM(l.l_quantity::DECIMAL(18,4)))::DOUBLE AS total_qty
+    FROM customer c
+    JOIN orders o ON o.o_custkey = c.c_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    GROUP BY c.c_custkey
+    """,
+    doc="Nested IN-subquery chain rewritten as join chain + aggregate "
+    "(SURVEY J7; ref pop_DWH.py:280-287).",
+    tags=("join", "agg"),
+)
+def op_semi_join_chain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .groupBy("c_custkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_qty")
+        )
+    )
+
+
+@register(
+    "op_surrogate_keys",
+    oracle="""
+    SELECT p_brand, ROW_NUMBER() OVER (ORDER BY p_brand) AS brand_key
+    FROM (SELECT DISTINCT p_brand FROM part)
+    """,
+    doc="Dense deterministic surrogate keys: row_number over natural-key order "
+    "(SURVEY §1.3/§7.4; replaces Postgres IDENTITY, ref DWH_tables.sql:12).",
+    tags=("star", "window"),
+)
+def op_surrogate_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = table(spark, sf_dir, "part")
+    return (
+        p.select("p_brand")
+        .distinct()
+        .withColumn("brand_key", F.row_number().over(W.orderBy("p_brand")))
+    )
+
+
+# --- Set ops / unions (SURVEY U1/U2) --------------------------------------
+
+
+@register(
+    "op_union_all",
+    oracle="""
+    SELECT o_orderkey, o_orderpriority, 'urgent' AS bucket
+    FROM orders WHERE o_orderpriority = '1-URGENT'
+    UNION ALL
+    SELECT o_orderkey, o_orderpriority, 'high' AS bucket
+    FROM orders WHERE o_orderpriority = '2-HIGH'
+    """,
+    doc="UNION ALL row construction (SURVEY U1; ref pop_DWH.py:75-128) and "
+    "boolean-mask complement split (U2; ref enrich.py:137-148).",
+    tags=("setop",),
+)
+def op_union_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        "o_orderkey", "o_orderpriority", F.lit("urgent").alias("bucket")
+    )
+    high = o.filter(F.col("o_orderpriority") == "2-HIGH").select(
+        "o_orderkey", "o_orderpriority", F.lit("high").alias("bucket")
+    )
+    return urgent.unionAll(high)
+
+
+# --- Nested / array restructuring (SURVEY N1/N3, F10-F12) -----------------
+
+
+@register(
+    "op_explode_tokens",
+    oracle="""
+    SELECT token, COUNT(*) AS cnt
+    FROM (
+      SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+      FROM documents
+    ) t
+    GROUP BY token
+    HAVING COUNT(*) >= 10
+    """,
+    doc="Explode array to rows + count (SURVEY N1; ref api_to_neo4j.py:137-142): "
+    "document token frequencies.",
+    tags=("nested", "text"),
+)
+def op_explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.select(F.explode(F.split(F.trim("text"), r"\s+")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 10)
+    )
+
+
+@register(
+    "op_collect_reassemble",
+    oracle="""
+    SELECT doc_id,
+           array_to_string(list_sort(list_distinct(
+             regexp_split_to_array(trim(text), '\\s+'))), ' ') AS vocab,
+           regexp_split_to_array(trim(text), '\\s+')[1] AS first_tok,
+           regexp_split_to_array(trim(text), '\\s+')[-1] AS last_tok
+    FROM documents
+    """,
+    doc="Array reassembly round-trip (SURVEY N3 + F10/F11; ref "
+    "api_to_neo4j.py:137-150, transforms.py:32-35): per-doc sorted distinct "
+    "vocab + first/last token (element_at semantics).",
+    tags=("nested", "text"),
+)
+def op_collect_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    return d.select(
+        "doc_id",
+        F.array_join(F.array_sort(F.array_distinct(toks)), " ").alias("vocab"),
+        F.element_at(toks, 1).alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+    )
+
+
+@register(
+    "op_sequence_dim",
+    oracle="""
+    SELECT unnest(generate_series(1940, 2030)) AS year_key
+    UNION ALL SELECT 0 AS year_key
+    """,
+    doc="Series-generated dimension seeding incl. sentinel 0 "
+    "(SURVEY A9; ref DWH_tables.sql:87-88).",
+    tags=("star",),
+)
+def op_sequence_dim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    years = spark.range(1940, 2031).select(F.col("id").cast("int").alias("year_key"))
+    sentinel = spark.range(1).select(F.lit(0).cast("int").alias("year_key"))
+    return years.unionAll(sentinel)
+
+
+# --- Filters / predicates (SURVEY P1, P5) ---------------------------------
+
+
+@register(
+    "op_regex_filter",
+    oracle="""
+    SELECT doc_id, n_chars FROM documents
+    WHERE NOT regexp_matches(text, '^\\s*(key|agg|data) ')
+    """,
+    doc="Anchored-regex predicate filter (SURVEY P1; ref transforms.py:8-16 "
+    "withdrawn-paper filter): drop docs starting with given tokens.",
+    tags=("filter", "regex"),
+)
+def op_regex_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.filter(~F.col("text").rlike(r"^\s*(key|agg|data) ")).select(
+        "doc_id", "n_chars"
+    )
+
+
+@register(
+    "op_length_filter",
+    oracle="""
+    SELECT doc_id, length(text) AS text_len FROM documents
+    WHERE length(text) <= 300
+    """,
+    doc="Length predicate reject filter (SURVEY P5; ref api_to_neo4j.py:126-129).",
+    tags=("filter",),
+)
+def op_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.filter(F.length("text") <= 300).select(
+        "doc_id", F.length("text").alias("text_len")
+    )
+
+
+# --- Windows (SURVEY W3/W4, top-k) ----------------------------------------
+
+
+@register(
+    "op_running_total",
+    oracle="""
+    SELECT user_id, event_id,
+           (SUM(value::DECIMAL(18,4)) OVER (
+              PARTITION BY user_id ORDER BY ts, event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::DOUBLE AS running_value
+    FROM events
+    """,
+    doc="Running-total frame (SURVEY W3; g-index cumsum shape, ref metrics.py:93).",
+    tags=("window",),
+)
+def op_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("running_value"),
+    )
+
+
+@register(
+    "op_topk_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+      FROM orders
+    ) t WHERE rn <= 3
+    """,
+    doc="Top-k per group via ranked window (SURVEY W4; argmax family O5).",
+    tags=("window", "topk"),
+)
+def op_topk_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") <= 3)
+    )
+
+
+@register(
+    "op_argmax_customer_per_nation",
+    oracle="""
+    SELECT n_name, top_customer, top_acctbal FROM (
+      SELECT n.n_name, c.c_name AS top_customer, c.c_acctbal AS top_acctbal,
+             ROW_NUMBER() OVER (PARTITION BY n.n_name
+                                ORDER BY c.c_acctbal DESC, c.c_custkey ASC) AS rn
+      FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    ) t WHERE rn = 1
+    """,
+    doc="argmax-by-score (SURVEY O5; ref openalex.py:97-105 concept argmax), "
+    "deterministic tiebreak on custkey.",
+    tags=("window", "argmax"),
+)
+def op_argmax_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    w = W.partitionBy("n_name").orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))
+    return (
+        joined.select(
+            "n_name",
+            F.col("c_name").alias("top_customer"),
+            F.col("c_acctbal").alias("top_acctbal"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+# --- Sessionization / event-time (SURVEY T1-T6 batch-equivalents) ---------
+
+
+@register(
+    "op_sessionize",
+    oracle="""
+    WITH gaps AS (
+      SELECT user_id, event_id, ts,
+             CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+                  OR LAG(ts) OVER w IS NULL THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, event_id,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM gaps
+    )
+    SELECT user_id, session_id, COUNT(*) AS n_events
+    FROM sess GROUP BY user_id, session_id
+    """,
+    doc="Sessionization: 30-min-gap lag + cumulative flag (guide 'common OLAP "
+    "patterns'; micro-batch semantics SURVEY §2.11).",
+    tags=("window", "sessionize"),
+)
+def op_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    micros = F.unix_micros("ts")
+    new_session = F.when(
+        (micros - F.lag(micros).over(w) > 1_800_000_000)
+        | F.lag("ts").over(w).isNull(),
+        1,
+    ).otherwise(0)
+    sess = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        new_session.alias("new_session"),
+    ).select(
+        "user_id",
+        "event_id",
+        F.sum("new_session")
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("session_id"),
+    )
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+
+@register(
+    "op_tumbling_hourly",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           COUNT(*) AS n, (SUM(value::DECIMAL(18,4)))::DOUBLE AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+    doc="Tumbling event-time window aggregate, batch form (streaming twin in "
+    "streaming/windows.py; SURVEY §2.11 extension).",
+    tags=("window", "events"),
+)
+def op_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+    )
+
+
+@register(
+    "op_pivot_event_counts",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) FILTER (WHERE event_type = 'click') AS click,
+           COUNT(*) FILTER (WHERE event_type = 'view') AS view,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup') AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'error') AS error
+    FROM events GROUP BY user_id
+    """,
+    doc="Pivot to wide per-type counts (guide pivot pattern).",
+    tags=("pivot", "events"),
+)
+def op_pivot_event_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    kinds = ["click", "view", "purchase", "signup", "error"]
+    return (
+        e.groupBy("user_id")
+        .pivot("event_type", kinds)
+        .count()
+        .na.fill(0, kinds)
+    )
+
+
+@register(
+    "op_json_extract",
+    oracle="""
+    SELECT event_type,
+           (SUM(regexp_extract(props, '"k": (\\d+)', 1)::INT))::BIGINT AS k_sum
+    FROM events GROUP BY event_type
+    """,
+    doc="JSON field extraction from string payload (SURVEY F23 flatten analog; "
+    "ref api_to_neo4j.py:105).",
+    tags=("json", "events"),
+)
+def op_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("int")
+    return e.groupBy("event_type").agg(F.sum(k).cast("bigint").alias("k_sum"))

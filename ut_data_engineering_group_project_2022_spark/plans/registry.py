@@ -1,0 +1,65 @@
+"""Query registry: one named entry per implemented operator/query.
+
+Each :class:`QuerySpec` couples
+  - a Spark builder ``(spark, sf_dir) -> DataFrame`` (the implementation
+    under test), and
+  - an optional DuckDB oracle SQL string over the same parquet tables
+    (the correctness contract — the driver hash-compares the two).
+
+Cross-engine determinism rules every query here follows:
+  * money/double aggregations go through ``DECIMAL(18,4)`` so the sum is
+    exact in both engines, then cast back to DOUBLE;
+  * unavoidable float math (cosine, pagerank) is rounded to 6 decimals;
+  * every computed column is aliased identically on both sides;
+  * hashes are md5 hex strings (identical in Spark and DuckDB), turned
+    into bigints via the first 15 hex digits (60 bits, positive).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+
+SparkBuilder = Callable[[SparkSession, str], DataFrame]
+
+_REGISTRY: dict[str, "QuerySpec"] = {}
+
+
+@dataclass(frozen=True)
+class QuerySpec:
+    name: str
+    spark: SparkBuilder
+    oracle: str | None  # DuckDB SQL, or None -> driver does a rows-only check
+    doc: str = ""
+    tags: tuple[str, ...] = ()
+    bench: bool = False  # include in bench.py's headline timing set
+
+
+def register(
+    name: str,
+    oracle: str | None,
+    doc: str = "",
+    tags: tuple[str, ...] = (),
+    bench: bool = False,
+) -> Callable[[SparkBuilder], SparkBuilder]:
+    """Decorator: register ``fn`` as the Spark builder for ``name``."""
+
+    def deco(fn: SparkBuilder) -> SparkBuilder:
+        if name in _REGISTRY:
+            raise ValueError(f"duplicate query name {name!r}")
+        _REGISTRY[name] = QuerySpec(
+            name=name, spark=fn, oracle=oracle, doc=doc, tags=tags, bench=bench
+        )
+        return fn
+
+    return deco
+
+
+def all_queries() -> dict[str, QuerySpec]:
+    return dict(_REGISTRY)
+
+
+def get_query(name: str) -> QuerySpec:
+    return _REGISTRY[name]
