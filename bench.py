@@ -1,0 +1,61 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the bench-flagged headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {"<name>": sec, ...}, "sf": <sf>}
+
+Each query is forced end-to-end with the `noop` sink (full computation,
+no driver-side collect). Progress goes to stderr; stdout carries only
+the JSON line.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+_REPO = str(Path(__file__).resolve().parent)
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
+from ut_data_engineering_group_project_2022_spark.plans import all_queries  # noqa: E402
+from ut_data_engineering_group_project_2022_spark.session import get_spark  # noqa: E402
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(Path(sf_dir).name.removeprefix("sf") or "0.1")
+    spark = get_spark("ut-dwh-bench")
+
+    specs = {n: s for n, s in all_queries().items() if s.bench}
+    timings: dict[str, float] = {}
+    for name in sorted(specs):
+        t0 = time.monotonic()
+        df = specs[name].spark(spark, sf_dir)
+        df.write.format("noop").mode("overwrite").save()
+        dt = round(time.monotonic() - t0, 3)
+        timings[name] = dt
+        print(f"[bench] {name}: {dt:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_wall_seconds",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

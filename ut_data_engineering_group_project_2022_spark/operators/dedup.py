@@ -36,8 +36,26 @@ SIMHASH_BITS = 48
 
 
 def shingle_docs(docs: DataFrame, k: int = 3) -> DataFrame:
-    """doc_id + distinct k-word shingle array."""
-    return docs.select("doc_id", word_shingles("text", k).alias("shingles"))
+    """doc_id + distinct k-word shingle array.
+
+    Repartitions the scan first: document corpora typically arrive as few
+    fat files, and everything downstream (shingle explode, hashing, LSH)
+    is CPU-bound per row — without this the whole pipeline runs on one
+    task per input file.
+
+    The result is cached: every consumer (signature build, both sides of
+    the exact-Jaccard verify) reuses it, and the cache is also a plan
+    barrier — without it Spark's InferFiltersFromGenerate re-evaluates
+    the full shingle expression inside a filter pushed below the
+    repartition (single-partition, twice per row; observed 5x slowdown).
+    At 100 TB this would be persist(DISK_ONLY) or a checkpoint table.
+    """
+    n = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        docs.repartition(n)
+        .select("doc_id", word_shingles("text", k).alias("shingles"))
+        .cache()
+    )
 
 
 def exact_dup_groups(docs: DataFrame) -> DataFrame:
@@ -66,38 +84,54 @@ def pairwise_jaccard(shingled: DataFrame, min_jaccard: float) -> DataFrame:
     )
 
 
+def _perm_params(n_perm: int) -> list[tuple[int, int]]:
+    """(a_i, b_i) = (2i+3, 1000003*i mod p) — mirrored in the oracle SQL."""
+    return [(2 * i + 3, (i * 1_000_003) % HASH_P) for i in range(n_perm)]
+
+
 def minhash_signatures(shingled: DataFrame, n_perm: int = N_PERM) -> DataFrame:
-    """(doc_id, perm, minh): minimum permuted hash per document per permutation."""
-    spark = shingled.sparkSession
-    perms = spark.range(n_perm).select(
-        F.col("id").alias("perm"),
-        (F.lit(2) * F.col("id") + F.lit(3)).alias("a"),
-        ((F.col("id") * F.lit(1_000_003)) % F.lit(HASH_P)).alias("b"),
-    )
+    """Wide signature matrix: (doc_id, m0..m{n-1}).
+
+    One shuffle total: explode shingles, hash once, then a single
+    groupBy(doc_id) computing all permutations as parallel MIN aggregates
+    (map-side partial-agg friendly). This avoids the naive n_perm-way row
+    blowup — at 100 TB the exploded shingle stream is already the largest
+    intermediate, so multiplying it by 32 would dominate the job.
+    """
     exploded = shingled.select(
         "doc_id", F.explode("shingles").alias("s")
     ).withColumn("h", md5_int60("s") % F.lit(HASH_P))
-    return (
-        exploded.join(F.broadcast(perms))
-        .groupBy("doc_id", "perm")
-        .agg(F.min((F.col("a") * F.col("h") + F.col("b")) % F.lit(HASH_P)).alias("minh"))
-    )
+    aggs = [
+        F.min((F.lit(a) * F.col("h") + F.lit(b)) % F.lit(HASH_P)).alias(f"m{i}")
+        for i, (a, b) in enumerate(_perm_params(n_perm))
+    ]
+    return exploded.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(signatures: DataFrame, band_rows: int = BAND_ROWS) -> DataFrame:
-    """Band the signature matrix; candidate pairs share any (band, band-sig)."""
-    banded = signatures.withColumn(
-        "band", F.floor(F.col("perm") / F.lit(band_rows)).cast("bigint")
-    )
-    bandsig = banded.groupBy("doc_id", "band").agg(
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_perm: int = N_PERM, band_rows: int = BAND_ROWS
+) -> DataFrame:
+    """Band the wide signature matrix; candidates share any (band, band-sig).
+
+    Band signatures are built column-wise (concat of the band's minhash
+    columns) and unpivoted with stack() — no second shuffle before the
+    band self-join, which hash-partitions on the band signature (the
+    equi-join Catalyst already knows how to distribute and AQE can
+    skew-split if one bucket runs hot).
+    """
+    n_bands = n_perm // band_rows
+    band_cols = [
         F.concat_ws(
-            "-",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("perm", "minh"))),
-                lambda x: x["minh"].cast("string"),
-            ),
-        ).alias("bsig")
+            "-", *[F.col(f"m{b * band_rows + r}") for r in range(band_rows)]
+        ).alias(f"band{b}")
+        for b in range(n_bands)
+    ]
+    wide = signatures.select("doc_id", *band_cols)
+    stack_expr = "stack({n}, {args}) as (band, bsig)".format(
+        n=n_bands,
+        args=", ".join(f"{b}L, band{b}" for b in range(n_bands)),
     )
+    bandsig = wide.selectExpr("doc_id", stack_expr)
     a = bandsig.select(
         F.col("doc_id").alias("doc_a"), "band", F.col("bsig").alias("bsig_a")
     )
@@ -134,28 +168,31 @@ def minhash_lsh_dedup(docs: DataFrame, k: int = 3) -> DataFrame:
 
 
 def simhash_fingerprints(docs: DataFrame, n_bits: int = SIMHASH_BITS) -> DataFrame:
-    """48-bit SimHash per document over distinct whitespace tokens."""
-    spark = docs.sparkSession
+    """48-bit SimHash per document over distinct whitespace tokens.
+
+    Column-wise formulation: one groupBy(doc_id) with n_bits parallel
+    SUM(sign-of-bit) aggregates, then the fingerprint assembled as a
+    single expression — no n_bits-way row blowup of the token stream
+    (same scale rationale as `minhash_signatures`).
+    """
+    n = docs.sparkSession.sparkContext.defaultParallelism
     tok = (
-        docs.select("doc_id", F.explode(tokens("text")).alias("t"))
+        docs.repartition(n)
+        .select("doc_id", F.explode(tokens("text")).alias("t"))
         .distinct()
         .withColumn("h", md5_int60("t"))
     )
-    bits = spark.range(n_bits).select(F.col("id").cast("int").alias("i"))
-    bitsum = (
-        tok.join(F.broadcast(bits))
-        .groupBy("doc_id", "i")
-        .agg(
-            F.sum(
-                F.when(F.expr("(h >> i) & 1") == 1, 1).otherwise(-1)
-            ).alias("s")
-        )
-    )
-    return bitsum.groupBy("doc_id").agg(
+    aggs = [
         F.sum(
-            F.when(F.col("s") > 0, F.expr("CAST(1 AS BIGINT) << i")).otherwise(0)
-        ).alias("simhash48")
-    )
+            F.when(F.expr(f"(h >> {i}) & 1") == 1, 1).otherwise(-1)
+        ).alias(f"s{i}")
+        for i in range(n_bits)
+    ]
+    wide = tok.groupBy("doc_id").agg(*aggs)
+    fp = F.lit(0).cast("bigint")
+    for i in range(n_bits):
+        fp = fp + F.when(F.col(f"s{i}") > 0, F.lit(1 << i)).otherwise(0)
+    return wide.select("doc_id", fp.alias("simhash48"))
 
 
 def simhash_pairs(fingerprints: DataFrame, max_hamming: int) -> DataFrame:
