@@ -1,0 +1,88 @@
+"""Star-loader golden + idempotency tests (SURVEY M2 / §5 strategy 2)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.fixtures import staging_batch_1, staging_batch_2
+from ut_data_engineering_group_project_2022_spark.operators import star
+
+
+def _load_two_batches(spark):
+    state = star.empty_star(spark)
+    m1, a1 = staging_batch_1(spark)
+    state = star.load_batch(state, m1, a1).cache()
+    m2, a2 = staging_batch_2(spark)
+    return star.load_batch(state, m2, a2).cache()
+
+
+def test_year_dim_seeded(spark):
+    state = star.empty_star(spark)
+    assert state.dim_year.count() == 92  # 1940-2030 + sentinel 0
+    assert state.dim_year.filter(F.col("year_key") == 0).count() == 1
+
+
+def test_batch1_golden(spark):
+    state = star.empty_star(spark)
+    m1, a1 = staging_batch_1(spark)
+    state = star.load_batch(state, m1, a1)
+    assert state.paper_fact.count() == 3
+    doms = {r["scientific_domain"] for r in state.dim_domain.collect()}
+    assert doms == {"Mathematics", "Physics"}
+    # sentinel imputation: the null-typed paper got 'Unknown' type dim
+    types = {r["publication_type"] for r in state.dim_type.collect()}
+    assert types == {"journal-article", "Unknown"}
+    # year sentinel: null year -> year_key 0
+    fact3 = state.paper_fact.filter(F.col("arxiv_ID") == "0701.0003").collect()[0]
+    assert fact3["year_key"] == 0
+    assert fact3["citation_count"] == 0
+    # surrogate keys dense from 1
+    keys = sorted(r["domain_key"] for r in state.dim_domain.collect())
+    assert keys == [1, 2]
+    # bridges: paper 1 has 2 authors
+    f1 = state.paper_fact.filter(F.col("arxiv_ID") == "0701.0001").collect()[0]
+    n = state.bridge_author_group.filter(
+        F.col("author_group_key") == f1["author_group_key"]
+    ).count()
+    assert n == 2
+
+
+def test_incremental_and_idempotent(spark):
+    state = _load_two_batches(spark)
+    assert state.paper_fact.count() == 4  # repeat paper not re-inserted
+    authors = {r["full_name"] for r in state.dim_author.collect()}
+    assert authors == {"John Smith", "Anna Doe", "Maria Garcia", "Bob Jones"}
+    # re-running batch 2 changes nothing (T6)
+    m2, a2 = staging_batch_2(spark)
+    again = star.load_batch(state, m2, a2)
+    assert again.paper_fact.count() == 4
+    assert again.dim_author.count() == state.dim_author.count()
+    assert again.bridge_author_group.count() == state.bridge_author_group.count()
+
+
+def test_metric_refresh_touched_authors_only(spark):
+    state = _load_two_batches(spark)
+    rows = {r["full_name"]: r for r in state.dim_author.collect()}
+    # Anna Doe: papers with citations 6, 10, 2 -> h=2 (10>=1, 6>=2, 2<3), g=4?
+    # cumsum desc: 10,16,18 vs 1,4,9 -> g = 3 (18 >= 9)
+    assert rows["Anna Doe"]["h_index"] == 2
+    assert rows["Anna Doe"]["g_index"] == 3
+    # Bob Jones: one paper with 2 citations -> h=1, g=1 (2>=1, cum2>=1; n=1)
+    assert rows["Bob Jones"]["h_index"] == 1
+    # John Smith touched only in batch 1: citations [6] -> h=1
+    assert rows["John Smith"]["h_index"] == 1
+
+
+def test_star_join_queryable(spark):
+    """The loaded star answers a reference-shaped BI query (J1+A1+W1)."""
+    state = _load_two_batches(spark)
+    fact = state.paper_fact.alias("f")
+    joined = (
+        state.dim_author.join(state.bridge_author_group, "author_key")
+        .join(fact, "author_group_key")
+    )
+    counts = {
+        r["full_name"]: r["n"]
+        for r in joined.groupBy("full_name").agg(F.count("*").alias("n")).collect()
+    }
+    assert counts["Anna Doe"] == 3  # papers 0701.0001, 0701.0002, 0702.0001

@@ -10,8 +10,10 @@ Definitions (matching the reference's executable docstring specs):
   hindex(cs)  = max h such that the h-th largest c >= h
                 (hindex([6,10,5,46,0,2]) == 4)
   gindex(cs)  = max g such that the sum of the g largest c >= g^2
-                (gindex([6,10,5,46,0,2]) == 6; zeros dropped first,
-                 ref metrics.py:87-90)
+                over the nonzero citations (zeros dropped first, ref
+                metrics.py:91-92, which caps g at the nonzero count:
+                gindex([6,10,5,46,0,2]) == 5 as executed — the reference
+                docstring's "6" predates the nonzero filter)
   euclidean(cs) = sqrt(sum(c^2))   (~47.7598 for the same vector)
 
 A literal `applyInPandas` port of the numpy formulation is provided as

@@ -1,0 +1,383 @@
+"""Star-schema loader (SURVEY M2; ref dags/pop_DWH.py:140-307,
+dags/sql/DWH_tables.sql) — Kimball star with Type-1 SCD, re-expressed as
+set-based DataFrame operations.
+
+What the reference does row-by-row (iterrows SQL strings, correlated
+subquery UPDATEs, per-author metric loops — the SURVEY §4.1 anti-pattern
+list), this loader does with joins:
+
+  * surrogate keys: dense `row_number() over natural-key order + max(existing)`
+    (deterministic across retries, unlike monotonically_increasing_id;
+    SURVEY §7.4);
+  * J3 key lookups: broadcast left joins staging->dim on natural keys;
+  * J4/J5 conflict-skip upserts: left_anti on the natural key before
+    append (ON CONFLICT DO NOTHING without Delta);
+  * J6 group-key propagation: fresh per-fact group keys joined back to
+    the exploded author/affiliation rows via arxiv_ID;
+  * sentinels: 'Unknown' strings / year 0 imputed exactly as the
+    reference does (F6/F7; ref pop_DWH.py:62-65) — they are load-bearing
+    for the BI queries;
+  * A7/T4 incremental metrics: h/g-index recomputed ONLY for authors
+    touched by the batch, as one windowed aggregation over the
+    semi-joined fact slice, then Type-1 overwrite.
+
+Scale notes: dims are small by construction (broadcast side); the only
+fact-sized shuffles are the anti-join on arxiv_ID and the bridge
+explode. The per-dim `max(key)` lookups are driver actions on
+dim-sized aggregates (one row each) — micro-batch cadence, not per-row.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, fields
+
+from pyspark.sql import DataFrame, SparkSession, Window as W
+from pyspark.sql import functions as F
+
+from ut_data_engineering_group_project_2022_spark.functions.metrics import (
+    gindex_agg,
+    hindex_agg,
+)
+from ut_data_engineering_group_project_2022_spark.schemas import (
+    BRIDGE_AFFILIATION_GROUP,
+    BRIDGE_AUTHOR_GROUP,
+    DIM_AFFILIATION,
+    DIM_AUTHOR,
+    DIM_DOMAIN,
+    DIM_TYPE,
+    DIM_VENUE,
+    DIM_YEAR,
+    PAPER_FACT,
+    UNKNOWN,
+)
+
+
+@dataclass
+class StarState:
+    """All star-schema tables as DataFrames (the engine's 'database')."""
+
+    dim_year: DataFrame
+    dim_domain: DataFrame
+    dim_type: DataFrame
+    dim_venue: DataFrame
+    dim_author: DataFrame
+    dim_affiliation: DataFrame
+    paper_fact: DataFrame
+    bridge_author_group: DataFrame
+    bridge_affiliation_group: DataFrame
+
+    def cache(self) -> "StarState":
+        for f in fields(self):
+            getattr(self, f.name).cache()
+        return self
+
+    def materialize(self) -> "StarState":
+        """Commit the batch: eagerly compute every table and truncate its
+        lineage (localCheckpoint). Without this, chaining `load_batch`
+        calls grows the logical plan without bound (each state references
+        the whole previous plan) — the iterative-lineage trap. A real
+        deployment would `save()` to parquet instead; localCheckpoint is
+        the in-memory equivalent for tests/micro-batches."""
+        return StarState(
+            **{
+                f.name: getattr(self, f.name).localCheckpoint(eager=True)
+                for f in fields(self)
+            }
+        )
+
+    def save(self, path: str) -> None:
+        """Persist all tables as parquet under `path` (the durable commit
+        path for a real deployment; partition-friendly, re-readable)."""
+        for f in fields(self):
+            getattr(self, f.name).write.mode("overwrite").parquet(
+                f"{path}/{f.name}"
+            )
+
+    @staticmethod
+    def load(spark: SparkSession, path: str) -> "StarState":
+        return StarState(
+            **{
+                f.name: spark.read.parquet(f"{path}/{f.name}")
+                for f in fields(StarState)
+            }
+        )
+
+
+def empty_star(spark: SparkSession) -> StarState:
+    """DDL bootstrap (SURVEY S10; ref tables.py:18-32): empty tables plus
+    the pre-populated year dimension 1940-2030 + sentinel 0
+    (ref DWH_tables.sql:87-88; the README's 1980 is wrong, code wins)."""
+    dim_year = spark.range(1940, 2031).select(
+        F.col("id").cast("int").alias("year_key"),
+        F.col("id").cast("int").alias("publication_year"),
+    )
+    sentinel = spark.createDataFrame([(0, 0)], DIM_YEAR)
+    return StarState(
+        dim_year=dim_year.unionByName(sentinel),
+        dim_domain=spark.createDataFrame([], DIM_DOMAIN),
+        dim_type=spark.createDataFrame([], DIM_TYPE),
+        dim_venue=spark.createDataFrame([], DIM_VENUE),
+        dim_author=spark.createDataFrame([], DIM_AUTHOR),
+        dim_affiliation=spark.createDataFrame([], DIM_AFFILIATION),
+        paper_fact=spark.createDataFrame([], PAPER_FACT),
+        bridge_author_group=spark.createDataFrame([], BRIDGE_AUTHOR_GROUP),
+        bridge_affiliation_group=spark.createDataFrame([], BRIDGE_AFFILIATION_GROUP),
+    )
+
+
+def impute_sentinels(staging_main: DataFrame) -> DataFrame:
+    """F6/F7 (ref pop_DWH.py:60-65): missing strings -> 'Unknown',
+    missing year -> sentinel 0, missing citation count -> 0."""
+    out = staging_main.na.fill(
+        {
+            "subject": UNKNOWN,
+            "type": UNKNOWN,
+            "container-title": UNKNOWN,
+            "publisher": UNKNOWN,
+            "doi": UNKNOWN,
+        }
+    )
+    return out.withColumn(
+        "published-year", F.coalesce(F.col("published-year"), F.lit(0))
+    ).withColumn(
+        "is-referenced-by-count",
+        F.coalesce(F.col("is-referenced-by-count"), F.lit(0)),
+    )
+
+
+def impute_author_sentinels(staging_authors: DataFrame) -> DataFrame:
+    return staging_authors.na.fill(
+        {"affiliation": UNKNOWN, "gender": "unknown", "full_name": UNKNOWN}
+    )
+
+
+def _next_key(dim: DataFrame, key_col: str) -> int:
+    row = dim.agg(F.max(key_col).alias("m")).collect()[0]
+    return (row["m"] or 0) + 1
+
+
+def upsert_dim(
+    dim: DataFrame,
+    values: DataFrame,
+    natural_cols: list[str],
+    key_col: str,
+    carry_cols: tuple[str, ...] = (),
+    extra_defaults: dict[str, object] | None = None,
+) -> DataFrame:
+    """D3 + J4/J5: DISTINCT new naturals, anti-join against the dim,
+    assign dense surrogate keys continuing from max(existing).
+
+    `carry_cols` ride along with the natural key (e.g. author gender);
+    when one natural key arrives with several carry variants the first
+    in sort order wins (reference: ON CONFLICT DO NOTHING keeps
+    first-seen, ref pop_DWH.py:190-193).
+    """
+    fresh = values.select(*natural_cols, *carry_cols).distinct()
+    if carry_cols:
+        w = W.partitionBy(*natural_cols).orderBy(*carry_cols)
+        fresh = (
+            fresh.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") == 1)
+            .drop("_rn")
+        )
+    fresh = fresh.join(dim, natural_cols, "left_anti")
+    start = _next_key(dim, key_col) - 1
+    keyed = fresh.withColumn(
+        key_col,
+        (F.row_number().over(W.orderBy(*natural_cols)) + F.lit(start)).cast("int"),
+    )
+    for col, default in (extra_defaults or {}).items():
+        keyed = keyed.withColumn(col, F.lit(default))
+    return dim.unionByName(keyed.select(dim.columns))
+
+
+def load_batch(
+    state: StarState, staging_main: DataFrame, staging_authors: DataFrame
+) -> StarState:
+    """One micro-batch of the dimensional load (ref pop_DWH.py:140-307).
+
+    Idempotent (T6): re-running the same batch is a no-op because every
+    insert is anti-joined on its natural key first.
+    """
+    main = impute_sentinels(staging_main).cache()
+    authors = impute_author_sentinels(staging_authors).cache()
+
+    # -- dims (D3 distinct + J4/J5 upsert; ref pop_DWH.py:157-212) --------
+    dim_domain = upsert_dim(
+        state.dim_domain,
+        main.select(F.col("subject").alias("scientific_domain")),
+        ["scientific_domain"],
+        "domain_key",
+    )
+    dim_type = upsert_dim(
+        state.dim_type,
+        main.select(F.col("type").alias("publication_type")),
+        ["publication_type"],
+        "type_key",
+    )
+    dim_venue = upsert_dim(
+        state.dim_venue,
+        main.select(
+            F.col("container-title").alias("pub_venue"), F.col("publisher")
+        ),
+        ["pub_venue", "publisher"],
+        "venue_key",
+    )
+    dim_author = upsert_dim(
+        state.dim_author,
+        authors.select("full_name", "gender"),
+        ["full_name"],
+        "author_key",
+        carry_cols=("gender",),
+        extra_defaults={"h_index": None, "g_index": None},
+    )
+    dim_affiliation = upsert_dim(
+        state.dim_affiliation,
+        authors.select(F.col("affiliation").alias("affiliation_name")),
+        ["affiliation_name"],
+        "affiliation_key",
+    )
+
+    # -- fact (J3 lookups + J5 conflict-skip; ref pop_DWH.py:215-233) -----
+    new_papers = main.join(
+        state.paper_fact.select(F.col("arxiv_ID").alias("id")), ["id"], "left_anti"
+    )
+    ag_start = _next_key(state.paper_fact, "author_group_key") - 1
+    fg_start = _next_key(state.paper_fact, "affiliation_group_key") - 1
+    w_id = W.orderBy("id")
+    fact_new = (
+        new_papers.join(
+            F.broadcast(state.dim_year),
+            new_papers["published-year"] == state.dim_year["publication_year"],
+            "left",
+        )
+        .join(
+            F.broadcast(dim_domain),
+            new_papers["subject"] == dim_domain["scientific_domain"],
+            "left",
+        )
+        .join(
+            F.broadcast(dim_type),
+            new_papers["type"] == dim_type["publication_type"],
+            "left",
+        )
+        .join(
+            F.broadcast(dim_venue),
+            (new_papers["container-title"] == dim_venue["pub_venue"])
+            & (new_papers["publisher"] == dim_venue["publisher"]),
+            "left",
+        )
+        .select(
+            "year_key",
+            "domain_key",
+            "type_key",
+            "venue_key",
+            (F.row_number().over(w_id) + F.lit(ag_start))
+            .cast("int")
+            .alias("author_group_key"),
+            (F.row_number().over(w_id) + F.lit(fg_start))
+            .cast("int")
+            .alias("affiliation_group_key"),
+            F.col("id").alias("arxiv_ID"),
+            "doi",
+            "title",
+            F.regexp_replace(F.col("versions"), "^v", "")
+            .cast("int")
+            .alias("latest_version_nr"),
+            F.col("is-referenced-by-count").cast("int").alias("citation_count"),
+        )
+    )
+    paper_fact = state.paper_fact.unionByName(fact_new)
+
+    # -- bridges (J6 propagation + J3 lookup + J5; ref pop_DWH.py:235-261) -
+    author_rows = authors.join(
+        fact_new.select(F.col("arxiv_ID").alias("id"), "author_group_key",
+                        "affiliation_group_key"),
+        "id",
+    )
+    bridge_author = (
+        author_rows.join(
+            F.broadcast(dim_author.select("author_key", "full_name")), "full_name"
+        )
+        .select("author_group_key", "author_key")
+        .distinct()
+        .join(state.bridge_author_group, ["author_group_key", "author_key"], "left_anti")
+    )
+    bridge_affiliation = (
+        author_rows.join(
+            F.broadcast(
+                dim_affiliation.select(
+                    "affiliation_key", F.col("affiliation_name").alias("affiliation")
+                )
+            ),
+            "affiliation",
+        )
+        .select("affiliation_group_key", "affiliation_key")
+        .distinct()
+        .join(
+            state.bridge_affiliation_group,
+            ["affiliation_group_key", "affiliation_key"],
+            "left_anti",
+        )
+    )
+    new_state = StarState(
+        dim_year=state.dim_year,
+        dim_domain=dim_domain,
+        dim_type=dim_type,
+        dim_venue=dim_venue,
+        dim_author=dim_author,
+        dim_affiliation=dim_affiliation,
+        paper_fact=paper_fact,
+        bridge_author_group=state.bridge_author_group.unionByName(bridge_author),
+        bridge_affiliation_group=state.bridge_affiliation_group.unionByName(
+            bridge_affiliation
+        ),
+    )
+    out = refresh_metrics(
+        new_state, touched_authors=authors.select("full_name")
+    ).materialize()
+    main.unpersist()
+    authors.unpersist()
+    return out
+
+
+def refresh_metrics(state: StarState, touched_authors: DataFrame) -> StarState:
+    """A7/T4 (ref pop_DWH.py:272-304): recompute h/g-index only for the
+    authors touched by this batch — one windowed aggregation over the
+    semi-joined (author x paper-citation) slice, then Type-1 overwrite."""
+    touched = (
+        state.dim_author.join(
+            touched_authors.distinct(), "full_name", "left_semi"
+        )
+        .select("author_key")
+    )
+    cites = (
+        touched.join(state.bridge_author_group, "author_key")
+        .join(state.paper_fact.select("author_group_key", "citation_count"),
+              "author_group_key")
+        .select("author_key", "citation_count")
+    )
+    h = hindex_agg(cites, "author_key", "citation_count")
+    g = gindex_agg(cites, "author_key", "citation_count")
+    metrics = h.join(g, "author_key", "outer")
+    updated = (
+        state.dim_author.join(F.broadcast(metrics), "author_key", "left")
+        .select(
+            "author_key",
+            "full_name",
+            "gender",
+            F.coalesce("hindex", "h_index").cast("int").alias("h_index"),
+            F.coalesce("gindex", "g_index").cast("int").alias("g_index"),
+        )
+    )
+    return StarState(
+        dim_year=state.dim_year,
+        dim_domain=state.dim_domain,
+        dim_type=state.dim_type,
+        dim_venue=state.dim_venue,
+        dim_author=updated,
+        dim_affiliation=state.dim_affiliation,
+        paper_fact=state.paper_fact,
+        bridge_author_group=state.bridge_author_group,
+        bridge_affiliation_group=state.bridge_affiliation_group,
+    )
