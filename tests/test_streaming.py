@@ -1,0 +1,114 @@
+"""Structured Streaming incremental pipeline tests (SURVEY §2.11 T1-T6):
+file-tracking exactly-once, incremental star growth, dead-letter channel,
+record-level idempotency on replay."""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import functions as F
+
+from ut_data_engineering_group_project_2022_spark.streaming.incremental import (
+    IncrementalStarLoader,
+)
+
+
+def _rec(i, title, authors, year=2007, subject="Mathematics", cites=3):
+    return {
+        "id": f"070{i}.000{i}",
+        "title": title,
+        "doi": f"10.1/{i}",
+        "latest_version": "v1",
+        "published-year": year,
+        "published-month": 1,
+        "type": "journal-article",
+        "publisher": "Elsevier",
+        "container-title": "J. Comb.",
+        "subject": subject,
+        "is-referenced-by-count": cites,
+        "reference": [],
+        "authors_merged": [
+            {
+                "family": fam,
+                "given": giv,
+                "gender": "unknown",
+                "full_name": f"{giv} {fam}",
+                "affiliation": [aff] if aff else [],
+            }
+            for giv, fam, aff in authors
+        ],
+    }
+
+
+def _write_batch(directory, name, records):
+    directory.mkdir(parents=True, exist_ok=True)
+    with open(directory / name, "w") as f:
+        for r in records:
+            f.write(json.dumps(r) + "\n")
+
+
+def test_incremental_stream(spark, tmp_path):
+    inbox = tmp_path / "inbox"
+    ckpt = str(tmp_path / "ckpt")
+    dead = str(tmp_path / "dead")
+
+    _write_batch(
+        inbox,
+        "batch1.json",
+        [
+            _rec(1, "Graph Colouring", [("John", "Smith", "MIT"), ("Anna", "Doe", None)]),
+            _rec(2, "Quantum Things", [("Anna", "Doe", "ETH")], subject="Physics", cites=10),
+        ],
+    )
+    loader = IncrementalStarLoader(spark, dead_letter_dir=dead)
+    state = loader.run_available(str(inbox), ckpt)
+    assert loader.batches_processed == 1
+    assert state.paper_fact.count() == 2
+    assert state.dim_author.count() == 2  # John Smith, Anna Doe
+
+    # batch 2: one replayed record (T6), one new paper, one overlong title (T5)
+    _write_batch(
+        inbox,
+        "batch2.json",
+        [
+            _rec(2, "Quantum Things", [("Anna", "Doe", "ETH")], subject="Physics", cites=10),
+            _rec(3, "Cells", [("Bob", "Jones", "KCL")], year=2008, subject="Biology"),
+            _rec(4, "T" * 1001, [("Kim", "Lee", None)]),
+        ],
+    )
+    state = loader.run_available(str(inbox), ckpt)
+    assert loader.batches_processed == 2
+    # replay not re-inserted; overlong rejected; only "Cells" is new
+    assert state.paper_fact.count() == 3
+    assert state.dim_author.filter(F.col("full_name") == "Kim Lee").count() == 0
+    rejected = spark.read.json(dead)
+    assert rejected.count() == 1
+    assert rejected.collect()[0]["_reject_reason"] == "title_too_long"
+
+    # third tick with no new files: the checkpoint suppresses reprocessing
+    state = loader.run_available(str(inbox), ckpt)
+    assert state.paper_fact.count() == 3
+
+    # metrics refreshed incrementally for touched authors (T4)
+    rows = {r["full_name"]: r for r in state.dim_author.collect()}
+    assert rows["Anna Doe"]["h_index"] == 2  # cites [3, 10]
+    assert rows["Bob Jones"]["h_index"] == 1
+
+
+def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
+    """A NEW loader with the same checkpoint sees only post-checkpoint
+    files — the sensor/delete dance (ref pop_DWH.py:25-41,306-307)
+    replaced by checkpointed file tracking."""
+    inbox = tmp_path / "inbox"
+    ckpt = str(tmp_path / "ckpt")
+
+    _write_batch(inbox, "b1.json", [_rec(1, "One", [("A", "B", None)])])
+    first = IncrementalStarLoader(spark)
+    state1 = first.run_available(str(inbox), ckpt)
+    assert state1.paper_fact.count() == 1
+
+    _write_batch(inbox, "b2.json", [_rec(2, "Two", [("C", "D", None)])])
+    resumed = IncrementalStarLoader(spark, initial_state=state1)
+    state2 = resumed.run_available(str(inbox), ckpt)
+    assert resumed.batches_processed == 1  # only b2.json
+    assert state2.paper_fact.count() == 2

@@ -62,8 +62,8 @@ def _merge_pair(api: Column, arx: Column) -> Column:
     pick_api = _name_score(api) >= _name_score(arx)
     family = F.when(pick_api, api["family"]).otherwise(arx["family"])
     given = F.when(pick_api, api["given"]).otherwise(arx["given"])
-    aff_api = F.coalesce(F.element_at(api["affiliation"], 1), F.lit(""))
-    aff_arx = F.coalesce(F.element_at(arx["affiliation"], 1), F.lit(""))
+    aff_api = F.coalesce(F.try_element_at(api["affiliation"], F.lit(1)), F.lit(""))
+    aff_arx = F.coalesce(F.try_element_at(arx["affiliation"], F.lit(1)), F.lit(""))
     aff = F.when(F.length(aff_arx) > F.length(aff_api), aff_arx).otherwise(aff_api)
     return F.struct(
         family.alias("family"),

@@ -43,7 +43,7 @@ def latest_version(df: DataFrame) -> DataFrame:
     """F11: last element of the versions list -> its version string
     (ref transforms.py:32-35), e.g. 'v3'."""
     return df.withColumn(
-        "latest_version", F.element_at("versions", -1)["version"]
+        "latest_version", F.try_element_at("versions", F.lit(-1))["version"]
     )
 
 
@@ -99,8 +99,8 @@ def _extract_author(a: Column) -> Column:
     (ref transforms.py:23-27)."""
     affils = F.filter(F.slice(a, 3, 100), lambda x: F.length(x) > 0)
     return F.struct(
-        F.element_at(a, 1).alias("family"),
-        F.element_at(a, 2).alias("given"),
+        F.try_element_at(a, F.lit(1)).alias("family"),
+        F.try_element_at(a, F.lit(2)).alias("given"),
         affils.alias("affiliation"),
     )
 
@@ -125,6 +125,37 @@ def explode_authors(df: DataFrame, src: str = "authors_merged") -> DataFrame:
     """N1: one row per (paper, author), struct fields as columns
     (ref api_to_neo4j.py:137-142)."""
     return df.select("id", F.explode(src).alias("_a")).select("id", "_a.*")
+
+
+def prepare_for_staging(enriched: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """The reference's prepare_for_staging task (ref api_to_neo4j.py:121-150):
+    split one enriched batch into the two staging shapes — the 10-column
+    main table (P3 projection) and the exploded per-author table (N1),
+    with the affiliation flattened to its first element (N2 *intent*;
+    the reference's iterrows write-back was a no-op, SURVEY §7.4)."""
+    main = enriched.select(
+        F.col("published-year"),
+        "subject",
+        "type",
+        F.col("container-title"),
+        "publisher",
+        "id",
+        "doi",
+        "title",
+        F.col("latest_version").alias("versions"),
+        F.col("is-referenced-by-count"),
+    )
+    authors = explode_authors(enriched).select(
+        "given",
+        "family",
+        # try_element_at: empty affiliation list -> null (ANSI-safe; the
+        # reference's `lst[0] if list` intent, ref api_to_neo4j.py:144-146)
+        F.try_element_at("affiliation", F.lit(1)).alias("affiliation"),
+        "gender",
+        "full_name",
+        "id",
+    )
+    return main, authors
 
 
 def clean_dataframe(df: DataFrame) -> DataFrame:

@@ -246,8 +246,8 @@ def op_collect_reassemble(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id",
         F.array_join(F.array_sort(F.array_distinct(toks)), " ").alias("vocab"),
-        F.element_at(toks, 1).alias("first_tok"),
-        F.element_at(toks, -1).alias("last_tok"),
+        F.try_element_at(toks, F.lit(1)).alias("first_tok"),
+        F.try_element_at(toks, F.lit(-1)).alias("last_tok"),
     )
 
 

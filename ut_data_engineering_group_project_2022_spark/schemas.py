@@ -88,6 +88,20 @@ ENRICHED_EXTRA = [
     T.StructField("authors_merged", T.ArrayType(AUTHOR_MERGED)),
 ]
 
+# --- enriched record at the staging boundary (ref api_to_neo4j.py:121-150):
+# the cleaned arXiv fields that survive to staging plus the enrichment
+# columns. This is the stream element type for the incremental pipeline.
+
+ENRICHED_RECORD = T.StructType(
+    [
+        T.StructField("id", T.StringType(), False),
+        T.StructField("title", T.StringType()),
+        T.StructField("doi", T.StringType()),
+        T.StructField("latest_version", T.StringType()),
+    ]
+    + ENRICHED_EXTRA
+)
+
 # --- staging (ref staging_tables.sql:5-47; api_to_neo4j.py:149-150) -------
 
 STAGING_MAIN = T.StructType(
