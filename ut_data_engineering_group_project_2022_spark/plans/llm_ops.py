@@ -18,7 +18,11 @@ from ut_data_engineering_group_project_2022_spark.functions.text import (
     normalise,
     tokens,
 )
-from ut_data_engineering_group_project_2022_spark.operators import dedup, similarity
+from ut_data_engineering_group_project_2022_spark.operators import (
+    dedup,
+    multimodal,
+    similarity,
+)
 from ut_data_engineering_group_project_2022_spark.plans.registry import register
 
 # DuckDB shingle-set expression shared by the jaccard/minhash oracles.
@@ -333,6 +337,81 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("n_bpe_tokens"),
         F.length("text").cast("int").alias("n_chars"),
+    )
+
+
+# Shared media-table oracle fragment: media_type round-robin by doc_id,
+# payload = UTF-8 bytes of the text (recomputable, so every derived
+# value below is SQL-checkable even though Spark runs it in mapInPandas).
+_MEDIA_SQL = """
+  SELECT doc_id,
+         CASE (doc_id % 3) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+              ELSE 'video' END AS media_type,
+         text,
+         lower(hex(encode(text))) AS h
+  FROM documents
+"""
+
+
+@register(
+    "llm_media_features",
+    oracle=f"""
+    WITH m AS ({_MEDIA_SQL})
+    SELECT doc_id, media_type,
+           octet_length(encode(text))::INT AS byte_len,
+           md5(text) AS checksum,
+           (('0x' || substr(md5(text), 1, 2))::INT + 1)::INT AS pseudo_width,
+           (('0x' || substr(md5(text), 3, 2))::INT + 1)::INT AS pseudo_height
+    FROM m
+    """,
+    doc="Multimodal feature extraction: binary payload -> byte length, md5 "
+    "checksum, fake-decoded dimensions via Arrow-batched mapInPandas "
+    "(codec stubbed; plumbing real).",
+    tags=("llm", "multimodal"),
+)
+def llm_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.attach_binary_payload(table(spark, sf_dir, "documents"))
+    return multimodal.media_features(media)
+
+
+@register(
+    "llm_media_frame_sample",
+    oracle=f"""
+    WITH m AS ({_MEDIA_SQL}),
+    fr AS (
+      SELECT doc_id, unnest(range(0, length(h) // 32)) AS i, h
+      FROM m WHERE media_type = 'video'
+    )
+    SELECT doc_id, i::INT AS frame_idx, substr(h, (i * 32 + 1)::INT, 32) AS frame_hex
+    FROM fr WHERE i % 4 = 0
+    """,
+    doc="Video frame sampling: 16-byte frames, every 4th kept, one row per "
+    "frame — batch-wise flatMap inside the Python worker.",
+    tags=("llm", "multimodal"),
+)
+def llm_media_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.attach_binary_payload(table(spark, sf_dir, "documents"))
+    return multimodal.sample_frames(media, every=4)
+
+
+@register(
+    "llm_media_resize",
+    oracle=f"""
+    WITH m AS ({_MEDIA_SQL})
+    SELECT doc_id, media_type,
+           CASE WHEN media_type = 'image'
+                THEN rpad(substr(h, 1, 128), 128, '0')
+                ELSE h END AS content_hex
+    FROM m
+    """,
+    doc="Image 'resize' (deterministic truncate/zero-pad fake for the codec "
+    "stub): binary in, binary out, non-image rows pass through.",
+    tags=("llm", "multimodal"),
+)
+def llm_media_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.attach_binary_payload(table(spark, sf_dir, "documents"))
+    return multimodal.resize_image(media, target_bytes=64).select(
+        "doc_id", "media_type", "content_hex"
     )
 
 
