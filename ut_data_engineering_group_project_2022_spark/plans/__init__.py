@@ -20,5 +20,6 @@ from ut_data_engineering_group_project_2022_spark.plans import (  # noqa: F401,E
     llm_ops,
     metric_queries,
     operator_queries,
+    star_queries,
     tpch_queries,
 )
