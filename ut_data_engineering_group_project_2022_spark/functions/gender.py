@@ -66,9 +66,21 @@ def infer_gender_py(given: str | None) -> str:
         return "unknown"
 
 
-@F.pandas_udf("string")
-def infer_gender(given: pd.Series) -> pd.Series:  # pragma: no cover - thin wrapper
+def _infer_series(given: pd.Series) -> pd.Series:  # pragma: no cover - thin wrapper
     return given.map(infer_gender_py)
+
+
+_UDF = None
+
+
+def infer_gender(given: Column) -> Column:
+    """Arrow-batched gender UDF. Constructed lazily on first use because
+    ``pandas_udf`` needs an active SparkContext to parse its return type —
+    a module-level decorator would break imports before session start."""
+    global _UDF
+    if _UDF is None:
+        _UDF = F.pandas_udf(_infer_series, "string")
+    return _UDF(given)
 
 
 def with_gender(given_col: Column | str) -> Column:

@@ -16,6 +16,7 @@ from ut_data_engineering_group_project_2022_spark.plans.registry import (  # noq
 # Import for registration side effects — order is alphabetical, not load-bearing.
 from ut_data_engineering_group_project_2022_spark.plans import (  # noqa: F401,E402
     bi_queries,
+    enrich_queries,
     graph_queries,
     llm_ops,
     metric_queries,
