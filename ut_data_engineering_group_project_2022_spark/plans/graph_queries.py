@@ -198,3 +198,119 @@ def graph_betweenness_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
     )
     return graph.betweenness_exact(edges)
+
+
+# --- Multi-hop pattern match (SURVEY J10/G9) ------------------------------
+
+
+@register(
+    "graph_pattern_match",
+    oracle="""
+    WITH uc AS (
+      SELECT DISTINCT c.c_custkey, c.c_nationkey
+      FROM customer c JOIN orders o ON o.o_custkey = c.c_custkey
+      WHERE o.o_orderpriority = '1-URGENT'
+    )
+    SELECT n.n_name, COUNT(*) AS n_pairs
+    FROM uc
+    JOIN supplier s ON s.s_nationkey = uc.c_nationkey
+    JOIN nation n ON n.n_nationkey = uc.c_nationkey
+    GROUP BY n.n_name
+    """,
+    doc="Cypher-style multi-hop pattern match as chained equi joins "
+    "(SURVEY J10/G9; ref graph_queries.cyp:2 structure query): "
+    "(customer)-[:PLACED {urgent}]->(order), (customer)-[:FROM]->(nation)"
+    "<-[:FROM]-(supplier) — co-located (urgent customer, supplier) pairs "
+    "per nation.",
+    tags=("graph", "join"),
+)
+def graph_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    )
+    s = table(spark, sf_dir, "supplier")
+    n = table(spark, sf_dir, "nation")
+    uc = (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .select("c_custkey", "c_nationkey")
+        .distinct()
+    )
+    return (
+        uc.join(s, uc.c_nationkey == s.s_nationkey)
+        .join(F.broadcast(n), uc.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )
+
+
+# --- Venue-rank intent: derived co-occurrence edges + PageRank (G4) -------
+
+_VENUE_EDGES_SQL = """
+  SELECT 'v' || a.s AS src, 'v' || b.s AS dst
+  FROM (SELECT DISTINCT l.l_suppkey AS s, l.l_partkey AS p
+        FROM lineitem l JOIN part pt ON pt.p_partkey = l.l_partkey
+        WHERE pt.p_size < 5) a
+  JOIN (SELECT DISTINCT l.l_suppkey AS s, l.l_partkey AS p
+        FROM lineitem l JOIN part pt ON pt.p_partkey = l.l_partkey
+        WHERE pt.p_size < 5) b
+    ON a.p = b.p AND a.s < b.s
+  GROUP BY 1, 2
+  HAVING COUNT(*) >= 2
+"""
+
+
+@register(
+    "graph_venue_rank",
+    oracle=f"""
+    WITH e0 AS ({_VENUE_EDGES_SQL}),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    n AS (SELECT DISTINCT src AS id FROM e),
+    cnt AS (SELECT COUNT(*)::DOUBLE AS nn FROM n),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    p0 AS (SELECT id, 1.0 / c.nn AS pr FROM n CROSS JOIN cnt c),
+    p1 AS (
+      SELECT n.id, 0.15 / c.nn + 0.85 * COALESCE(s.contrib, 0.0) AS pr
+      FROM n CROSS JOIN cnt c
+      LEFT JOIN (SELECT e.dst AS id, SUM(p0.pr / deg.d) AS contrib
+                 FROM e JOIN p0 ON p0.id = e.src JOIN deg ON deg.src = e.src
+                 GROUP BY e.dst) s ON s.id = n.id
+    ),
+    p2 AS (
+      SELECT n.id, 0.15 / c.nn + 0.85 * COALESCE(s.contrib, 0.0) AS pr
+      FROM n CROSS JOIN cnt c
+      LEFT JOIN (SELECT e.dst AS id, SUM(p1.pr / deg.d) AS contrib
+                 FROM e JOIN p1 ON p1.id = e.src JOIN deg ON deg.src = e.src
+                 GROUP BY e.dst) s ON s.id = n.id
+    )
+    SELECT id AS node_id, ROUND(pr, 6) AS pagerank FROM p2
+    """,
+    doc="Venue-rank *intent* (SURVEY G4; ref graph_queries.cyp:61-72): the "
+    "reference's projection has a source=target bug (id(v2) twice -> "
+    "self-loops only); implemented as intended — derived venue<->venue "
+    "co-occurrence edges (suppliers sharing >=2 small parts, the "
+    "venue-pairs-via-shared-citations analog) + 2-iteration PageRank. "
+    "The part filter prunes the pair blow-up before the self-join.",
+    tags=("graph", "pagerank"),
+)
+def graph_venue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    pt = table(spark, sf_dir, "part").filter(F.col("p_size") < 5)
+    sp = (
+        li.join(F.broadcast(pt), li.l_partkey == pt.p_partkey)
+        .select(F.col("l_suppkey").alias("s"), F.col("l_partkey").alias("p"))
+        .distinct()
+    )
+    a = sp.select(F.col("s").alias("s1"), "p")
+    b = sp.select(F.col("s").alias("s2"), F.col("p").alias("p2"))
+    edges = (
+        a.join(b, (F.col("p") == F.col("p2")) & (F.col("s1") < F.col("s2")))
+        .groupBy("s1", "s2")
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= 2)
+        .select(
+            F.concat(F.lit("v"), F.col("s1").cast("string")).alias("src"),
+            F.concat(F.lit("v"), F.col("s2").cast("string")).alias("dst"),
+        )
+    )
+    return graph.pagerank(graph.undirect(edges), iterations=2, damping=0.85)

@@ -512,3 +512,115 @@ def op_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
     k = F.regexp_extract("props", r'"k": (\d+)', 1).cast("int")
     return e.groupBy("event_type").agg(F.sum(k).cast("bigint").alias("k_sum"))
+
+
+# --- String cleaning functions (SURVEY F1/F3; F4/F5 deltas) ---------------
+
+
+@register(
+    "op_clean_strings",
+    oracle="""
+    SELECT doc_id,
+           substr(regexp_replace(lower(text), '[^a-z0-9]', '', 'g'), 1, 40)
+             AS norm_prefix,
+           substr(regexp_replace(text, '[^A-Za-z0-9]', ' ', 'g'), 1, 40)
+             AS clean_title_prefix
+    FROM documents
+    """,
+    doc="String cleaning pair: F1 normalise (lowercase, [a-z0-9] only; ref "
+    "transforms.py:5-6) and F3 clean_title (non-alnum -> space; ref "
+    "openalex.py:4-9), both truncated to 40 chars. F4/F5 SQL/Cypher quote "
+    "escaping is deliberately NOT replicated (SURVEY F5: an artifact of "
+    "string-built SQL, not data semantics).",
+    tags=("string",),
+)
+def op_clean_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ut_data_engineering_group_project_2022_spark.functions.text import normalise
+
+    d = table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.substring(normalise("text"), 1, 40).alias("norm_prefix"),
+        F.substring(
+            F.regexp_replace("text", "[^A-Za-z0-9]", " "), 1, 40
+        ).alias("clean_title_prefix"),
+    )
+
+
+# --- Ordered output + limit (SURVEY O2/O4) --------------------------------
+
+
+@register(
+    "op_order_limit",
+    oracle="""
+    SELECT s_name, s_acctbal FROM supplier
+    ORDER BY s_acctbal DESC, s_name ASC
+    LIMIT 20
+    """,
+    doc="ORDER BY DESC with ASC name tiebreaker + LIMIT (SURVEY O2/O4; ref "
+    "graph_queries.cyp:16,30 result ordering, enrich.py:88 limit=1). "
+    "Deterministic because the tiebreak makes the sort total.",
+    tags=("sort", "limit"),
+)
+def op_order_limit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    s = table(spark, sf_dir, "supplier")
+    return (
+        s.orderBy(F.desc("s_acctbal"), F.asc("s_name"))
+        .select("s_name", "s_acctbal")
+        .limit(20)
+    )
+
+
+# --- Array element predicates + array sort (SURVEY P6/P7/O3) --------------
+
+
+@register(
+    "op_array_predicates",
+    oracle="""
+    SELECT vec_id,
+           len(list_filter(embedding, x -> x > 0))::INT AS n_pos,
+           embedding[-1]::DOUBLE AS last_val,
+           list_sort(embedding)[1]::DOUBLE AS arr_min,
+           list_sort(embedding)[-1]::DOUBLE AS arr_max
+    FROM embeddings
+    """,
+    doc="Array element predicate filter (SURVEY P6; ref enrich.py:132), "
+    "last-element pick (P7; ref openalex.py:130-132), and array sort "
+    "(O3; ref enrich.py:207-208) over the embedding vector column.",
+    tags=("array", "embeddings"),
+)
+def op_array_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "embeddings")
+    emb = F.col("embedding")
+    srt = F.array_sort(emb)
+    return e.select(
+        "vec_id",
+        F.size(F.filter(emb, lambda x: x > 0)).cast("int").alias("n_pos"),
+        F.try_element_at(emb, F.lit(-1)).cast("double").alias("last_val"),
+        F.try_element_at(srt, F.lit(1)).cast("double").alias("arr_min"),
+        F.try_element_at(srt, F.lit(-1)).cast("double").alias("arr_max"),
+    )
+
+
+# --- Diagnostics aggregate (SURVEY A8) ------------------------------------
+
+
+@register(
+    "op_failure_count",
+    oracle="""
+    SELECT lang,
+           COUNT(*) FILTER (WHERE n_chars > 800) AS n_failed,
+           COUNT(*) AS n_total
+    FROM documents GROUP BY lang
+    """,
+    doc="Failure-count diagnostics aggregate (SURVEY A8; ref "
+    "enrich.py:137-139 sum(failed)): per-language count of docs failing "
+    "a length gate, alongside the batch total (U2 mask-split shape).",
+    tags=("agg", "diagnostics"),
+)
+def op_failure_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.when(F.col("n_chars") > 800, 1)).alias("n_failed"),
+        F.count(F.lit(1)).alias("n_total"),
+    )
