@@ -151,9 +151,19 @@ def lsh_candidate_pairs(
 
 
 def minhash_lsh_dedup(docs: DataFrame, k: int = 3) -> DataFrame:
-    """Full MinHash-LSH near-dup pipeline: candidates + exact-Jaccard verify."""
-    shingled = shingle_docs(docs, k)
-    cands = lsh_candidate_pairs(minhash_signatures(shingled))
+    """Full MinHash-LSH near-dup pipeline: candidates + exact-Jaccard verify.
+
+    The shingle set is consumed three times (signatures + both sides of
+    the verify join) and the signature matrix twice (both sides of the
+    band join) — cache both so the expensive shingle+md5 scan runs once.
+    At cluster scale these are exactly the artifacts you'd persist
+    between stages (signatures are |docs| x 33 ints, tiny next to the
+    exploded shingle stream)."""
+    shingled = shingle_docs(docs, k).cache()
+    shingled.count()  # force: lazy cache would be raced by the join branches
+    signatures = minhash_signatures(shingled).cache()
+    signatures.count()
+    cands = lsh_candidate_pairs(signatures)
     sh_a = shingled.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sh_b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

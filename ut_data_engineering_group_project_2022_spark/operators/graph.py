@@ -68,8 +68,10 @@ def pagerank(
     n = nodes.count()
     deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     e = edges.join(deg, "src").select("src", "dst", "d").cache()
+    e.count()  # force: a lazy cache is raced/recomputed by the per-iteration joins
 
     pr = nodes.withColumn("pr", F.lit(1.0 / n))
+    prev = None
     for _ in range(iterations):
         contrib = (
             e.join(pr, e.src == pr.id)
@@ -88,6 +90,10 @@ def pagerank(
             )
             .cache()
         )
+        pr.count()  # materialize this iteration once; bounds the plan depth
+        if prev is not None:
+            prev.unpersist()
+        prev = pr
     return pr.select(F.col("id").alias("node_id"), F.round("pr", 6).alias("pagerank"))
 
 
@@ -120,6 +126,7 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
             )
             .cache()
         )
+        labels.count()  # materialize each round; truncates effective lineage
     return labels.select(F.col("id").alias("node_id"), F.col("label").alias("community"))
 
 
@@ -144,7 +151,8 @@ def bounded_reachability(edges: DataFrame, max_hops: int) -> DataFrame:
         )
         new = nxt.join(
             reach.select("src", "dst"), ["src", "dst"], "left_anti"
-        )
+        ).cache()
+        new.count()  # force: referenced by both the union and the next frontier
         reach = reach.unionAll(new).cache()
         frontier = new
     return reach

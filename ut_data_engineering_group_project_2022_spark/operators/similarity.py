@@ -137,3 +137,89 @@ def knn_lsh(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rn")
     )
+
+
+def cosine_neardup_pairs(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs: (a, b) with a < b and
+    cosine >= threshold — the embedding-space analog of MinHash near-dup.
+
+    Exact all-pairs form (the verification baseline). The 100 TB path
+    reuses `lsh_bucket` to restrict pairs to same-bucket candidates
+    (sub-quadratic), then verifies with this exact cosine — same
+    candidates->verify shape as dedup.minhash_lsh_dedup."""
+    a = emb.select(F.col(id_col).alias("id_a"), as_double(vec_col).alias("va"))
+    b = emb.select(F.col(id_col).alias("id_b"), as_double(vec_col).alias("vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    score = cosine(F.col("va"), F.col("vb"))
+    return (
+        pairs.select("id_a", "id_b", score.alias("raw"))
+        .filter(F.col("raw") >= threshold)
+        .select("id_a", "id_b", F.round("raw", 6).alias("cosine"))
+    )
+
+
+def ivf_assign(
+    emb: DataFrame,
+    centroids: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Assign every vector to its nearest centroid cell (max cosine,
+    centroid-id tiebreak). Returns (vec_id, v, cell_id).
+
+    The centroid set is broadcast — at cluster scale cells partition the
+    corpus so a query probes one partition instead of all of them."""
+    c = centroids.select(
+        F.col(id_col).alias("cell_id"), as_double(vec_col).alias("cv")
+    )
+    x = emb.select(F.col(id_col).alias(id_col), as_double(vec_col).alias("v"))
+    scored = x.join(F.broadcast(c)).select(
+        id_col, "v", "cell_id", cosine(F.col("v"), F.col("cv")).alias("s")
+    )
+    w = W.partitionBy(id_col).orderBy(F.desc("s"), F.asc("cell_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(id_col, "v", "cell_id")
+    )
+
+
+def knn_ivf(
+    emb: DataFrame,
+    k: int,
+    n_cells: int = 8,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-style ANN: coarse-quantize into `n_cells` cells, search only the
+    query's own cell (nprobe=1).
+
+    Centroids here are the first `n_cells` vectors — a deterministic
+    stand-in for a sampled k-means training step (which at scale would be
+    a Pandas-UDF k-means over a sample; the in-plan search below is
+    unchanged). Queries follow the bruteforce convention (vec_id <
+    n_queries), corpus is the rest."""
+    assigned = ivf_assign(
+        emb, emb.filter(F.col(id_col) < n_cells), id_col, vec_col
+    )
+    q = assigned.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), F.col("v").alias("qv"), "cell_id"
+    )
+    c = assigned.filter(F.col(id_col) >= n_queries).select(
+        F.col(id_col).alias("neighbor_id"), F.col("v").alias("cv"), "cell_id"
+    )
+    scored = c.join(F.broadcast(q), "cell_id").select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("score")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rn")
+    )

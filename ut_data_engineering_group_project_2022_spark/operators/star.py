@@ -199,8 +199,15 @@ def load_batch(
     Idempotent (T6): re-running the same batch is a no-op because every
     insert is anti-joined on its natural key first.
     """
-    main = impute_sentinels(staging_main).cache()
-    authors = impute_author_sentinels(staging_authors).cache()
+    main = impute_sentinels(staging_main).localCheckpoint(eager=True)
+    authors = impute_author_sentinels(staging_authors).localCheckpoint(eager=True)
+
+    # Each dim below is eagerly checkpointed: the fact build joins all of
+    # them, the bridges join the fact AND the dims, and the metric refresh
+    # joins the bridges — without truncation every downstream checkpoint
+    # re-executes the whole upstream chain (the load went from minutes to
+    # seconds at sf0.1 with these). Dims are dim-sized; the cost is small.
+    ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
 
     # -- dims (D3 distinct + J4/J5 upsert; ref pop_DWH.py:157-212) --------
     dim_domain = upsert_dim(
@@ -209,12 +216,14 @@ def load_batch(
         ["scientific_domain"],
         "domain_key",
     )
+    dim_domain = ckpt(dim_domain)
     dim_type = upsert_dim(
         state.dim_type,
         main.select(F.col("type").alias("publication_type")),
         ["publication_type"],
         "type_key",
     )
+    dim_type = ckpt(dim_type)
     dim_venue = upsert_dim(
         state.dim_venue,
         main.select(
@@ -223,6 +232,7 @@ def load_batch(
         ["pub_venue", "publisher"],
         "venue_key",
     )
+    dim_venue = ckpt(dim_venue)
     dim_author = upsert_dim(
         state.dim_author,
         authors.select("full_name", "gender"),
@@ -231,12 +241,14 @@ def load_batch(
         carry_cols=("gender",),
         extra_defaults={"h_index": None, "g_index": None},
     )
+    dim_author = ckpt(dim_author)
     dim_affiliation = upsert_dim(
         state.dim_affiliation,
         authors.select(F.col("affiliation").alias("affiliation_name")),
         ["affiliation_name"],
         "affiliation_key",
     )
+    dim_affiliation = ckpt(dim_affiliation)
 
     # -- fact (J3 lookups + J5 conflict-skip; ref pop_DWH.py:215-233) -----
     new_papers = main.join(
@@ -287,6 +299,7 @@ def load_batch(
             F.col("is-referenced-by-count").cast("int").alias("citation_count"),
         )
     )
+    fact_new = ckpt(fact_new)
     paper_fact = state.paper_fact.unionByName(fact_new)
 
     # -- bridges (J6 propagation + J3 lookup + J5; ref pop_DWH.py:235-261) -
@@ -333,12 +346,9 @@ def load_batch(
             bridge_affiliation
         ),
     )
-    out = refresh_metrics(
+    return refresh_metrics(
         new_state, touched_authors=authors.select("full_name")
     ).materialize()
-    main.unpersist()
-    authors.unpersist()
-    return out
 
 
 def refresh_metrics(state: StarState, touched_authors: DataFrame) -> StarState:

@@ -436,3 +436,77 @@ def llm_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(norm).alias("fp_md5"),
         md5_int60(norm).alias("fp_int60"),
     )
+
+
+@register(
+    "llm_embedding_neardup",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    pairs AS (
+      SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))) AS raw
+      FROM v a JOIN v b ON a.vec_id < b.vec_id
+    )
+    SELECT id_a, id_b, ROUND(raw, 6) AS cosine
+    FROM pairs WHERE raw >= 0.40
+    """,
+    doc="Embedding-cosine near-duplicate pairs (cosine >= 0.40; the synthetic "
+    "embeddings are near-orthogonal, so the threshold sits in the observed "
+    "upper tail), exact "
+    "all-pairs form — the embedding-space dedup mode. The sub-quadratic "
+    "scale path restricts pairs to shared sign-bit LSH buckets "
+    "(similarity.lsh_bucket) before this exact verify, the same "
+    "candidates->verify shape as MinHash-LSH.",
+    tags=("llm", "dedup", "similarity"),
+)
+def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_neardup_pairs(
+        table(spark, sf_dir, "embeddings"), threshold=0.40
+    )
+
+
+@register(
+    "llm_knn_ivf",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    cent AS (SELECT vec_id AS cell_id, e AS cv FROM v WHERE vec_id < 8),
+    assigned AS (
+      SELECT vec_id, e, cell_id FROM (
+        SELECT v.vec_id, v.e, c.cell_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY v.vec_id
+                 ORDER BY list_dot_product(v.e, c.cv)
+                            / (sqrt(list_dot_product(v.e, v.e))
+                               * sqrt(list_dot_product(c.cv, c.cv))) DESC,
+                          c.cell_id ASC) AS rn
+        FROM v CROSS JOIN cent c) t WHERE rn = 1
+    ),
+    q AS (SELECT vec_id AS query_id, e AS qv, cell_id
+          FROM assigned WHERE vec_id < 10),
+    c2 AS (SELECT vec_id AS neighbor_id, e AS cv, cell_id
+           FROM assigned WHERE vec_id >= 10),
+    scored AS (
+      SELECT q.query_id, c2.neighbor_id,
+             list_dot_product(qv, cv)
+               / (sqrt(list_dot_product(qv, qv))
+                  * sqrt(list_dot_product(cv, cv))) AS raw
+      FROM q JOIN c2 USING (cell_id)
+    )
+    SELECT query_id, neighbor_id, ROUND(raw, 6) AS score, rn FROM (
+      SELECT query_id, neighbor_id, raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY raw DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) t WHERE rn <= 5
+    """,
+    doc="IVF-style ANN top-5 (coarse quantization into 8 cells via "
+    "deterministic centroid stand-ins, nprobe=1 search within the "
+    "query's cell) — the partition-pruning ANN scale path; a sampled "
+    "k-means (Pandas UDF) would produce the centroids at cluster scale "
+    "without changing the in-plan search.",
+    tags=("llm", "similarity", "ivf"),
+)
+def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.knn_ivf(table(spark, sf_dir, "embeddings"), k=5)
