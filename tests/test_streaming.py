@@ -112,3 +112,50 @@ def test_stream_restart_resumes_from_checkpoint(spark, tmp_path):
     state2 = resumed.run_available(str(inbox), ckpt)
     assert resumed.batches_processed == 1  # only b2.json
     assert state2.paper_fact.count() == 2
+
+
+def test_windowed_streams_match_batch(spark, tmp_path):
+    """Streaming event-time windows (tumbling + session) over a file
+    stream produce exactly the batch-computed result once all data is
+    processed (availableNow drains the backlog, so no rows are late)."""
+    from ut_data_engineering_group_project_2022_spark.catalog import table
+    from ut_data_engineering_group_project_2022_spark.streaming import windows
+
+    events = table(spark, "/root/testdata/sf0.001", "events").limit(400)
+    inbox = tmp_path / "events_in"
+    inbox.mkdir()
+    events.coalesce(1).write.mode("overwrite").parquet(str(inbox / "p"))
+
+    stream = spark.readStream.schema(events.schema).parquet(str(inbox / "p"))
+
+    out = windows.tumbling_counts(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("tumbled")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in spark.sql("SELECT * FROM tumbled").collect()
+    }
+    want = {
+        (r["window_start"], r["event_type"]): (r["n"], r["total_value"])
+        for r in windows.tumbling_counts(events).collect()
+    }
+    assert got == want and len(want) > 0
+
+    sess_q = (
+        windows.session_counts(stream)
+        .writeStream.format("memory")
+        .queryName("sessions")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    sess_q.awaitTermination(120)
+    got_s = spark.sql("SELECT * FROM sessions").count()
+    want_s = windows.session_counts(events).count()
+    assert got_s == want_s and want_s > 0

@@ -31,7 +31,12 @@ from ut_data_engineering_group_project_2022_spark.catalog import table
 
 
 def customer_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Directed c->s edges with lineitem-count weight (SURVEY G1 projection)."""
+    """Directed c->s edges with lineitem-count weight (SURVEY G1 projection).
+
+    The groupBy on (src, dst) IS the graph-node/edge dedup: Cypher MERGE's
+    create-only-if-absent collapses to build-time aggregation on the
+    natural key (SURVEY D5/S8; ref api_to_neo4j.py:23-83); incremental
+    append would anti-join on the same key."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
     return (

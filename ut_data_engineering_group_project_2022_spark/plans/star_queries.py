@@ -21,8 +21,9 @@ sides and documented here (SURVEY §7.4):
     on DESC; Spark and DuckDB default to NULLS LAST — the reference's
     g/h-index rankings can have NULL metrics);
   * window aliases `count`/`sum` renamed to `n`/`total` (reserved-ish);
-  * everything else (DENSE_RANK, window aggregates + DISTINCT, LIKE,
-    BETWEEN, ROUND half-up) runs unchanged.
+  * everything else (DENSE_RANK W1, partitioned analytic aggregates
+    W2/A1-A3 with their whole-partition default frame, DISTINCT-after-
+    window D4, LIKE P8, BETWEEN P9, ROUND half-up F22) runs unchanged.
 """
 
 from __future__ import annotations
