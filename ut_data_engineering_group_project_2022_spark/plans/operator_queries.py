@@ -624,3 +624,35 @@ def op_failure_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.when(F.col("n_chars") > 800, 1)).alias("n_failed"),
         F.count(F.lit(1)).alias("n_total"),
     )
+
+
+# --- Skew-resistant two-phase (salted) aggregation ------------------------
+
+
+@register(
+    "op_salted_agg",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           (SUM(value::DECIMAL(18,4)))::DOUBLE AS total_value
+    FROM events GROUP BY event_type
+    """,
+    doc="Two-phase salted aggregation for skewed keys (SURVEY §M7 scale "
+    "path; guide skew pattern): phase 1 aggregates on (key, salt) so a "
+    "hot key spreads over 16 reducers, phase 2 merges partials per key. "
+    "Result is identical to the plain groupBy — the oracle IS the plain "
+    "groupBy. events has ~5 distinct types over ~1e5 rows, the classic "
+    "low-cardinality-hot-key shape.",
+    tags=("agg", "skew"),
+)
+def op_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    salted = e.withColumn("_salt", F.pmod(F.hash("event_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "_salt").agg(
+        F.count(F.lit(1)).alias("pn"),
+        F.sum(F.col("value").cast("decimal(18,4)")).alias("pv"),
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n"),
+        F.sum("pv").cast("double").alias("total_value"),
+    )

@@ -204,3 +204,162 @@ def tpch_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue")
     )
+
+
+@register(
+    "tpch_q4_priority_check",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate < TIMESTAMP '1996-04-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem l
+        WHERE l.l_orderkey = o.o_orderkey
+          AND l.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY o_orderpriority
+    """,
+    doc="Q4-shaped order-priority check: EXISTS correlated subquery as an "
+    "explicit LEFT SEMI join (the SQL shape behind SURVEY J4/J7's "
+    "NOT-EXISTS/IN patterns). Late shipment stands in for TPC-H's "
+    "commitdate<receiptdate (those columns don't exist in this table).",
+    tags=("tpch", "semi-join"),
+)
+def tpch_q4_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    cond = (F.col("l_orderkey") == F.col("o_orderkey")) & (
+        F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    )
+    return (
+        o.join(li, cond, "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+    )
+
+
+@register(
+    "tpch_q10_returned_items",
+    oracle=f"""
+    SELECT c_custkey, c_name, n_name, revenue FROM (
+      SELECT c.c_custkey, c.c_name, n.n_name,
+             ROUND(SUM({_DISC_PRICE_SQL}), 2)::DOUBLE AS revenue,
+             ROW_NUMBER() OVER (ORDER BY SUM({_DISC_PRICE_SQL}) DESC,
+                                c.c_custkey ASC) AS rn
+      FROM customer c
+      JOIN orders o ON o.o_custkey = c.c_custkey
+      JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+      JOIN nation n ON n.n_nationkey = c.c_nationkey
+      WHERE l.l_returnflag = 'R'
+        AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+        AND o.o_orderdate < TIMESTAMP '1996-07-01'
+      GROUP BY c.c_custkey, c.c_name, n.n_name
+    ) t WHERE rn <= 20
+    """,
+    doc="Q10-shaped returned-item top-20 customers by lost revenue: "
+    "selective fact scan (returnflag pushdown), broadcast dims, exact "
+    "decimal revenue, deterministic custkey tiebreak.",
+    tags=("tpch", "topk"),
+    bench=True,
+)
+def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    o = table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1996-07-01").cast("timestamp"))
+    )
+    li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    rev = (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"))
+    )
+    w = W.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    return (
+        rev.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 20)
+        .select("c_custkey", "c_name", "n_name", "revenue")
+    )
+
+
+@register(
+    "tpch_q14_promo_revenue",
+    oracle=f"""
+    SELECT ROUND(
+             100.0 * ROUND(SUM(CASE WHEN p.p_type = 'PROMO'
+                                    THEN {_DISC_PRICE_SQL}
+                                    ELSE 0::DECIMAL(28,8) END), 2)::DOUBLE
+                   / ROUND(SUM({_DISC_PRICE_SQL}), 2)::DOUBLE, 6)
+             AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1996-03-01'
+      AND l.l_shipdate < TIMESTAMP '1996-04-01'
+    """,
+    doc="Q14-shaped promo revenue share: conditional decimal aggregate over "
+    "one shipping month, broadcast part join, single-row percentage.",
+    tags=("tpch", "agg"),
+)
+def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem").filter(
+        (F.col("l_shipdate") >= F.lit("1996-03-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
+    )
+    p = table(spark, sf_dir, "part")
+    j = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    promo = F.round(
+        F.sum(
+            F.when(F.col("p_type") == "PROMO", _disc_price()).otherwise(
+                F.lit(0).cast("decimal(28,8)")
+            )
+        ),
+        2,
+    ).cast("double")
+    total = F.round(F.sum(_disc_price()), 2).cast("double")
+    return j.agg(
+        F.round(F.lit(100.0) * promo / total, 6).alias("promo_revenue_pct")
+    )
+
+
+@register(
+    "tpch_q18_large_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, sum_qty FROM (
+      SELECT o.o_custkey AS c_custkey, l.l_orderkey AS o_orderkey,
+             o.o_totalprice,
+             (SUM(l.l_quantity::DECIMAL(18,4)))::DOUBLE AS sum_qty
+      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+      GROUP BY 1, 2, 3
+      HAVING SUM(l.l_quantity::DECIMAL(18,4)) > 150
+    ) t
+    """,
+    doc="Q18-shaped large-volume orders: fact-side groupBy with HAVING on "
+    "an exact decimal sum — the aggregate-then-filter shape.",
+    tags=("tpch", "agg"),
+)
+def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    o = table(spark, sf_dir, "orders")
+    return (
+        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").alias("c_custkey"),
+            F.col("l_orderkey").alias("o_orderkey"),
+            "o_totalprice",
+        )
+        .agg(F.sum(_dec("l_quantity")).alias("q"))
+        .filter(F.col("q") > 150)
+        .select(
+            "c_custkey",
+            "o_orderkey",
+            "o_totalprice",
+            F.col("q").cast("double").alias("sum_qty"),
+        )
+    )
