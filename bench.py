@@ -23,6 +23,8 @@ _REPO = str(Path(__file__).resolve().parent)
 if _REPO not in sys.path:
     sys.path.insert(0, _REPO)
 
+from pyspark.sql import functions as F  # noqa: E402
+
 from ut_data_engineering_group_project_2022_spark.plans import all_queries  # noqa: E402
 from ut_data_engineering_group_project_2022_spark.session import get_spark  # noqa: E402
 
@@ -31,6 +33,12 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.removeprefix("sf") or "0.1")
     spark = get_spark("ut-dwh-bench")
+
+    # Warm the JVM (codegen, shuffle machinery) so the first timed query
+    # doesn't absorb session startup cost.
+    spark.range(1_000_000).groupBy((F.col("id") % 16).alias("k")).count().write.format(
+        "noop"
+    ).mode("overwrite").save()
 
     specs = {n: s for n, s in all_queries().items() if s.bench}
     timings: dict[str, float] = {}

@@ -29,6 +29,7 @@ dim-sized aggregates (one row each) — micro-batch cadence, not per-row.
 
 from __future__ import annotations
 
+from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, fields
 
 from pyspark.sql import DataFrame, SparkSession, Window as W
@@ -207,48 +208,61 @@ def load_batch(
     # joins the bridges — without truncation every downstream checkpoint
     # re-executes the whole upstream chain (the load went from minutes to
     # seconds at sf0.1 with these). Dims are dim-sized; the cost is small.
+    # The five upserts are independent of each other, so they run as
+    # concurrent jobs on the shared SparkContext (thread-per-dim — the
+    # scheduler interleaves their stages instead of serializing five
+    # small job rounds).
     ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
 
     # -- dims (D3 distinct + J4/J5 upsert; ref pop_DWH.py:157-212) --------
-    dim_domain = upsert_dim(
-        state.dim_domain,
-        main.select(F.col("subject").alias("scientific_domain")),
-        ["scientific_domain"],
-        "domain_key",
-    )
-    dim_domain = ckpt(dim_domain)
-    dim_type = upsert_dim(
-        state.dim_type,
-        main.select(F.col("type").alias("publication_type")),
-        ["publication_type"],
-        "type_key",
-    )
-    dim_type = ckpt(dim_type)
-    dim_venue = upsert_dim(
-        state.dim_venue,
-        main.select(
-            F.col("container-title").alias("pub_venue"), F.col("publisher")
-        ),
-        ["pub_venue", "publisher"],
-        "venue_key",
-    )
-    dim_venue = ckpt(dim_venue)
-    dim_author = upsert_dim(
-        state.dim_author,
-        authors.select("full_name", "gender"),
-        ["full_name"],
-        "author_key",
-        carry_cols=("gender",),
-        extra_defaults={"h_index": None, "g_index": None},
-    )
-    dim_author = ckpt(dim_author)
-    dim_affiliation = upsert_dim(
-        state.dim_affiliation,
-        authors.select(F.col("affiliation").alias("affiliation_name")),
-        ["affiliation_name"],
-        "affiliation_key",
-    )
-    dim_affiliation = ckpt(dim_affiliation)
+    def _build_dim(name):
+        if name == "domain":
+            return ckpt(upsert_dim(
+                state.dim_domain,
+                main.select(F.col("subject").alias("scientific_domain")),
+                ["scientific_domain"],
+                "domain_key",
+            ))
+        if name == "type":
+            return ckpt(upsert_dim(
+                state.dim_type,
+                main.select(F.col("type").alias("publication_type")),
+                ["publication_type"],
+                "type_key",
+            ))
+        if name == "venue":
+            return ckpt(upsert_dim(
+                state.dim_venue,
+                main.select(
+                    F.col("container-title").alias("pub_venue"), F.col("publisher")
+                ),
+                ["pub_venue", "publisher"],
+                "venue_key",
+            ))
+        if name == "author":
+            return ckpt(upsert_dim(
+                state.dim_author,
+                authors.select("full_name", "gender"),
+                ["full_name"],
+                "author_key",
+                carry_cols=("gender",),
+                extra_defaults={"h_index": None, "g_index": None},
+            ))
+        return ckpt(upsert_dim(
+            state.dim_affiliation,
+            authors.select(F.col("affiliation").alias("affiliation_name")),
+            ["affiliation_name"],
+            "affiliation_key",
+        ))
+
+    with ThreadPoolExecutor(max_workers=5) as pool:
+        futs = {n: pool.submit(_build_dim, n)
+                for n in ("domain", "type", "venue", "author", "affiliation")}
+        dim_domain = futs["domain"].result()
+        dim_type = futs["type"].result()
+        dim_venue = futs["venue"].result()
+        dim_author = futs["author"].result()
+        dim_affiliation = futs["affiliation"].result()
 
     # -- fact (J3 lookups + J5 conflict-skip; ref pop_DWH.py:215-233) -----
     new_papers = main.join(

@@ -164,9 +164,52 @@ def graph_reach_2hop(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "graph_label_propagation",
-    oracle=None,  # deterministic algorithm gated by closed-form tests
+    oracle=f"""
+    WITH e0 AS ({_EDGES_SQL}),
+    e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+    n AS (SELECT DISTINCT src AS id FROM e),
+    l0 AS (SELECT id, id AS label FROM n),
+    l1 AS (
+      SELECT n.id, least(l0.label, coalesce(m.nl, l0.label)) AS label
+      FROM n JOIN l0 ON l0.id = n.id
+      LEFT JOIN (SELECT e.src AS id, MIN(lb.label) AS nl
+                 FROM e JOIN l0 lb ON lb.id = e.dst GROUP BY e.src) m
+        ON m.id = n.id
+    ),
+    l2 AS (
+      SELECT n.id, least(l1.label, coalesce(m.nl, l1.label)) AS label
+      FROM n JOIN l1 ON l1.id = n.id
+      LEFT JOIN (SELECT e.src AS id, MIN(lb.label) AS nl
+                 FROM e JOIN l1 lb ON lb.id = e.dst GROUP BY e.src) m
+        ON m.id = n.id
+    ),
+    l3 AS (
+      SELECT n.id, least(l2.label, coalesce(m.nl, l2.label)) AS label
+      FROM n JOIN l2 ON l2.id = n.id
+      LEFT JOIN (SELECT e.src AS id, MIN(lb.label) AS nl
+                 FROM e JOIN l2 lb ON lb.id = e.dst GROUP BY e.src) m
+        ON m.id = n.id
+    ),
+    l4 AS (
+      SELECT n.id, least(l3.label, coalesce(m.nl, l3.label)) AS label
+      FROM n JOIN l3 ON l3.id = n.id
+      LEFT JOIN (SELECT e.src AS id, MIN(lb.label) AS nl
+                 FROM e JOIN l3 lb ON lb.id = e.dst GROUP BY e.src) m
+        ON m.id = n.id
+    ),
+    l5 AS (
+      SELECT n.id, least(l4.label, coalesce(m.nl, l4.label)) AS label
+      FROM n JOIN l4 ON l4.id = n.id
+      LEFT JOIN (SELECT e.src AS id, MIN(lb.label) AS nl
+                 FROM e JOIN l4 lb ON lb.id = e.dst GROUP BY e.src) m
+        ON m.id = n.id
+    )
+    SELECT id AS node_id, label AS community FROM l5
+    """,
     doc="Community detection via synchronous min-label propagation "
-    "(SURVEY G6 Louvain stand-in, delta documented in operators/graph.py).",
+    "(SURVEY G6 Louvain stand-in, delta documented in operators/graph.py). "
+    "Oracle unrolls the 5 synchronous rounds as CTEs: each node takes "
+    "min(own label, min neighbor label) per round.",
     tags=("graph", "community"),
 )
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
