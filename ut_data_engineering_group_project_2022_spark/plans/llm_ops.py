@@ -217,9 +217,39 @@ def llm_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_knn_lsh",
-    oracle=None,  # recall-vs-exact is the gate (tests/test_similarity.py)
-    doc="ANN top-5 within sign-bit LSH buckets (deterministic md5 hyperplanes) "
-    "— the sub-quadratic scale path; recall tested against brute force.",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    planes AS (
+      SELECT p, list_transform(range(64), d ->
+        ((('0x' || substr(md5(p || '|' || d), 1, 15))::BIGINT % 2001 - 1000)::DOUBLE
+         / 1000.0)) AS pl
+      FROM (SELECT unnest(range(8)) AS p)
+    ),
+    bucketed AS (
+      SELECT v.vec_id, v.e,
+             SUM(CASE WHEN list_dot_product(v.e, planes.pl) > 0
+                      THEN (1 << planes.p) ELSE 0 END) AS bucket
+      FROM v CROSS JOIN planes GROUP BY v.vec_id, v.e
+    ),
+    scored AS (
+      SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+             list_dot_product(a.e, b.e)
+               / (sqrt(list_dot_product(a.e, a.e))
+                  * sqrt(list_dot_product(b.e, b.e))) AS raw
+      FROM bucketed a JOIN bucketed b
+        ON a.bucket = b.bucket AND a.vec_id != b.vec_id
+    )
+    SELECT query_id, neighbor_id, ROUND(raw, 6) AS score, rn FROM (
+      SELECT query_id, neighbor_id, raw,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY raw DESC, neighbor_id ASC) AS rn
+      FROM scored) t WHERE rn <= 5
+    """,
+    doc="ANN top-5 within sign-bit LSH buckets (deterministic md5-derived "
+    "hyperplanes, no RNG) — the sub-quadratic scale path. The oracle "
+    "regenerates the identical planes from md5 in SQL (list_dot_product "
+    "is the same left-fold as the Spark aggregate, so bucket bits match "
+    "bit-for-bit); recall vs brute force is additionally test-gated.",
     tags=("llm", "similarity", "lsh"),
 )
 def llm_knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
