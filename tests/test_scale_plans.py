@@ -1,0 +1,99 @@
+"""Physical-plan assertions for the 100 TB design claims (README §Scale):
+
+  * bucketed co-located join -> no shuffle on either side;
+  * partitioned fact + partition-pruning filter -> pruned scan;
+  * dim joins -> broadcast hash join, fact side never exchanged
+    pre-aggregation;
+  * filters/projections reach the parquet scan (PushedFilters/ReadSchema).
+
+These don't measure wall time (the host is noisy); they pin the *plan
+shapes* that make the operators scale, which is what survives a 100x
+data-size change.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from ut_data_engineering_group_project_2022_spark.catalog import table
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def warehouse(spark, tmp_path_factory):
+    wh = tmp_path_factory.mktemp("wh")
+    spark.sql(f"CREATE DATABASE IF NOT EXISTS scale_wh LOCATION '{wh}'")
+    yield "scale_wh"
+    spark.sql("DROP DATABASE IF EXISTS scale_wh CASCADE")
+
+
+def test_bucketed_join_is_shuffle_free(spark, warehouse):
+    """Pre-bucketing both join sides on the key removes the exchange —
+    the co-located-join strategy for repeated fact-fact joins at scale."""
+    li = table(spark, SF_DIR, "lineitem").select(
+        "l_orderkey", "l_quantity", "l_extendedprice"
+    )
+    o = table(spark, SF_DIR, "orders").select("o_orderkey", "o_orderpriority")
+    (li.write.mode("overwrite").bucketBy(8, "l_orderkey")
+       .sortBy("l_orderkey").saveAsTable(f"{warehouse}.li_b"))
+    (o.write.mode("overwrite").bucketBy(8, "o_orderkey")
+       .sortBy("o_orderkey").saveAsTable(f"{warehouse}.o_b"))
+
+    lib = spark.table(f"{warehouse}.li_b")
+    ob = spark.table(f"{warehouse}.o_b")
+    # disable auto-broadcast so the join would otherwise shuffle
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = lib.join(ob, lib.l_orderkey == ob.o_orderkey)
+        plan = _plan(joined)
+        assert "Exchange" not in plan.replace("BroadcastExchange", ""), plan
+        assert joined.count() > 0
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
+def test_partitioned_fact_prunes(spark, warehouse):
+    """Writing the fact partitioned by a filter column turns a year filter
+    into directory pruning: the scan reports the partition filter and
+    reads only matching partitions."""
+    ev = table(spark, SF_DIR, "events").withColumn(
+        "day", F.to_date("ts")
+    )
+    (ev.write.mode("overwrite").partitionBy("day")
+       .saveAsTable(f"{warehouse}.events_p"))
+    one_day = spark.table(f"{warehouse}.events_p").filter(
+        F.col("day") == F.lit("2024-01-02").cast("date")
+    )
+    plan = _plan(one_day)
+    assert "PartitionFilters" in plan and "day" in plan, plan
+    total = spark.table(f"{warehouse}.events_p").count()
+    assert 0 < one_day.count() < total
+
+
+def test_dim_joins_broadcast_and_pushdown(spark):
+    """Star joins: every dim side broadcast, fact side un-exchanged until
+    the aggregate; predicate and projection reach the parquet scan."""
+    li = table(spark, SF_DIR, "lineitem")
+    s = table(spark, SF_DIR, "supplier")
+    n = table(spark, SF_DIR, "nation")
+    q = (
+        li.filter(F.col("l_quantity") > 10)
+        .join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(F.sum("l_extendedprice").alias("rev"))
+    )
+    plan = _plan(q)
+    assert plan.count("BroadcastHashJoin") == 2, plan
+    assert "SortMergeJoin" not in plan, plan
+    scan_part = plan[plan.index("FileScan parquet"):]
+    assert "l_quantity" in scan_part  # pushed predicate visible at the scan
+    # projection pruning: untouched wide columns never read
+    assert "l_returnflag" not in plan
