@@ -168,13 +168,19 @@ def minhash_lsh_dedup(docs: DataFrame, k: int = 3) -> DataFrame:
     sh_b = shingled.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
-    return (
+    # Materialize the (candidate-sized) verified pairs, then drop the
+    # working caches — long sequential sessions must not accumulate heap.
+    out = (
         cands.join(sh_a, "doc_a")
         .join(sh_b, "doc_b")
         .select(
             "doc_a", "doc_b", (inter.cast("double") / union).alias("jaccard")
         )
+        .localCheckpoint(eager=True)
     )
+    shingled.unpersist()
+    signatures.unpersist()
+    return out
 
 
 def simhash_fingerprints(docs: DataFrame, n_bits: int = SIMHASH_BITS) -> DataFrame:

@@ -99,7 +99,15 @@ def pagerank(
         if prev is not None:
             prev.unpersist()
         prev = pr
-    return pr.select(F.col("id").alias("node_id"), F.round("pr", 6).alias("pagerank"))
+    # Detach the (node-sized) result from the working caches, then release
+    # them — sequential many-query sessions must not accumulate heap.
+    out = pr.select(
+        F.col("id").alias("node_id"), F.round("pr", 6).alias("pagerank")
+    ).localCheckpoint(eager=True)
+    pr.unpersist()
+    e.unpersist()
+    nodes.unpersist()
+    return out
 
 
 def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
@@ -109,12 +117,13 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
     neighbors) per round — converges to connected-component-ish communities
     on this graph family; stand-in for Louvain (SURVEY G6 delta documented).
     """
-    und = undirect(edges)
+    und = undirect(edges).cache()
     labels = (
         und.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
     )
+    prev = None
     for _ in range(max_iter):
         neighbor_min = (
             und.join(labels, und.dst == labels.id)
@@ -132,7 +141,15 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
             .cache()
         )
         labels.count()  # materialize each round; truncates effective lineage
-    return labels.select(F.col("id").alias("node_id"), F.col("label").alias("community"))
+        if prev is not None:
+            prev.unpersist()
+        prev = labels
+    out = labels.select(
+        F.col("id").alias("node_id"), F.col("label").alias("community")
+    ).localCheckpoint(eager=True)
+    labels.unpersist()
+    und.unpersist()
+    return out
 
 
 def bounded_reachability(edges: DataFrame, max_hops: int) -> DataFrame:

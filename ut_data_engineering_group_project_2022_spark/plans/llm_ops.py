@@ -540,3 +540,109 @@ def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_ivf(table(spark, sf_dir, "embeddings"), k=5)
+
+
+@register(
+    "llm_neardup_clusters",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+    ),
+    perms AS (
+      SELECT i::BIGINT AS perm, (2 * i + 3)::BIGINT AS a,
+             ((i * 1000003) % 2147483647)::BIGINT AS b
+      FROM range(32) t(i)
+    ),
+    sig AS (
+      SELECT doc_id, perm, perm // 4 AS band,
+             MIN((a * h + b) % 2147483647) AS minh
+      FROM th CROSS JOIN perms GROUP BY doc_id, perm
+    ),
+    bandsig AS (
+      SELECT doc_id, band, string_agg(minh::VARCHAR, '-' ORDER BY perm) AS bsig
+      FROM sig GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM bandsig a
+      JOIN bandsig b ON a.band = b.band AND a.bsig = b.bsig
+                     AND a.doc_id < b.doc_id
+    ),
+    verified AS (
+      SELECT c.doc_a, c.doc_b
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.doc_a
+      JOIN sh sb ON sb.doc_id = c.doc_b
+      WHERE len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+            / (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles))) >= 0.8
+    ),
+    ee AS (SELECT doc_a AS src, doc_b AS dst FROM verified
+           UNION ALL SELECT doc_b, doc_a FROM verified),
+    nn AS (SELECT DISTINCT src AS id FROM ee),
+    l0 AS (SELECT id, id AS label FROM nn),
+    l1 AS (
+      SELECT nn.id, least(l0.label, coalesce(m.nl, l0.label)) AS label
+      FROM nn JOIN l0 ON l0.id = nn.id
+      LEFT JOIN (SELECT ee.src AS id, MIN(lb.label) AS nl
+                 FROM ee JOIN l0 lb ON lb.id = ee.dst GROUP BY ee.src) m
+        ON m.id = nn.id
+    ),
+    l2 AS (
+      SELECT nn.id, least(l1.label, coalesce(m.nl, l1.label)) AS label
+      FROM nn JOIN l1 ON l1.id = nn.id
+      LEFT JOIN (SELECT ee.src AS id, MIN(lb.label) AS nl
+                 FROM ee JOIN l1 lb ON lb.id = ee.dst GROUP BY ee.src) m
+        ON m.id = nn.id
+    ),
+    l3 AS (
+      SELECT nn.id, least(l2.label, coalesce(m.nl, l2.label)) AS label
+      FROM nn JOIN l2 ON l2.id = nn.id
+      LEFT JOIN (SELECT ee.src AS id, MIN(lb.label) AS nl
+                 FROM ee JOIN l2 lb ON lb.id = ee.dst GROUP BY ee.src) m
+        ON m.id = nn.id
+    ),
+    l4 AS (
+      SELECT nn.id, least(l3.label, coalesce(m.nl, l3.label)) AS label
+      FROM nn JOIN l3 ON l3.id = nn.id
+      LEFT JOIN (SELECT ee.src AS id, MIN(lb.label) AS nl
+                 FROM ee JOIN l3 lb ON lb.id = ee.dst GROUP BY ee.src) m
+        ON m.id = nn.id
+    ),
+    l5 AS (
+      SELECT nn.id, least(l4.label, coalesce(m.nl, l4.label)) AS label
+      FROM nn JOIN l4 ON l4.id = nn.id
+      LEFT JOIN (SELECT ee.src AS id, MIN(lb.label) AS nl
+                 FROM ee JOIN l4 lb ON lb.id = ee.dst GROUP BY ee.src) m
+        ON m.id = nn.id
+    )
+    SELECT d.doc_id,
+           coalesce(l5.label, d.doc_id) AS cluster_id,
+           (l5.label IS NOT NULL) AS has_neardup
+    FROM documents d LEFT JOIN l5 ON l5.id = d.doc_id
+    """,
+    doc="Near-duplicate CLUSTERS: MinHash-LSH candidate pairs verified at "
+    "jaccard >= 0.8 become an undirected graph; 5 rounds of min-label "
+    "propagation (connected components at this diameter) assign one "
+    "canonical cluster_id (= min doc_id) per group; singletons keep "
+    "their own id. The keep-one-per-cluster policy of a training-data "
+    "dedup pipeline, end to end. Oracle replays shingling, signatures, "
+    "banding, verification, and the label rounds in SQL.",
+    tags=("llm", "dedup", "graph"),
+)
+def llm_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ut_data_engineering_group_project_2022_spark.operators import graph
+
+    docs = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(docs).filter(F.col("jaccard") >= 0.8)
+    edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    labels = graph.label_propagation(edges, max_iter=5)
+    return docs.join(
+        labels, docs.doc_id == labels.node_id, "left"
+    ).select(
+        "doc_id",
+        F.coalesce("community", F.col("doc_id")).alias("cluster_id"),
+        F.col("community").isNotNull().alias("has_neardup"),
+    )

@@ -656,3 +656,41 @@ def op_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n"),
         F.sum("pv").cast("double").alias("total_value"),
     )
+
+
+# --- Hierarchical aggregates (extension beyond the reference) -------------
+
+
+@register(
+    "op_rollup_revenue",
+    oracle="""
+    SELECT COALESCE(o_orderpriority, 'ALL') AS priority,
+           COALESCE(o_orderstatus, 'ALL') AS status,
+           (SUM(o_totalprice::DECIMAL(18,4)))::DOUBLE AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY ROLLUP (o_orderpriority, o_orderstatus)
+    """,
+    doc="ROLLUP hierarchy (priority -> status -> grand total) in one pass "
+    "— map-side partial-agg friendly hierarchical totals. The reference "
+    "has no grouping sets (SURVEY §2.5 'not present'); this is the "
+    "engine's additive OLAP surface.",
+    tags=("agg", "rollup"),
+)
+def op_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    return (
+        o.rollup("o_orderpriority", "o_orderstatus")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+            F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+            "revenue",
+            "n_orders",
+        )
+    )
