@@ -177,7 +177,10 @@ def bounded_reachability(edges: DataFrame, max_hops: int) -> DataFrame:
         new.count()  # force: referenced by both the union and the next frontier
         reach = reach.unionAll(new).cache()
         frontier = new
-    return reach
+    out = reach.localCheckpoint(eager=True)
+    for df in (reach, frontier):
+        df.unpersist()
+    return out
 
 
 def betweenness_exact(edges: DataFrame) -> DataFrame:

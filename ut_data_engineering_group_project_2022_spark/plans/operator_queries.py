@@ -694,3 +694,74 @@ def op_rollup_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+# --- Analytic offsets + set operations (extensions beyond the reference) --
+
+
+@register(
+    "op_lead_lag_delta",
+    oracle="""
+    SELECT user_id, event_id,
+           (value::DECIMAL(18,4)
+            - COALESCE(LAG(value::DECIMAL(18,4))
+                         OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                       0::DECIMAL(18,4)))::DOUBLE AS delta,
+           CASE WHEN LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                     IS NULL THEN 1 ELSE 0 END AS is_last
+    FROM events
+    """,
+    doc="LEAD/LAG analytic offsets (absent from the reference, SURVEY "
+    "§2.6 'no LEAD/LAG'; additive surface): per-user value delta vs the "
+    "previous event and a last-event flag.",
+    tags=("window", "events"),
+)
+def op_lead_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    val = F.col("value").cast("decimal(18,4)")
+    return e.select(
+        "user_id",
+        "event_id",
+        (val - F.coalesce(F.lag(val).over(w), F.lit(0).cast("decimal(18,4)")))
+        .cast("double")
+        .alias("delta"),
+        F.when(F.lead("ts").over(w).isNull(), 1).otherwise(0).alias("is_last"),
+    )
+
+
+@register(
+    "op_intersect_except",
+    oracle="""
+    SELECT c_custkey, 'both' AS tag FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      INTERSECT
+      SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'
+    )
+    UNION ALL
+    SELECT c_custkey, 'only_building' AS tag FROM (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+      EXCEPT
+      SELECT o_custkey FROM orders
+    )
+    """,
+    doc="INTERSECT / EXCEPT set operations (absent from the reference, "
+    "SURVEY §2.8; additive surface): BUILDING customers with an urgent "
+    "order, and BUILDING customers with no orders at all.",
+    tags=("setop",),
+)
+def op_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    o = table(spark, sf_dir, "orders")
+    building = c.filter(F.col("c_mktsegment") == "BUILDING").select("c_custkey")
+    urgent = o.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    any_order = o.select(F.col("o_custkey").alias("c_custkey"))
+    both = building.intersect(urgent).select(
+        "c_custkey", F.lit("both").alias("tag")
+    )
+    only_b = building.exceptAll(any_order).distinct().select(
+        "c_custkey", F.lit("only_building").alias("tag")
+    )
+    return both.unionAll(only_b)
