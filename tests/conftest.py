@@ -75,6 +75,20 @@ def compare_with_oracle(spark_df, duck_con, oracle_sql, limit=2_000_000):
     d_rows = [tuple(r) for r in rel.fetchall()]
     d_cols = list(rel.columns)
 
+    # The driver compares via pandas, where DuckDB HUGEINT (the silent result
+    # type of SUM over integer columns) renders as float64 while Spark emits
+    # int64 — numerically identical values then hash-mismatch (round-1
+    # llm_simhash_fingerprints failure). fetchall() yields Python ints and
+    # can't see that, so reject the type itself: cast such SUMs to ::BIGINT.
+    hugeint_cols = [
+        c for c, t in zip(d_cols, rel.types) if str(t).upper() == "HUGEINT"
+    ]
+    assert not hugeint_cols, (
+        f"oracle columns {hugeint_cols} are HUGEINT (driver pandas bridge "
+        "renders these float64 and hash-mismatches Spark int64) — cast the "
+        "aggregate to ::BIGINT in the oracle SQL"
+    )
+
     assert sorted(s_cols) == sorted(
         [c.lower() for c in d_cols]
     ) or sorted(s_cols) == sorted(d_cols), (

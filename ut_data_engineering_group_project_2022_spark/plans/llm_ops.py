@@ -137,10 +137,14 @@ def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
       GROUP BY doc_id, i
     )
     SELECT doc_id,
-           SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS simhash48
+           SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END)::BIGINT
+             AS simhash48
     FROM bitsum GROUP BY doc_id
     """,
-    doc="48-bit SimHash fingerprints over distinct tokens (md5-derived bits).",
+    doc="48-bit SimHash fingerprints over distinct tokens (md5-derived bits). "
+    "Outer SUM cast to ::BIGINT: DuckDB widens SUM(BIGINT) to HUGEINT, which "
+    "the driver's pandas bridge renders as float64 and hash-mismatches "
+    "numerically-identical values (round-1 driver failure).",
     tags=("llm", "dedup", "simhash"),
 )
 def llm_simhash_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -407,8 +407,9 @@ def op_argmax_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame
       WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
     ), sess AS (
       SELECT user_id, event_id,
-             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS session_id
+             (SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                     ROWS UNBOUNDED PRECEDING))::BIGINT
+               AS session_id
       FROM gaps
     )
     SELECT user_id, session_id, COUNT(*) AS n_events

@@ -304,7 +304,7 @@ _QUERIES: dict[str, tuple[str, str]] = {
         SELECT DENSE_RANK() OVER(ORDER BY x.total DESC) AS ranking, x.full_name, x.total
         FROM (
           SELECT DISTINCT a.full_name,
-                 SUM(p.citation_count) OVER(PARTITION BY a.author_key) AS total
+                 (SUM(p.citation_count) OVER(PARTITION BY a.author_key))::BIGINT AS total
           FROM star_dim_author a
           JOIN star_bridge_author_group aug ON a.author_key=aug.author_key
           JOIN star_paper_fact p ON aug.author_group_key=p.author_group_key
@@ -389,7 +389,7 @@ _QUERIES: dict[str, tuple[str, str]] = {
                x.total, x.affiliation_name
         FROM (
           SELECT DISTINCT af.affiliation_name,
-                 SUM(p.citation_count) OVER(PARTITION BY af.affiliation_key) AS total
+                 (SUM(p.citation_count) OVER(PARTITION BY af.affiliation_key))::BIGINT AS total
           FROM star_dim_affiliation af
           JOIN star_bridge_affiliation_group afg
             ON af.affiliation_key=afg.affiliation_key
@@ -434,7 +434,7 @@ _QUERIES: dict[str, tuple[str, str]] = {
                x.total, x.pub_venue, x.publisher
         FROM (
           SELECT DISTINCT v.pub_venue, v.publisher,
-                 SUM(p.citation_count) OVER(PARTITION BY v.pub_venue) AS total
+                 (SUM(p.citation_count) OVER(PARTITION BY v.pub_venue))::BIGINT AS total
           FROM star_dim_venue v
           JOIN star_paper_fact p ON v.venue_key=p.venue_key) x
         """,
