@@ -1,0 +1,229 @@
+"""Closed-form gates for the graph algorithms (SURVEY §5.5) and the
+ANN recall gates promised by README / operators docstrings.
+
+Graph algorithms are verified two ways:
+  * against hand-computable results on tiny graphs (path, star, cycle);
+  * against independent pure-Python reimplementations (pagerank, BFS)
+    and the driver-side exact Brandes (betweenness_distributed), which
+    share no code with the DataFrame programs under test.
+"""
+
+from __future__ import annotations
+
+from collections import defaultdict, deque
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from ut_data_engineering_group_project_2022_spark.operators import graph, similarity
+from ut_data_engineering_group_project_2022_spark.catalog import table
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+# --- PageRank -------------------------------------------------------------
+
+
+def _py_pagerank(directed_pairs, iterations, damping):
+    """Independent reference implementation (adjacency dicts, no Spark)."""
+    out = defaultdict(list)
+    nodes = set()
+    for s, d in directed_pairs:
+        out[s].append(d)
+        nodes.update((s, d))
+    n = len(nodes)
+    pr = {v: 1.0 / n for v in nodes}
+    for _ in range(iterations):
+        contrib = defaultdict(float)
+        for s, ds in out.items():
+            for d in ds:
+                contrib[d] += pr[s] / len(ds)
+        pr = {v: (1 - damping) / n + damping * contrib[v] for v in nodes}
+    return {v: round(p, 6) for v, p in pr.items()}
+
+
+def test_pagerank_matches_reference_impl(spark):
+    pairs = [
+        ("a", "b"), ("b", "a"),
+        ("b", "c"), ("c", "b"),
+        ("c", "d"), ("d", "c"),
+        ("a", "d"), ("d", "a"),
+        ("e", "a"), ("a", "e"),
+    ]
+    got = {
+        r["node_id"]: r["pagerank"]
+        for r in graph.pagerank(_edges(spark, pairs), 3, 0.85).collect()
+    }
+    assert got == _py_pagerank(pairs, 3, 0.85)
+
+
+def test_pagerank_symmetric_graph_uniform(spark):
+    # On a regular symmetric graph (triangle) PageRank stays uniform.
+    pairs = [("a", "b"), ("b", "a"), ("b", "c"), ("c", "b"), ("c", "a"), ("a", "c")]
+    got = {
+        r["node_id"]: r["pagerank"]
+        for r in graph.pagerank(_edges(spark, pairs), 4, 0.85).collect()
+    }
+    assert got == {"a": round(1 / 3, 6), "b": round(1 / 3, 6), "c": round(1 / 3, 6)}
+
+
+# --- Label propagation ----------------------------------------------------
+
+
+def test_label_propagation_two_components(spark):
+    # Two disconnected components converge to the min node id of each.
+    pairs = [("b", "c"), ("c", "d"), ("x", "y"), ("y", "z")]
+    got = {
+        r["node_id"]: r["community"]
+        for r in graph.label_propagation(_edges(spark, pairs), max_iter=5).collect()
+    }
+    assert got == {"b": "b", "c": "b", "d": "b", "x": "x", "y": "x", "z": "x"}
+
+
+# --- Betweenness ----------------------------------------------------------
+
+
+def test_betweenness_exact_path_graph(spark):
+    # P4 a-b-c-d: inner nodes lie on 2 shortest paths each, ends on none.
+    got = {
+        r["node_id"]: r["betweenness"]
+        for r in graph.betweenness_exact(
+            _edges(spark, [("a", "b"), ("b", "c"), ("c", "d")])
+        ).collect()
+    }
+    assert got == {"a": 0.0, "b": 2.0, "c": 2.0, "d": 0.0}
+
+
+def test_betweenness_exact_star_graph(spark):
+    # Star K_{1,4}: center on all C(4,2)=6 leaf pairs' shortest paths.
+    got = {
+        r["node_id"]: r["betweenness"]
+        for r in graph.betweenness_exact(
+            _edges(spark, [("x", "l1"), ("x", "l2"), ("x", "l3"), ("x", "l4")])
+        ).collect()
+    }
+    assert got == {"x": 6.0, "l1": 0.0, "l2": 0.0, "l3": 0.0, "l4": 0.0}
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        [("a", "b"), ("b", "c"), ("c", "d")],
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")],
+        [("a", "b"), ("b", "c"), ("p", "q"), ("q", "r"), ("r", "p")],
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"), ("e", "f"), ("f", "d")],
+    ],
+    ids=["path", "diamond", "two-components", "barbell"],
+)
+def test_betweenness_distributed_matches_exact(spark, pairs):
+    e = _edges(spark, pairs)
+    exact = {r["node_id"]: r["betweenness"] for r in graph.betweenness_exact(e).collect()}
+    dist = {
+        r["node_id"]: r["betweenness"]
+        for r in graph.betweenness_distributed(e).collect()
+    }
+    assert dist == exact
+
+
+def test_betweenness_landmark_sampling_runs_scaled(spark):
+    # k < n: every node still scored, estimates non-negative, deterministic.
+    pairs = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"), ("d", "e")]
+    got = graph.betweenness_distributed(_edges(spark, pairs), num_landmarks=3)
+    rows = {r["node_id"]: r["betweenness"] for r in got.collect()}
+    assert set(rows) == {"a", "b", "c", "d", "e"}
+    assert all(v >= 0.0 for v in rows.values())
+    again = {
+        r["node_id"]: r["betweenness"]
+        for r in graph.betweenness_distributed(
+            _edges(spark, pairs), num_landmarks=3
+        ).collect()
+    }
+    assert again == rows
+
+
+# --- Bounded reachability -------------------------------------------------
+
+
+def _py_bfs_pairs(pairs, max_hops):
+    und = defaultdict(set)
+    for s, d in pairs:
+        und[s].add(d)
+        und[d].add(s)
+    out = set()
+    for s in und:
+        dist = {s: 0}
+        q = deque([s])
+        while q:
+            v = q.popleft()
+            if dist[v] >= max_hops:
+                continue
+            for w in und[v]:
+                if w not in dist:
+                    dist[w] = dist[v] + 1
+                    q.append(w)
+        out.update((s, t, d) for t, d in dist.items() if t != s)
+    return out
+
+
+def test_bounded_reachability_matches_bfs(spark):
+    pairs = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("b", "e")]
+    for hops in (1, 2, 3):
+        got = {
+            (r["src"], r["dst"], r["hops"])
+            for r in graph.bounded_reachability(_edges(spark, pairs), hops).collect()
+        }
+        assert got == _py_bfs_pairs(pairs, hops), f"hops={hops}"
+
+
+# --- ANN recall gates (README: "recall vs the brute-force baseline") ------
+
+
+def _topk_sets(rows):
+    by_q = defaultdict(set)
+    for r in rows:
+        by_q[r["query_id"]].add(r["neighbor_id"])
+    return by_q
+
+
+def _recall_at_5(exact_rows, approx_rows):
+    ex = _topk_sets(exact_rows)
+    ap = _topk_sets(approx_rows)
+    per_q = [len(ex[q] & ap.get(q, set())) / len(ex[q]) for q in ex]
+    return sum(per_q) / len(per_q)
+
+
+@pytest.fixture(scope="module")
+def knn_exact(spark):
+    emb = table(spark, SF_DIR, "embeddings")
+    return similarity.knn_bruteforce(
+        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10), k=5
+    ).collect()
+
+
+def test_knn_ivf_recall(spark, knn_exact):
+    emb = table(spark, SF_DIR, "embeddings")
+    approx = similarity.knn_ivf(emb, k=5).collect()
+    assert _recall_at_5(knn_exact, approx) >= 0.6
+
+
+def test_knn_lsh_recall(spark, knn_exact):
+    # Same universe as the brute-force baseline: query ids < 10, corpus
+    # >= 10 — take enough LSH candidates to re-rank the corpus-side top-5.
+    emb = table(spark, SF_DIR, "embeddings")
+    lsh = (
+        similarity.knn_lsh(emb, k=50, dim=64, n_tables=8, n_bits=4)
+        .filter((F.col("query_id") < 10) & (F.col("neighbor_id") >= 10))
+        .collect()
+    )
+    by_q = defaultdict(list)
+    for r in lsh:
+        by_q[r["query_id"]].append((r["score"], r["neighbor_id"]))
+    top5 = [
+        {"query_id": q, "neighbor_id": n}
+        for q, cands in by_q.items()
+        for _, n in sorted(cands, key=lambda t: (-t[0], t[1]))[:5]
+    ]
+    assert _recall_at_5(knn_exact, top5) >= 0.6

@@ -8,10 +8,12 @@ algorithms are join/agg loops above Catalyst:
   * label_propagation — community detection stand-in for Louvain (G6),
                         synchronous updates with min-label tiebreak so the
                         result is deterministic;
-  * betweenness     — G7, exact Brandes. Driver-side on the collected
-                      graph: intended for dim-scale graphs (the
-                      reference's DWH graphs); the 100 TB path is
-                      landmark-sampled BFS via `bounded_reachability`;
+  * betweenness_distributed — G7, Brandes as distributed frontier joins
+                      (multi-source BFS forward, level-synchronous
+                      dependency sweep back); exact from all roots,
+                      landmark-sampled (Brandes–Pich n/k scaling) at
+                      100 TB. betweenness_exact is the driver-side
+                      small-graph oracle the tests pin it against;
   * bounded_reachability — J11 variable-length path expansion (`*1..k`)
                       as a bounded iterative frontier join.
 
@@ -156,9 +158,10 @@ def bounded_reachability(edges: DataFrame, max_hops: int) -> DataFrame:
     """Variable-length path expansion (SURVEY J11, `REFERENCES*1..k`):
     (node, reachable-node) pairs within <= max_hops, via iterative
     frontier self-joins with per-round dedup (BFS-style)."""
-    und = undirect(edges).distinct()
-    reach = und.select("src", "dst").withColumn("hops", F.lit(1))
+    und = undirect(edges).distinct().cache()
+    reach = und.select("src", "dst").withColumn("hops", F.lit(1)).cache()
     frontier = reach
+    prev_reach = prev_frontier = None
     for hop in range(2, max_hops + 1):
         nxt = (
             frontier.alias("f")
@@ -175,20 +178,170 @@ def bounded_reachability(edges: DataFrame, max_hops: int) -> DataFrame:
             reach.select("src", "dst"), ["src", "dst"], "left_anti"
         ).cache()
         new.count()  # force: referenced by both the union and the next frontier
+        prev_reach, prev_frontier = reach, frontier
         reach = reach.unionAll(new).cache()
+        reach.count()  # materialize before releasing the previous generation
         frontier = new
+        # Only the current reach + frontier stay persisted — heap stays
+        # O(1) generations, not O(max_hops) (round-1 advisory finding).
+        prev_reach.unpersist()
+        if prev_frontier is not prev_reach:
+            prev_frontier.unpersist()
     out = reach.localCheckpoint(eager=True)
-    for df in (reach, frontier):
+    for df in (reach, frontier, und):
         df.unpersist()
+    return out
+
+
+def betweenness_distributed(
+    edges: DataFrame,
+    num_landmarks: int | None = None,
+    max_depth: int = 20,
+) -> DataFrame:
+    """Betweenness centrality as a distributed Brandes program (SURVEY G7).
+
+    No driver-side graph: both phases are DataFrame joins, so the plan
+    scales out with the cluster (each round is one shuffle keyed on node).
+
+      * Forward: multi-source BFS from all landmark roots at once —
+        frontier join per level accumulating (root, node, dist, sigma)
+        where sigma = number of shortest root->node paths.
+      * Backward: level-synchronous dependency accumulation over the
+        shortest-path DAG, delta(v) += sigma_v/sigma_w * (1 + delta(w))
+        for DAG successors w, swept from the deepest level up.
+
+    ``num_landmarks=None`` runs from every node — exact Brandes (the
+    closed-form tests pin this against :func:`betweenness_exact`).
+    Otherwise roots are the ``num_landmarks`` nodes with the smallest
+    md5(id) (a deterministic pseudo-random sample) and scores are scaled
+    by n/k — the Brandes–Pich estimator, the 100 TB path where k is
+    fixed while n grows. Scores are halved (undirected) and rounded to 6.
+    """
+    und = undirect(edges).distinct().cache()
+    nodes = und.select(F.col("src").alias("id")).distinct().cache()
+    n = nodes.count()
+    if num_landmarks is None or num_landmarks >= n:
+        roots = nodes.select(F.col("id").alias("root"))
+        scale = 1.0
+    else:
+        roots = (
+            nodes.orderBy(F.md5("id"), "id")
+            .limit(num_landmarks)
+            .select(F.col("id").alias("root"))
+        )
+        scale = n / num_landmarks
+
+    # Forward BFS. state accumulates every reached (root, node); frontier
+    # is the newly-reached level. Each generation is localCheckpoint-ed:
+    # the anti-join + union embed the prior state plan TWICE per level, so
+    # cache alone (which materializes data but keeps the logical plan)
+    # grows the plan tree 2^depth — checkpointing truncates lineage.
+    state = roots.select(
+        "root",
+        F.col("root").alias("node"),
+        F.lit(0).alias("dist"),
+        F.lit(1.0).alias("sigma"),
+    ).localCheckpoint(eager=True)
+    frontier = state
+    depth = 0
+    while depth < max_depth:
+        depth += 1
+        nxt = (
+            frontier.alias("f")
+            .join(und.alias("e"), F.col("f.node") == F.col("e.src"))
+            .groupBy("f.root", F.col("e.dst").alias("node"))
+            .agg(F.sum("f.sigma").alias("sigma"))
+            .join(state.select("root", "node"), ["root", "node"], "left_anti")
+            .withColumn("dist", F.lit(depth))
+            .select("root", "node", "dist", "sigma")
+            .localCheckpoint(eager=True)
+        )
+        if nxt.count() == 0:
+            break
+        state = state.unionAll(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    max_dist = depth - 1
+
+    # Shortest-path DAG: edge (v, w) belongs to root's DAG iff
+    # dist(w) = dist(v) + 1 under that root.
+    sv = state.select(
+        "root",
+        F.col("node").alias("v"),
+        F.col("dist").alias("dv"),
+        F.col("sigma").alias("sigma_v"),
+    )
+    sw = state.select(
+        "root",
+        F.col("node").alias("w"),
+        F.col("dist").alias("dw"),
+        F.col("sigma").alias("sigma_w"),
+    )
+    dag = (
+        und.join(sv, und.src == sv.v)
+        .join(sw, (und.dst == sw.w) & (sv.root == sw.root))
+        .filter(F.col("dw") == F.col("dv") + 1)
+        .select(sv.root, "v", "dv", "sigma_v", "w", "sigma_w")
+        .localCheckpoint(eager=True)
+    )
+
+    # Backward sweep, deepest level first. delta holds (root, node, delta)
+    # for every level already processed; checkpointed per level for the
+    # same lineage-truncation reason as the forward pass.
+    delta = (
+        state.filter(F.col("dist") == max_dist)
+        .select("root", "node", F.lit(0.0).alias("delta"))
+        .localCheckpoint(eager=True)
+    )
+    for lvl in range(max_dist - 1, -1, -1):
+        contrib = (
+            dag.filter(F.col("dv") == lvl)
+            .join(
+                delta.select("root", F.col("node").alias("w"), "delta"),
+                ["root", "w"],
+            )
+            .groupBy("root", F.col("v").alias("node"))
+            .agg(
+                F.sum(
+                    F.col("sigma_v") / F.col("sigma_w") * (F.lit(1.0) + F.col("delta"))
+                ).alias("d")
+            )
+        )
+        lvl_delta = (
+            state.filter(F.col("dist") == lvl)
+            .select("root", "node")
+            .join(contrib, ["root", "node"], "left")
+            .select("root", "node", F.coalesce("d", F.lit(0.0)).alias("delta"))
+        )
+        delta = delta.unionAll(lvl_delta).localCheckpoint(eager=True)
+
+    out = (
+        nodes.join(
+            delta.filter(F.col("node") != F.col("root"))
+            .groupBy("node")
+            .agg(F.sum("delta").alias("b")),
+            nodes.id == F.col("node"),
+            "left",
+        )
+        .select(
+            F.col("id").alias("node_id"),
+            F.round(F.coalesce("b", F.lit(0.0)) * scale / 2.0, 6).alias(
+                "betweenness"
+            ),
+        )
+        .localCheckpoint(eager=True)
+    )
+    und.unpersist()
+    nodes.unpersist()
     return out
 
 
 def betweenness_exact(edges: DataFrame) -> DataFrame:
     """Exact Brandes betweenness (unweighted, undirected).
 
-    Driver-side over the collected edge list — appropriate for dim-scale
-    graphs like the reference's (SURVEY G7 notes sample-based approximation
-    as the 100 TB path). Returns (node_id, betweenness) rounded to 6.
+    Driver-side over the collected edge list — the small-graph TEST ORACLE
+    for :func:`betweenness_distributed` (tests/test_graph.py pins the two
+    equal on hand-built graphs). Not registered as a query path itself.
+    Returns (node_id, betweenness) rounded to 6.
     """
     adj: dict[str, list[str]] = {}
     for row in undirect(edges).distinct().collect():

@@ -67,25 +67,24 @@ def knn_bruteforce(
     )
 
 
-def hyperplane(dim: int, plane_id: int) -> list[float]:
-    """Deterministic pseudo-random unit-free hyperplane from md5 — no RNG."""
-    raise NotImplementedError("driver-side helper unused; planes built in-plan")
-
-
-def lsh_bucket(vec: Column, dim: int, n_planes: int = 8) -> Column:
+def lsh_bucket(
+    vec: Column, dim: int, n_planes: int = 8, plane_offset: int = 0
+) -> Column:
     """Sign-bit LSH bucket key from deterministic md5-derived hyperplanes.
 
     plane[p][d] = (md5_int60('p|d') mod 2001 - 1000) / 1000.0  in [-1, 1]
-    bucket bit p = 1 iff dot(vec, plane[p]) > 0.
+    bucket bit p = 1 iff dot(vec, plane[plane_offset + p]) > 0.
     """
     bucket = F.lit(0).cast("bigint")
     for p in range(n_planes):
         coeffs = F.array(
             *[
                 (
-                    (md5_int60(F.lit(f"{p}|{d}")) % F.lit(2001) - F.lit(1000)).cast(
-                        "double"
-                    )
+                    (
+                        md5_int60(F.lit(f"{plane_offset + p}|{d}"))
+                        % F.lit(2001)
+                        - F.lit(1000)
+                    ).cast("double")
                     / F.lit(1000.0)
                 )
                 for d in range(dim)
@@ -104,27 +103,65 @@ def knn_lsh(
     vectors: DataFrame,
     k: int,
     dim: int,
-    n_planes: int = 8,
+    n_tables: int = 8,
+    n_bits: int = 4,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """ANN top-k within LSH buckets: the scale path for pairwise similarity.
+    """Multi-table sign-bit LSH ANN: the scale path for pairwise similarity.
 
-    Output schema matches `knn_bruteforce` (query_id, neighbor_id, score, rn)
-    restricted to same-bucket candidates; recall vs exact is a test gate.
+    ``n_tables`` independent hash tables of ``n_bits`` planes each
+    (table t uses planes [t*n_bits, (t+1)*n_bits)); a pair is a candidate
+    if it collides in ANY table, candidates are deduped and re-ranked with
+    the exact cosine. A single fine-grained table (round-1 design: one
+    8-bit key) had recall@5 = 0.02 against brute force — true neighbors
+    almost never agree on all 8 sign bits; OR-ing several coarser tables
+    is the standard fix (recall is test-gated in tests/test_graph.py).
+    ``n_bits`` tunes bucket size against corpus scale; candidates-per-pair
+    dedup keeps the exact re-rank linear in distinct candidates.
+
+    Output schema matches `knn_bruteforce` (query_id, neighbor_id, score,
+    rn) restricted to candidate pairs.
     """
     v = vectors.select(
         F.col(id_col).alias("vid"), as_double(vec_col).alias("vec")
-    ).withColumn("bucket", lsh_bucket(F.col("vec"), dim, n_planes))
-    a = v.select(
-        F.col("vid").alias("query_id"), F.col("vec").alias("qv"), "bucket"
     )
-    b = v.select(
-        F.col("vid").alias("neighbor_id"), F.col("vec").alias("cv"),
-        F.col("bucket").alias("bucket_b"),
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                lsh_bucket(
+                    F.col("vec"), dim, n_bits, plane_offset=t * n_bits
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    hashed = v.select(
+        "vid", F.explode(tables).alias("tb")
+    ).select("vid", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    cand = (
+        hashed.alias("a")
+        .join(
+            hashed.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") != F.col("b.vid")),
+        )
+        .select(
+            F.col("a.vid").alias("query_id"), F.col("b.vid").alias("neighbor_id")
+        )
+        .distinct()
     )
     scored = (
-        a.join(b, (F.col("bucket") == F.col("bucket_b")) & (F.col("query_id") != F.col("neighbor_id")))
+        cand.join(
+            v.select(F.col("vid").alias("query_id"), F.col("vec").alias("qv")),
+            "query_id",
+        )
+        .join(
+            v.select(F.col("vid").alias("neighbor_id"), F.col("vec").alias("cv")),
+            "neighbor_id",
+        )
         .select(
             "query_id",
             "neighbor_id",

@@ -60,6 +60,8 @@ _PRIORITY = [
     "tpch_q18_large_orders",
     "llm_simhash_fingerprints",
     "graph_node_similarity",
+    "graph_author_rank",
+    "graph_institution_rank",
     "op_surrogate_keys",
     "op_union_all",
     "op_explode_tokens",

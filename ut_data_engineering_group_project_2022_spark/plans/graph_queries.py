@@ -221,9 +221,12 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "graph_betweenness_nations",
-    oracle=None,  # exact Brandes, gated by closed-form tests on known graphs
+    oracle=None,  # gated by closed-form tests (== exact Brandes) instead
     doc="Betweenness centrality (SURVEY G7) on the nation co-trade graph "
-    "(nations linked when a customer order ships from a supplier nation).",
+    "(nations linked when a customer order ships from a supplier nation). "
+    "Runs the distributed Brandes program (frontier joins, no driver-side "
+    "graph) from all roots — exact here; landmark sampling is the knob at "
+    "100 TB. tests/test_graph.py pins it against exact Brandes.",
     tags=("graph", "centrality"),
 )
 def graph_betweenness_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -242,7 +245,109 @@ def graph_betweenness_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    return graph.betweenness_exact(edges)
+    return graph.betweenness_distributed(edges)
+
+
+# --- Derived-edge ranks (SURVEY G3/G5): variable-length path projection ---
+# The reference derives author<->author / institution<->institution edges
+# via `REFERENCES*1..10` path expansion, then ranks the projected graph
+# (ref graph_queries.cyp:48-58 author ArticleRank, :5-16 institution
+# PageRank). Same composition here: bounded_reachability (the `*1..k`
+# operator) over a weight-filtered base graph -> same-type node pairs ->
+# pagerank. Oracles unroll both the hop expansion and the rank iterations.
+
+_PR2_SQL = """
+    n AS (SELECT DISTINCT src AS id FROM e),
+    cnt AS (SELECT COUNT(*)::DOUBLE AS nn FROM n),
+    deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY src),
+    p0 AS (SELECT id, 1.0 / c.nn AS pr FROM n CROSS JOIN cnt c),
+    p1 AS (
+      SELECT n.id, 0.15 / c.nn + 0.85 * COALESCE(s.contrib, 0.0) AS pr
+      FROM n CROSS JOIN cnt c
+      LEFT JOIN (SELECT e.dst AS id, SUM(p0.pr / deg.d) AS contrib
+                 FROM e JOIN p0 ON p0.id = e.src JOIN deg ON deg.src = e.src
+                 GROUP BY e.dst) s ON s.id = n.id
+    ),
+    p2 AS (
+      SELECT n.id, 0.15 / c.nn + 0.85 * COALESCE(s.contrib, 0.0) AS pr
+      FROM n CROSS JOIN cnt c
+      LEFT JOIN (SELECT e.dst AS id, SUM(p1.pr / deg.d) AS contrib
+                 FROM e JOIN p1 ON p1.id = e.src JOIN deg ON deg.src = e.src
+                 GROUP BY e.dst) s ON s.id = n.id
+    )
+    SELECT id AS node_id, ROUND(pr, 6) AS pagerank FROM p2
+"""
+
+
+def _derived_rank(
+    spark: SparkSession, sf_dir: str, min_weight: int, max_hops: int, prefix: str
+) -> DataFrame:
+    base = graph.customer_supplier_edges(spark, sf_dir).filter(
+        F.col("weight") >= min_weight
+    )
+    reach = graph.bounded_reachability(graph.undirect(base), max_hops)
+    derived = (
+        reach.filter(
+            F.col("src").startswith(prefix) & F.col("dst").startswith(prefix)
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+    # reach is symmetric, so `derived` is already an undirected edge list.
+    return graph.pagerank(derived, iterations=2, damping=0.85)
+
+
+@register(
+    "graph_author_rank",
+    oracle=f"""
+    WITH e0 AS ({_EDGES_SQL}),
+    ef AS (SELECT src, dst FROM e0 WHERE weight >= 3),
+    und AS (SELECT src, dst FROM ef UNION SELECT dst, src FROM ef),
+    h2 AS (SELECT DISTINCT a.src, b.dst FROM und a
+           JOIN und b ON a.dst = b.src WHERE a.src <> b.dst),
+    h3 AS (SELECT DISTINCT a.src, b.dst FROM h2 a
+           JOIN und b ON a.dst = b.src WHERE a.src <> b.dst),
+    reach AS (SELECT src, dst FROM und UNION SELECT * FROM h2
+              UNION SELECT * FROM h3),
+    e AS (SELECT src, dst FROM reach
+          WHERE src LIKE 'c%' AND dst LIKE 'c%'),
+    {_PR2_SQL}
+    """,
+    doc="Author-rank analog (SURVEY G3; ref graph_queries.cyp:48-58): "
+    "customer<->customer edges derived by `*1..3` path expansion over the "
+    "weight>=3 trade graph, then 2-iteration PageRank on the projection. "
+    "Oracle unrolls the hop expansion and both rank iterations as CTEs.",
+    tags=("graph", "pagerank", "path"),
+)
+def graph_author_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _derived_rank(spark, sf_dir, min_weight=3, max_hops=3, prefix="c")
+
+
+@register(
+    "graph_institution_rank",
+    oracle=f"""
+    WITH e0 AS ({_EDGES_SQL}),
+    ef AS (SELECT src, dst FROM e0 WHERE weight >= 4),
+    und AS (SELECT src, dst FROM ef UNION SELECT dst, src FROM ef),
+    h2 AS (SELECT DISTINCT a.src, b.dst FROM und a
+           JOIN und b ON a.dst = b.src WHERE a.src <> b.dst),
+    h3 AS (SELECT DISTINCT a.src, b.dst FROM h2 a
+           JOIN und b ON a.dst = b.src WHERE a.src <> b.dst),
+    h4 AS (SELECT DISTINCT a.src, b.dst FROM h3 a
+           JOIN und b ON a.dst = b.src WHERE a.src <> b.dst),
+    reach AS (SELECT src, dst FROM und UNION SELECT * FROM h2
+              UNION SELECT * FROM h3 UNION SELECT * FROM h4),
+    e AS (SELECT src, dst FROM reach
+          WHERE src LIKE 's%' AND dst LIKE 's%'),
+    {_PR2_SQL}
+    """,
+    doc="Institution-rank analog (SURVEY G5; ref graph_queries.cyp:5-16): "
+    "supplier<->supplier edges derived by `*1..4` expansion over the "
+    "weight>=4 trade graph, then 2-iteration PageRank on the projection.",
+    tags=("graph", "pagerank", "path"),
+)
+def graph_institution_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _derived_rank(spark, sf_dir, min_weight=4, max_hops=4, prefix="s")
 
 
 # --- Multi-hop pattern match (SURVEY J10/G9) ------------------------------
