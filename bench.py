@@ -33,6 +33,11 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = float(Path(sf_dir).name.removeprefix("sf") or "0.1")
     spark = get_spark("ut-dwh-bench")
+    # Keep stderr readable: dim-sized global-rank windows fire Spark's
+    # single-partition WindowExec warning on every bi_* query (documented
+    # as intentional at plans/bi_queries.py); only errors are informative
+    # in a timed run.
+    spark.sparkContext.setLogLevel("ERROR")
 
     # Warm the JVM (codegen, shuffle machinery) so the first timed query
     # doesn't absorb session startup cost.
@@ -42,22 +47,27 @@ def main() -> None:
 
     specs = {n: s for n, s in all_queries().items() if s.bench}
     timings: dict[str, float] = {}
+    raw: dict[str, list[float]] = {}
     # Two timed executions per query, min reported: steady-state timing —
     # the host is shared and a single pass can absorb 2-3x external noise;
     # min-of-2 also reflects warm-path behavior for stateful queries (the
     # star-load queries amortize their one-time load like a real warehouse).
+    # Both raw passes are emitted too (queries_runs) so round-over-round
+    # comparisons can be made cold-vs-cold or min-vs-min, and run variance
+    # (host noise) is visible in the recorded artifact.
     for name in sorted(specs):
-        best = None
+        runs = []
         for _ in range(2):
             t0 = time.monotonic()
             df = specs[name].spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
-            dt = round(time.monotonic() - t0, 3)
-            best = dt if best is None else min(best, dt)
-        timings[name] = best
-        print(f"[bench] {name}: {best:.3f}s", file=sys.stderr)
+            runs.append(round(time.monotonic() - t0, 3))
+        raw[name] = runs
+        timings[name] = min(runs)
+        print(f"[bench] {name}: min {min(runs):.3f}s (runs: {runs})", file=sys.stderr)
 
     total = round(sum(timings.values()), 3)
+    cold_total = round(sum(r[0] for r in raw.values()), 3)
     print(
         json.dumps(
             {
@@ -65,6 +75,8 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_runs": raw,
+                "cold_total": cold_total,
                 "sf": sf,
             }
         )

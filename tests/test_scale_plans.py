@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
 from ut_data_engineering_group_project_2022_spark.catalog import table
+from ut_data_engineering_group_project_2022_spark.operators import star
 
 
 def _plan(df) -> str:
@@ -97,3 +98,34 @@ def test_dim_joins_broadcast_and_pushdown(spark):
     assert "l_quantity" in scan_part  # pushed predicate visible at the scan
     # projection pruning: untouched wide columns never read
     assert "l_returnflag" not in plan
+
+
+def test_dense_ids_avoids_single_partition_window(spark):
+    """The star loader's surrogate-key assignment must not funnel the
+    batch through one partition: dense_ids ranks per range-partition and
+    adds offsets, so the plan has no SinglePartition exchange and its
+    WindowExec is partitioned."""
+    o = table(spark, SF_DIR, "orders").select("o_orderkey")
+    plan = _plan(star.dense_ids(o, ["o_orderkey"], "seq", eager=False))
+    assert "Window" in plan, plan
+    assert "SinglePartition" not in plan, plan
+
+
+def test_dense_ids_matches_global_row_number(spark):
+    """Two-phase ids must equal the single-window global rank (keys are
+    deterministic: the star_q* oracles replay key assignment by id order)."""
+    from pyspark.sql import Window
+
+    o = table(spark, SF_DIR, "orders").select("o_orderkey")
+    got = {
+        r["o_orderkey"]: r["seq"]
+        for r in star.dense_ids(o, ["o_orderkey"], "seq").collect()
+    }
+    exp = {
+        r["o_orderkey"]: r["seq"]
+        for r in o.withColumn(
+            "seq",
+            F.row_number().over(Window.orderBy("o_orderkey")).cast("long"),
+        ).collect()
+    }
+    assert got == exp

@@ -211,8 +211,81 @@ def simhash_fingerprints(docs: DataFrame, n_bits: int = SIMHASH_BITS) -> DataFra
     return wide.select("doc_id", fp.alias("simhash48"))
 
 
+def simhash_pairs_banded(
+    fingerprints: DataFrame, max_hamming: int, n_bits: int = SIMHASH_BITS
+) -> DataFrame:
+    """Sub-quadratic SimHash near-dup pairs via pigeonhole banding.
+
+    Split the ``n_bits`` fingerprint into ``max_hamming + 1`` bands: any
+    pair within Hamming ``max_hamming`` must agree EXACTLY on at least
+    one band (pigeonhole), so candidates are an equi-join on
+    (band_idx, band_value) — the Manku/Chakrabarti near-duplicate web
+    crawl design — then verified with the exact popcount. The result is
+    therefore row-identical to :func:`simhash_pairs` at the same
+    threshold (the oracle asserts this), without the O(n^2) self-join.
+
+    Scale note: candidate volume ~ n_bands * n^2 / 2^band_bits, so the
+    guarantee is only sub-quadratic for tight thresholds (band_bits =
+    n_bits/(h+1) must stay large vs log2(n)). The loose h=14 baseline
+    query keeps the all-pairs form for exactly this reason: 15 bands of
+    3 bits would collide nearly every pair — at 14/48 the threshold sits
+    inside the random-pair Hamming distribution and no guaranteed
+    banding is sub-quadratic.
+    """
+    n_bands = max_hamming + 1
+    widths = [
+        n_bits // n_bands + (1 if b < n_bits % n_bands else 0)
+        for b in range(n_bands)
+    ]
+    offsets = [sum(widths[:b]) for b in range(n_bands)]
+    bands = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.expr(
+                    f"(simhash48 >> {offsets[b]}) & {(1 << widths[b]) - 1}"
+                ).alias("bval"),
+            )
+            for b in range(n_bands)
+        ]
+    )
+    banded = fingerprints.select(
+        "doc_id", F.explode(bands).alias("bv")
+    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.bval").alias("bval"))
+    cand = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.bval") == F.col("b.bval"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .distinct()
+    )
+    fa = fingerprints.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash48").alias("fa")
+    )
+    fb = fingerprints.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash48").alias("fb")
+    )
+    return (
+        cand.join(fa, "doc_a")
+        .join(fb, "doc_b")
+        .withColumn("hamming", F.bit_count(F.expr("fa ^ fb")).cast("int"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
 def simhash_pairs(fingerprints: DataFrame, max_hamming: int) -> DataFrame:
-    """Near-dup pairs by Hamming distance over SimHash fingerprints."""
+    """Near-dup pairs by Hamming distance over SimHash fingerprints.
+
+    All-pairs form — the verification baseline for
+    :func:`simhash_pairs_banded`, and the only complete path for loose
+    thresholds (see the banding scale note there)."""
     a = fingerprints.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash48").alias("fa")
     )

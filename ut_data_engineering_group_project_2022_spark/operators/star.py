@@ -157,6 +157,53 @@ def _next_key(dim: DataFrame, key_col: str) -> int:
     return (row["m"] or 0) + 1
 
 
+def dense_ids(
+    df: DataFrame,
+    order_cols: list[str],
+    colname: str = "_seq",
+    eager: bool = True,
+) -> DataFrame:
+    """Global dense 1-based rank over ``order_cols`` WITHOUT a
+    single-partition window (the round-1 scale-killer in the fact loader).
+
+    Two-phase: range-repartition on the keys (partition i holds smaller
+    keys than partition i+1), rank locally per partition, then add
+    per-partition row-count offsets. The only driver action is the
+    numPartitions-row count collect; the sampled range boundaries do not
+    affect the result (any boundary split yields the same global order
+    for unique keys), so the assigned ids are deterministic.
+
+    ``eager`` checkpoints the ranked partitions so the offset count and
+    the final join don't recompute the input twice; pass False in plan
+    tests to inspect the full (un-truncated) physical plan.
+    """
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    local = df.repartitionByRange(n, *order_cols).withColumn(
+        "__pid", F.spark_partition_id()
+    )
+    local = local.withColumn(
+        "__lrn",
+        F.row_number().over(W.partitionBy("__pid").orderBy(*order_cols)),
+    )
+    if eager:
+        local = local.localCheckpoint(eager=True)
+    counts = sorted(
+        local.groupBy("__pid").agg(F.count(F.lit(1)).alias("__c")).collect(),
+        key=lambda r: r["__pid"],
+    )
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["__pid"], acc))
+        acc += r["__c"]
+    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn(colname, (F.col("__lrn") + F.col("__off")).cast("long"))
+        .drop("__pid", "__lrn", "__off")
+    )
+
+
 def upsert_dim(
     dim: DataFrame,
     values: DataFrame,
@@ -270,8 +317,7 @@ def load_batch(
     )
     ag_start = _next_key(state.paper_fact, "author_group_key") - 1
     fg_start = _next_key(state.paper_fact, "affiliation_group_key") - 1
-    w_id = W.orderBy("id")
-    fact_new = (
+    fact_base = (
         new_papers.join(
             F.broadcast(state.dim_year),
             new_papers["published-year"] == state.dim_year["publication_year"],
@@ -293,15 +339,20 @@ def load_batch(
             & (new_papers["publisher"] == dim_venue["publisher"]),
             "left",
         )
+    )
+    # Group keys are dense sequence numbers in id order. dense_ids ranks
+    # per range-partition + offsets instead of one global row_number —
+    # the batch-sized single-partition WindowExec the round-1 review
+    # flagged as the loader's 100x scale-killer (same ids either way).
+    fact_new = (
+        dense_ids(fact_base, ["id"], "_seq")
         .select(
             "year_key",
             "domain_key",
             "type_key",
             "venue_key",
-            (F.row_number().over(w_id) + F.lit(ag_start))
-            .cast("int")
-            .alias("author_group_key"),
-            (F.row_number().over(w_id) + F.lit(fg_start))
+            (F.col("_seq") + F.lit(ag_start)).cast("int").alias("author_group_key"),
+            (F.col("_seq") + F.lit(fg_start))
             .cast("int")
             .alias("affiliation_group_key"),
             F.col("id").alias("arxiv_ID"),

@@ -62,6 +62,7 @@ _PRIORITY = [
     "graph_node_similarity",
     "graph_author_rank",
     "graph_institution_rank",
+    "llm_simhash_pairs_banded",
     "op_surrogate_keys",
     "op_union_all",
     "op_explode_tokens",

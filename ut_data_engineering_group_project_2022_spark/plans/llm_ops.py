@@ -188,6 +188,50 @@ def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_simhash_pairs_banded",
+    oracle="""
+    WITH tok AS (
+      SELECT DISTINCT doc_id, t FROM (
+        SELECT doc_id,
+               unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+        FROM documents)
+    ),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM tok
+    ),
+    bitsum AS (
+      SELECT doc_id, i,
+             SUM(CASE WHEN (h >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      FROM th CROSS JOIN (SELECT i::INT AS i FROM range(48) t(i)) bits
+      GROUP BY doc_id, i
+    ),
+    fp AS (
+      SELECT doc_id,
+             SUM(CASE WHEN s > 0 THEN (1::BIGINT << i) ELSE 0 END) AS f
+      FROM bitsum GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           bit_count(xor(a.f, b.f))::INT AS hamming
+    FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.f, b.f)) <= 5
+    """,
+    doc="Sub-quadratic SimHash near-dup pairs (Hamming <= 5): pigeonhole "
+    "banding into 6 bands of 8 bits — a pair within distance 5 must match "
+    "one band exactly, so candidates come from a (band, value) equi-join "
+    "instead of the O(n^2) self-join, then exact popcount verification. "
+    "The oracle is the ALL-PAIRS form at the same threshold, so a green "
+    "row proves the banded path is row-identical to brute force. The "
+    "h=14 baseline stays all-pairs by design: 14/48 sits inside the "
+    "random-pair Hamming distribution, where no guaranteed banding is "
+    "sub-quadratic (see operators/dedup.py).",
+    tags=("llm", "dedup", "simhash"),
+)
+def llm_simhash_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    fps = dedup.simhash_fingerprints(table(spark, sf_dir, "documents"))
+    return dedup.simhash_pairs_banded(fps, max_hamming=5)
+
+
+@register(
     "llm_knn_bruteforce",
     oracle="""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),

@@ -280,13 +280,22 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"))
+        # Rank on the EXACT decimal sum (the oracle's ORDER BY) and round
+        # only in the final projection: two customers whose exact sums
+        # differ but round to the same cent must not swap ranks at the
+        # top-20 boundary (round-1 advisory finding).
+        .agg(F.sum(_disc_price()).alias("rev_exact"))
     )
-    w = W.orderBy(F.desc("revenue"), F.asc("c_custkey"))
+    w = W.orderBy(F.desc("rev_exact"), F.asc("c_custkey"))
     return (
         rev.withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 20)
-        .select("c_custkey", "c_name", "n_name", "revenue")
+        .select(
+            "c_custkey",
+            "c_name",
+            "n_name",
+            F.round("rev_exact", 2).cast("double").alias("revenue"),
+        )
     )
 
 
@@ -347,8 +356,12 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     o = table(spark, sf_dir, "orders")
+    # No broadcast hint: orders is fact-sized, so forcing it into every
+    # executor's memory would OOM a real cluster (round-1 advisory
+    # finding). AQE picks the join strategy; both sides shuffle on the
+    # shared key, which is the co-partitioned plan you want at 100 TB.
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
             F.col("o_custkey").alias("c_custkey"),
             F.col("l_orderkey").alias("o_orderkey"),
