@@ -159,3 +159,95 @@ def test_windowed_streams_match_batch(spark, tmp_path):
     got_s = spark.sql("SELECT * FROM sessions").count()
     want_s = windows.session_counts(events).count()
     assert got_s == want_s and want_s > 0
+
+
+def test_stateful_sessionize_across_batches(spark, tmp_path):
+    """applyInPandasWithState sessionization: the open session survives in
+    the state store between availableNow runs; a session is emitted only
+    when a later event (possibly batches later) proves it closed."""
+    import datetime as dt
+
+    from ut_data_engineering_group_project_2022_spark.streaming import stateful
+
+    t0 = dt.datetime(2024, 1, 1, 8, 0, 0)
+    inbox = tmp_path / "sess_in"
+    inbox.mkdir()
+    ckpt = str(tmp_path / "sess_ckpt")
+    schema = "user_id bigint, ts timestamp"
+
+    def run(name):
+        stream = spark.readStream.schema(schema).parquet(str(inbox))
+        rows = []
+        q = (
+            stateful.streaming_sessionize(stream, gap_seconds=1800)
+            .writeStream.foreachBatch(lambda df, _id: rows.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return rows
+
+    # batch 1: two events 10 min apart -> one OPEN session, nothing emitted
+    spark.createDataFrame(
+        [(1, t0), (1, t0 + dt.timedelta(minutes=10))], schema
+    ).write.mode("append").parquet(str(inbox))
+    assert run("sess_b1") == []
+
+    # batch 2: an event 60 min later closes the first session; a second
+    # user appears (stays open)
+    spark.createDataFrame(
+        [(1, t0 + dt.timedelta(minutes=70)), (2, t0)], schema
+    ).write.mode("append").parquet(str(inbox))
+    rows = run("sess_b2")
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["user_id"] == 1 and r["n_events"] == 2
+    assert r["session_start"] == t0
+    assert r["session_end"] == t0 + dt.timedelta(minutes=10)
+
+
+def test_stateful_dedup_first_wins_across_batches(spark, tmp_path):
+    """applyInPandasWithState keep-first dedup: a text hash emitted in an
+    earlier micro-batch suppresses every later copy (state flag per hash)."""
+    from pyspark.sql import functions as F
+
+    from ut_data_engineering_group_project_2022_spark.streaming import stateful
+
+    inbox = tmp_path / "dedup_in"
+    inbox.mkdir()
+    ckpt = str(tmp_path / "dedup_ckpt")
+    schema = "doc_id bigint, text string"
+
+    def run(name):
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(str(inbox))
+            .withColumn("text_hash", F.md5("text"))
+        )
+        rows = []
+        q = (
+            stateful.streaming_dedup_first_wins(stream)
+            .writeStream.foreachBatch(lambda df, _id: rows.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return rows
+
+    # batch 1: two distinct texts, one within-batch duplicate
+    spark.createDataFrame(
+        [(3, "alpha"), (1, "alpha"), (2, "beta")], schema
+    ).write.mode("append").parquet(str(inbox))
+    got1 = {(r["doc_id"], r["text"]) for r in run("dedup_b1")}
+    assert got1 == {(1, "alpha"), (2, "beta")}  # keep-first = lowest doc_id
+
+    # batch 2: a cross-batch duplicate and one new text
+    spark.createDataFrame(
+        [(4, "alpha"), (5, "gamma")], schema
+    ).write.mode("append").parquet(str(inbox))
+    got2 = {(r["doc_id"], r["text"]) for r in run("dedup_b2")}
+    assert got2 == {(5, "gamma")}

@@ -176,6 +176,77 @@ def knn_lsh(
     )
 
 
+def lsh_candidate_pairs(
+    vectors: DataFrame,
+    dim: int,
+    n_tables: int = 8,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Unordered candidate pairs (id_a < id_b) colliding in ANY LSH table.
+
+    The candidate half of the candidates->verify shape shared by
+    MinHash-LSH and banded SimHash: sub-quadratic pair generation, exact
+    scoring only on survivors."""
+    v = vectors.select(
+        F.col(id_col).alias("vid"), as_double(vec_col).alias("vec")
+    )
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("t"),
+                lsh_bucket(
+                    F.col("vec"), dim, n_bits, plane_offset=t * n_bits
+                ).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    hashed = v.select("vid", F.explode(tables).alias("tb")).select(
+        "vid", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+    )
+    return (
+        hashed.alias("a")
+        .join(
+            hashed.alias("b"),
+            (F.col("a.t") == F.col("b.t"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vid") < F.col("b.vid")),
+        )
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+        .distinct()
+    )
+
+
+def cosine_neardup_lsh(
+    emb: DataFrame,
+    threshold: float,
+    dim: int,
+    n_tables: int = 8,
+    n_bits: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Sub-quadratic embedding near-dup: LSH-bucketed candidates, exact
+    cosine verify — the 100 TB path `cosine_neardup_pairs` documents.
+
+    Same output schema as the all-pairs form restricted to candidate
+    pairs; the registered oracle regenerates the hash tables in SQL, so
+    the whole pipeline (not just the verify) is hash-checked."""
+    cand = lsh_candidate_pairs(emb, dim, n_tables, n_bits, id_col, vec_col)
+    v = emb.select(F.col(id_col).alias("vid"), as_double(vec_col).alias("vec"))
+    return (
+        cand.join(v.select(F.col("vid").alias("id_a"), F.col("vec").alias("va")), "id_a")
+        .join(v.select(F.col("vid").alias("id_b"), F.col("vec").alias("vb")), "id_b")
+        .select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("raw")
+        )
+        .filter(F.col("raw") >= threshold)
+        .select("id_a", "id_b", F.round("raw", 6).alias("cosine"))
+    )
+
+
 def cosine_neardup_pairs(
     emb: DataFrame,
     threshold: float,

@@ -554,6 +554,50 @@ def llm_embedding_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_embedding_neardup_lsh",
+    oracle="""
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    planes AS (
+      SELECT p, p // 4 AS t, p % 4 AS bit, list_transform(range(64), d ->
+        ((('0x' || substr(md5(p || '|' || d), 1, 15))::BIGINT % 2001 - 1000)::DOUBLE
+         / 1000.0)) AS pl
+      FROM (SELECT unnest(range(32)) AS p)
+    ),
+    bucketed AS (
+      SELECT v.vec_id, planes.t,
+             SUM(CASE WHEN list_dot_product(v.e, planes.pl) > 0
+                      THEN (1 << planes.bit) ELSE 0 END)::BIGINT AS bucket
+      FROM v CROSS JOIN planes GROUP BY v.vec_id, planes.t
+    ),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM bucketed a JOIN bucketed b
+        ON a.t = b.t AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+    )
+    SELECT c.id_a, c.id_b,
+           ROUND(list_dot_product(x.e, y.e)
+                   / (sqrt(list_dot_product(x.e, x.e))
+                      * sqrt(list_dot_product(y.e, y.e))), 6) AS cosine
+    FROM cand c JOIN v x ON x.vec_id = c.id_a JOIN v y ON y.vec_id = c.id_b
+    WHERE list_dot_product(x.e, y.e)
+            / (sqrt(list_dot_product(x.e, x.e))
+               * sqrt(list_dot_product(y.e, y.e))) >= 0.40
+    """,
+    doc="Sub-quadratic embedding near-dup: multi-table sign-bit LSH "
+    "candidates (8 tables x 4 bits), exact cosine verify at 0.40 — the "
+    "scale path the all-pairs `llm_embedding_neardup` is the baseline "
+    "for (same candidates->verify shape as MinHash-LSH). The oracle "
+    "regenerates the hash tables in SQL, so candidate generation is "
+    "hash-checked too, not just the verify.",
+    tags=("llm", "dedup", "similarity", "lsh"),
+)
+def llm_embedding_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.cosine_neardup_lsh(
+        table(spark, sf_dir, "embeddings"), threshold=0.40, dim=64
+    )
+
+
+@register(
     "llm_knn_ivf",
     oracle="""
     WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
