@@ -44,9 +44,10 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    return raw.withColumn(
-        "ts", F.timestamp_micros(F.floor(F.col("ts") / F.lit(1000)).cast("long"))
-    )
+    # Integer DIV, not `/`: float division of ~1.7e18 ns exceeds double's
+    # 2^53 mantissa and lands some timestamps 1 us off DuckDB's exact
+    # ns -> us truncation (surfaced by the first oracle exposing raw us).
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

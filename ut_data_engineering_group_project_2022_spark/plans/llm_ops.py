@@ -746,3 +746,39 @@ def llm_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("community", F.col("doc_id")).alias("cluster_id"),
         F.col("community").isNotNull().alias("has_neardup"),
     )
+
+
+@register(
+    "llm_train_val_split",
+    oracle="""
+    SELECT doc_id,
+           ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 AS bucket,
+           CASE
+             WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 90
+               THEN 'train'
+             WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT % 100 < 95
+               THEN 'val'
+             ELSE 'test'
+           END AS split
+    FROM documents
+    """,
+    doc="Deterministic train/val/test split (90/5/5) by md5-hash bucket of "
+    "the document id — the reproducible held-out-split primitive for a "
+    "training-data pipeline: no RNG state, stable under re-runs, "
+    "repartitioning, and incremental appends (a document's split never "
+    "changes), and embarrassingly parallel (pure column expression).",
+    tags=("llm", "split"),
+)
+def llm_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ut_data_engineering_group_project_2022_spark.functions.text import md5_int60
+
+    d = table(spark, sf_dir, "documents")
+    bucket = md5_int60(F.col("doc_id").cast("string")) % F.lit(100)
+    return d.select(
+        "doc_id",
+        bucket.alias("bucket"),
+        F.when(bucket < 90, "train")
+        .when(bucket < 95, "val")
+        .otherwise("test")
+        .alias("split"),
+    )

@@ -766,3 +766,106 @@ def op_intersect_except(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_custkey", F.lit("only_building").alias("tag")
     )
     return both.unionAll(only_b)
+
+
+# --- Temporal / multi-set grouping (additive surface) ---------------------
+
+
+@register(
+    "op_asof_join",
+    oracle="""
+    WITH p0 AS (
+      SELECT user_id, ts, event_id, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id, ts
+                                ORDER BY event_id DESC) AS rn
+      FROM events WHERE event_type = 'purchase'
+    ),
+    p AS (SELECT user_id, ts, event_id, value FROM p0 WHERE rn = 1),
+    c AS (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click')
+    SELECT c.event_id AS click_id, c.user_id, c.ts AS click_ts,
+           p.event_id AS purchase_id, p.value AS purchase_value
+    FROM c ASOF JOIN p
+      ON c.user_id = p.user_id AND p.ts <= c.ts
+    """,
+    doc="As-of (point-in-time) join: each click matched to the user's most "
+    "recent purchase at-or-before it. Spark lacks ASOF JOIN; implemented "
+    "as the union-and-carry window (operators/temporal.py — one shuffle, "
+    "no range blow-up) and pinned against DuckDB's NATIVE ASOF JOIN, so "
+    "the semantics are checked against an independent implementation.",
+    tags=("join", "temporal"),
+)
+def op_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ut_data_engineering_group_project_2022_spark.operators.temporal import (
+        asof_join,
+    )
+
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id", "ts").orderBy(F.desc("event_id"))
+    purchases = (
+        e.filter(F.col("event_type") == "purchase")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "ts", "event_id", "value")
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"),
+        "user_id",
+        F.col("ts").alias("click_ts"),
+    )
+    return asof_join(
+        clicks,
+        purchases.select(
+            "user_id",
+            "ts",
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        ),
+        keys=["user_id"],
+        ts_col="click_ts",
+        right_payload=["purchase_id", "purchase_value"],
+        right_ts_col="ts",
+    ).filter(
+        # Inner as-of form for the oracle gate: unmatched clicks would emit
+        # NULL numerics, which the driver's pandas bridge renders NaN on the
+        # DuckDB side only (same representation hazard as HUGEINT).
+        F.col("purchase_id").isNotNull()
+    ).select("click_id", "user_id", "click_ts", "purchase_id", "purchase_value")
+
+
+@register(
+    "op_grouping_sets",
+    oracle="""
+    SELECT n.n_name, o.o_orderpriority,
+           (SUM(o.o_totalprice::DECIMAL(18,4)))::DOUBLE AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders o
+    JOIN customer c ON c.c_custkey = o.o_custkey
+    JOIN nation n ON n.n_nationkey = c.c_nationkey
+    GROUP BY GROUPING SETS ((n.n_name), (o.o_orderpriority), ())
+    """,
+    doc="GROUPING SETS: revenue by nation, by priority, and grand total in "
+    "one pass (SURVEY §2.5 additive surface; complements op_rollup_revenue). "
+    "Spark side uses cube + grouping_id filter — the standard DataFrame "
+    "encoding of arbitrary grouping sets; one shuffle, partial aggs intact.",
+    tags=("agg", "groupingsets"),
+)
+def op_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    c = table(spark, sf_dir, "customer")
+    n = table(spark, sf_dir, "nation")
+    j = o.join(c, o.o_custkey == c.c_custkey).join(
+        F.broadcast(n), c.c_nationkey == n.n_nationkey
+    )
+    # cube(gid): 0=(both) 1=(n_name) 2=(priority) 3=(); keep sets 1,2,3.
+    return (
+        j.cube("n_name", "o_orderpriority")
+        .agg(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.grouping_id().alias("gid"),
+        )
+        .filter(F.col("gid").isin(1, 2, 3))
+        .select("n_name", "o_orderpriority", "revenue", "n_orders")
+    )
