@@ -66,14 +66,16 @@ _PRIORITY = [
     "llm_train_val_split",
     "op_asof_join",
     "op_grouping_sets",
+    "op_percentiles",
+    "op_range_frame",
     "op_surrogate_keys",
-    "op_union_all",
     "op_explode_tokens",
     "op_collect_reassemble",
     "op_sequence_dim",
-    # op_regex_filter / op_length_filter / op_order_limit yield their
-    # window slots to the round-2 additions above: trivial single-operator
-    # queries, fully gated by tests/test_oracle_parity.py.
+    # op_regex_filter / op_length_filter / op_order_limit / op_union_all /
+    # op_clean_strings yield their window slots to the round-2 additions
+    # above: trivial single-operator queries, fully gated by
+    # tests/test_oracle_parity.py.
     "op_running_total",
     "op_topk_per_group",
     "op_argmax_customer_per_nation",
@@ -81,7 +83,6 @@ _PRIORITY = [
     "op_tumbling_hourly",
     "op_pivot_event_counts",
     "op_json_extract",
-    "op_clean_strings",
     "op_array_predicates",
     "op_failure_count",
     "op_salted_agg",

@@ -869,3 +869,62 @@ def op_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("gid").isin(1, 2, 3))
         .select("n_name", "o_orderpriority", "revenue", "n_orders")
     )
+
+
+@register(
+    "op_percentiles",
+    oracle="""
+    SELECT l_returnflag,
+           (quantile_cont(l_quantity, 0.5))::DOUBLE AS p50,
+           (quantile_cont(l_quantity, 0.9))::DOUBLE AS p90,
+           (quantile_cont(l_extendedprice, 0.99))::DOUBLE AS price_p99
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="Exact linear-interpolated percentiles per group (SURVEY §2.5 "
+    "additive surface): Spark `percentile` == DuckDB quantile_cont "
+    "(probed bit-equal). At 100 TB the swap-in is percentile_approx "
+    "(t-digest sketch, mergeable map-side) — same plan shape, bounded "
+    "memory; the exact form is the verification baseline.",
+    tags=("agg", "percentile"),
+)
+def op_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("percentile(l_quantity, 0.5)").alias("p50"),
+        F.expr("percentile(l_quantity, 0.9)").alias("p90"),
+        F.expr("percentile(l_extendedprice, 0.99)").alias("price_p99"),
+    )
+
+
+@register(
+    "op_range_frame",
+    oracle="""
+    SELECT event_id, user_id, ts,
+           (SUM(value::DECIMAL(18,4)) OVER (
+              PARTITION BY user_id ORDER BY ts
+              RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW
+           ))::DOUBLE AS trailing_1h_value
+    FROM events
+    """,
+    doc="Time-based RANGE window frame (SURVEY §2.6 additive surface): "
+    "per-user trailing-1-hour value sum — the sliding-aggregate shape "
+    "(rate limits, rolling spend) that ROWS frames can't express. Spark "
+    "side ranges over unix_micros with the same inclusive bounds.",
+    tags=("window", "events"),
+)
+def op_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return e.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .over(w)
+        .cast("double")
+        .alias("trailing_1h_value"),
+    )
