@@ -121,8 +121,11 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem").filter(
         F.col("l_shipdate") > F.lit("1998-03-15 00:00:00").cast("timestamp")
     )
+    # No broadcast hint on orders: it is fact-sized, so the join must be
+    # free to shuffle on orderkey at scale. Under the 64 MB threshold the
+    # planner still broadcasts the scan statically at test SFs.
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(F.round(F.sum(_disc_price()), 2).cast("double").alias("revenue"))
@@ -148,8 +151,9 @@ def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     GROUP BY n.n_name
     ORDER BY revenue DESC
     """,
-    doc="TPC-H Q5 analog: 6-way join chain, local-supplier constraint, "
-    "all dims broadcast.",
+    doc="TPC-H Q5 analog: 6-way join chain, local-supplier constraint. "
+    "Dims broadcast; the fact-sized orders side joins by size "
+    "(broadcast under the threshold at test SFs, shuffle at scale).",
     tags=("tpch", "join"),
     bench=True,
 )
@@ -163,8 +167,10 @@ def tpch_q5_local_supplier_volume(spark: SparkSession, sf_dir: str) -> DataFrame
     s = table(spark, sf_dir, "supplier")
     n = table(spark, sf_dir, "nation")
     r = table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    # orders joins by size (fact-sized: shuffle on orderkey at scale,
+    # broadcast under the threshold at test SFs); true dims are hinted.
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(
             F.broadcast(s),
@@ -277,7 +283,8 @@ def tpch_q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     li = table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
     rev = (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        # orders is fact-sized: no forced broadcast (see tpch_q3 note).
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .join(F.broadcast(c), o.o_custkey == c.c_custkey)
         .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
         .groupBy("c_custkey", "c_name", "n_name")
