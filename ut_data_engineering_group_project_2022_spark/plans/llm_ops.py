@@ -17,6 +17,7 @@ from ut_data_engineering_group_project_2022_spark.functions.text import (
     md5_int60,
     normalise,
     tokens,
+    word_shingles,
 )
 from ut_data_engineering_group_project_2022_spark.operators import (
     dedup,
@@ -781,4 +782,203 @@ def llm_train_val_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(bucket < 95, "val")
         .otherwise("test")
         .alias("split"),
+    )
+
+
+@register(
+    "llm_repetition_metrics",
+    oracle="""
+    WITH base AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents),
+    tok AS (SELECT doc_id, unnest(w) AS tok FROM base),
+    cnt AS (SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    top AS (SELECT doc_id, MAX(c) AS top_c FROM cnt GROUP BY 1),
+    bg AS (
+      SELECT doc_id, len(w) AS n,
+             CASE WHEN len(w) >= 2
+                  THEN [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+                  ELSE []::VARCHAR[] END AS bgs
+      FROM base)
+    SELECT b.doc_id,
+           b.n::INT AS n_tokens,
+           ROUND(t.top_c::DOUBLE / b.n, 6) AS top_unigram_frac,
+           ROUND(CASE WHEN len(b.bgs) > 0
+                      THEN 1.0 - len(list_distinct(b.bgs))::DOUBLE / len(b.bgs)
+                      ELSE 0.0 END, 6) AS dup_bigram_frac,
+           CASE WHEN t.top_c::DOUBLE / b.n > 0.2
+                  OR (len(b.bgs) > 0
+                      AND 1.0 - len(list_distinct(b.bgs))::DOUBLE
+                            / len(b.bgs) > 0.3)
+                THEN 1 ELSE 0 END AS repetitive
+    FROM bg b JOIN top t USING (doc_id)
+    """,
+    doc="Repetition-based quality metrics (Gopher-style, adapted to token "
+    "streams): most-frequent-unigram fraction and duplicate-bigram "
+    "fraction per document, with a repetitive flag. Computed entirely "
+    "with per-row higher-order array functions (transform/filter/"
+    "array_distinct) — ZERO shuffle: at 100 TB this is a pure map over "
+    "the corpus, vs the wordcount-shaped explode+groupBy alternative "
+    "whose shuffle would be token-scale. The oracle takes the unnest+"
+    "GROUP BY route, proving the two formulations equivalent.",
+    tags=("llm", "text", "quality"),
+)
+def llm_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    n = F.size(toks)
+    top_c = F.array_max(
+        F.transform(
+            F.array_distinct(toks),
+            lambda t: F.size(F.filter(toks, lambda x: x == t)),
+        )
+    )
+    bg = F.when(
+        n >= 2,
+        F.transform(
+            F.sequence(F.lit(1), n - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    top_frac = top_c.cast("double") / n
+    dup_frac = F.when(
+        F.size(bg) > 0,
+        F.lit(1.0) - F.size(F.array_distinct(bg)).cast("double") / F.size(bg),
+    ).otherwise(F.lit(0.0))
+    return d.select(
+        "doc_id",
+        n.cast("int").alias("n_tokens"),
+        F.round(top_frac, 6).alias("top_unigram_frac"),
+        F.round(dup_frac, 6).alias("dup_bigram_frac"),
+        F.when((top_frac > 0.2) | (dup_frac > 0.3), 1)
+        .otherwise(0)
+        .alias("repetitive"),
+    )
+
+
+@register(
+    "llm_stratified_sample",
+    oracle="""
+    SELECT doc_id, lang, bucket FROM (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5('strat|' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % 1000 AS bucket
+      FROM documents) t
+    WHERE bucket < (CASE WHEN lang = 'en' THEN 200 ELSE 1000 END)
+    """,
+    doc="Deterministic stratified sampling: downsample the dominant "
+    "language (en keeps 20%%) while keeping low-resource strata whole — "
+    "the language-rebalancing primitive of a training-data mixture. "
+    "Membership is an md5-hash bucket of the doc id (salted so it is "
+    "independent of the train/val split hash): no RNG, reproducible "
+    "under re-runs and appends, pure column expression (no shuffle, no "
+    "per-stratum pass; contrast sampleBy, whose Bernoulli draw is "
+    "seed+partitioning dependent).",
+    tags=("llm", "split"),
+)
+def llm_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    bucket = md5_int60(F.concat(F.lit("strat|"), F.col("doc_id").cast("string"))) % 1000
+    rate = F.when(F.col("lang") == "en", 200).otherwise(1000)
+    return (
+        d.select("doc_id", "lang", bucket.alias("bucket"), rate.alias("rate"))
+        .filter(F.col("bucket") < F.col("rate"))
+        .drop("rate")
+    )
+
+
+@register(
+    "llm_token_topk",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    c AS (SELECT token, COUNT(*) AS cnt FROM tok GROUP BY 1)
+    SELECT token, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, token) AS rank
+    FROM c ORDER BY cnt DESC, token LIMIT 50
+    """,
+    doc="Corpus-level top-50 token frequencies (heavy hitters): explode + "
+    "partial-aggregated groupBy (map-side combine collapses token counts "
+    "before the vocabulary-keyed shuffle), then orderBy+limit, which "
+    "Spark executes as TakeOrderedAndProject — per-partition top-k "
+    "merged on the driver, NOT a vocabulary-wide single-partition "
+    "window. The rank column is attached after the limit, over 50 rows.",
+    tags=("llm", "text", "topk"),
+)
+def llm_token_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    counts = (
+        d.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("token"))
+        .limit(50)
+    )
+    w = W.orderBy(F.desc("cnt"), F.asc("token"))
+    return counts.withColumn("rank", F.row_number().over(w))
+
+
+@register(
+    "llm_contamination",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    bench AS (
+      SELECT DISTINCT unnest(shingles) AS s FROM sh
+      WHERE ('0x' || substr(md5('bench|' || doc_id::VARCHAR), 1, 15))::BIGINT
+              % 20 = 0),
+    bset AS (SELECT list(s ORDER BY s) AS bl FROM bench)
+    SELECT doc_id,
+           len(shingles)::INT AS n_shingles,
+           len(list_intersect(shingles, bset.bl))::INT AS n_overlap,
+           ROUND(len(list_intersect(shingles, bset.bl))::DOUBLE
+                 / len(shingles), 6) AS contam_frac,
+           CASE WHEN len(list_intersect(shingles, bset.bl))::DOUBLE
+                     / len(shingles) >= 0.5
+                THEN 1 ELSE 0 END AS contaminated
+    FROM sh, bset
+    WHERE ('0x' || substr(md5('bench|' || doc_id::VARCHAR), 1, 15))::BIGINT
+            % 20 != 0
+      AND len(shingles) > 0
+    """,
+    doc="Benchmark-contamination check: a deterministic 5%% of documents "
+    "stands in for the held-out benchmark; every remaining (training) "
+    "document reports how many of its 3-word shingles appear anywhere "
+    "in the benchmark shingle set. The benchmark set is collected to a "
+    "single array and broadcast — real benchmark suites are tiny next "
+    "to a 100 TB corpus — so the check is a zero-shuffle map "
+    "(array_intersect per row) over the training side, not a "
+    "shingle-keyed join of the whole corpus.",
+    tags=("llm", "text", "dedup"),
+)
+def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    shingled = docs.select(
+        "doc_id",
+        word_shingles("text").alias("shingles"),
+        (
+            md5_int60(F.concat(F.lit("bench|"), F.col("doc_id").cast("string")))
+            % 20
+        ).alias("b"),
+    )
+    bench_set = (
+        shingled.filter(F.col("b") == 0)
+        .select(F.explode("shingles").alias("s"))
+        .agg(F.array_sort(F.collect_set("s")).alias("bl"))
+    )
+    train = shingled.filter((F.col("b") != 0) & (F.size("shingles") > 0))
+    overlap = F.size(F.array_intersect("shingles", "bl"))
+    frac = overlap.cast("double") / F.size("shingles")
+    return (
+        train.crossJoin(F.broadcast(bench_set))
+        .select(
+            "doc_id",
+            F.size("shingles").cast("int").alias("n_shingles"),
+            overlap.cast("int").alias("n_overlap"),
+            F.round(frac, 6).alias("contam_frac"),
+            F.when(frac >= 0.5, 1).otherwise(0).alias("contaminated"),
+        )
     )
