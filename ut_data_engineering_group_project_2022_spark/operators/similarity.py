@@ -331,3 +331,81 @@ def knn_ivf(
         .filter(F.col("rn") <= k)
         .select("query_id", "neighbor_id", F.round("score", 6).alias("score"), "rn")
     )
+
+
+def kmeans_fixed_point(
+    emb: DataFrame,
+    k: int = 10,
+    iterations: int = 2,
+    scale: int = 1_000_000,
+    offset: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Lloyd k-means in fixed-point integer arithmetic; returns
+    (vec_id, cluster, dist2).
+
+    Floats make distributed k-means nondeterministic (double summation is
+    partition-order dependent) and oracle-hostile. This formulation stays
+    in exact integers end-to-end:
+
+      * quantize: x_i = floor(v_i * scale) + offset  (offset makes every
+        coordinate positive so integer division below is floor division
+        in both engines — Spark `div` truncates, DuckDB `//` floors;
+        they agree only on non-negatives);
+      * seeds: the k vectors with the smallest salted md5 hash, fetched
+        with orderBy+limit (TakeOrdered — never a corpus-wide window),
+        cluster ids 0..k-1 in hash order;
+      * assign: argmin of the exact integer squared distance, ties to the
+        lower cluster id — `min(struct(d2, cluster))`, a plain aggregate;
+      * update: per-(cluster, dim) integer sums (map-side combined; the
+        shuffle carries k*dim keys, not the corpus), centroid = sum div
+        count — centroids stay on the integer grid, so iteration 2
+        compares exact integers again.
+
+    Every iteration is one broadcast crossJoin (k centroid rows) + one
+    aggregate; the oracle unrolls the same iterations as SQL CTEs.
+    """
+    x = F.transform(
+        F.col(vec_col),
+        lambda v: F.floor(v.cast("double") * scale).cast("bigint") + offset,
+    )
+    v = emb.select(F.col(id_col).alias("vec_id"), x.alias("x"))
+    h = md5_int60(F.concat(F.lit("seed|"), F.col("vec_id").cast("string")))
+    seeds = v.withColumn("h", h).orderBy("h").limit(k)
+    centroids = (
+        seeds.withColumn("cluster", F.row_number().over(W.orderBy("h")) - 1)
+        .select("cluster", F.col("x").alias("c"))
+    )
+    d2 = F.aggregate(
+        F.zip_with("x", "c", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, e: acc + e,
+    )
+    assigned = None
+    for _ in range(iterations):
+        assigned = (
+            v.crossJoin(F.broadcast(centroids))
+            .withColumn("d2", d2)
+            .groupBy("vec_id")
+            .agg(F.min(F.struct("d2", "cluster")).alias("m"), F.first("x").alias("x"))
+            .select("vec_id", F.col("m.cluster").alias("cluster"),
+                    F.col("m.d2").alias("d2"), "x")
+        )
+        centroids = (
+            assigned.select("cluster", F.posexplode("x").alias("pos", "val"))
+            .groupBy("cluster", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            # Exact integral division (Spark `div` == DuckDB `//` on
+            # non-negatives); double `/`+cast would drift for clusters
+            # past ~1e9 members.
+            .select("cluster", "pos", F.expr("s div n").cast("bigint").alias("ci"))
+            .groupBy("cluster")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "ci"))),
+                    lambda s: s.ci,
+                ).alias("c")
+            )
+        )
+    return assigned.select("vec_id", "cluster", F.col("d2").alias("dist2"))

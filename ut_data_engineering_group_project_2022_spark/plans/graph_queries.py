@@ -464,3 +464,71 @@ def graph_venue_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return graph.pagerank(graph.undirect(edges), iterations=2, damping=0.85)
+
+
+@register(
+    "graph_triangle_counts",
+    oracle="""
+    WITH ps AS (SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+                FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+    e0 AS (SELECT a.s AS u, b.s AS v, COUNT(*) AS w
+           FROM ps a JOIN ps b ON a.c = b.c AND a.s < b.s GROUP BY 1, 2),
+    thr AS (SELECT quantile_cont(w, 0.9) AS p FROM e0),
+    e AS (SELECT u, v FROM e0, thr WHERE w >= thr.p),
+    tri AS (
+      SELECT e1.u AS a, e1.v AS b, e2.v AS c
+      FROM e e1 JOIN e e2 ON e2.u = e1.v
+      JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+    SELECT node_id, COUNT(*) AS triangles FROM (
+      SELECT a AS node_id FROM tri
+      UNION ALL SELECT b FROM tri
+      UNION ALL SELECT c FROM tri) t
+    GROUP BY 1
+    """,
+    doc="Per-node triangle counts over the supplier co-purchase graph "
+    "(suppliers joined by sharing a customer; kept if their shared-"
+    "customer weight reaches the 90th percentile, so the graph stays "
+    "meaningfully sparse at every SF). Triangles enumerate each (a<b<c) "
+    "exactly once via two self-joins on the id-oriented edge list; at "
+    "cluster scale the orientation key becomes (degree, id) so high-"
+    "degree hubs don't concentrate join fan-out on one task. The "
+    "customer-supplier base graph itself is bipartite (triangle-free by "
+    "construction) — the co-purchase projection is where closure lives. "
+    "Exact percentile == quantile_cont cross-engine (see op_percentiles).",
+    tags=("graph",),
+)
+def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    li = table(spark, sf_dir, "lineitem")
+    ps = (
+        o.join(li, o.o_orderkey == li.l_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+    )
+    a = ps.select("c", F.col("s").alias("u"))
+    b = ps.select(F.col("c").alias("c2"), F.col("s").alias("v"))
+    e0 = (
+        a.join(b, (F.col("c") == F.col("c2")) & (F.col("u") < F.col("v")))
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("w"))
+    )
+    thr = e0.agg(F.percentile("w", F.lit(0.9)).alias("p"))
+    e = (
+        e0.crossJoin(F.broadcast(thr))
+        .filter(F.col("w") >= F.col("p"))
+        .select("u", "v")
+    )
+    e1 = e.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    e2 = e.select(F.col("u").alias("b2"), F.col("v").alias("c3"))
+    e3 = e.select(F.col("u").alias("a3"), F.col("v").alias("c4"))
+    tri = (
+        e1.join(e2, F.col("b") == F.col("b2"))
+        .join(e3, (F.col("a3") == F.col("a")) & (F.col("c4") == F.col("c3")))
+        .select("a", "b", F.col("c3").alias("c"))
+    )
+    nodes = (
+        tri.select(F.col("a").alias("node_id"))
+        .unionAll(tri.select(F.col("b").alias("node_id")))
+        .unionAll(tri.select(F.col("c").alias("node_id")))
+    )
+    return nodes.groupBy("node_id").agg(F.count(F.lit(1)).alias("triangles"))

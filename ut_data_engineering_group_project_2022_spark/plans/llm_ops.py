@@ -982,3 +982,100 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(frac >= 0.5, 1).otherwise(0).alias("contaminated"),
         )
     )
+
+
+@register(
+    "llm_kmeans_clusters",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             [floor(embedding[i]::DOUBLE * 1000000)::BIGINT + 1000000
+              for i in range(1, len(embedding) + 1)] AS x
+      FROM embeddings),
+    seed AS (
+      SELECT vec_id, x,
+             ROW_NUMBER() OVER (
+               ORDER BY ('0x' || substr(md5('seed|' || vec_id::VARCHAR), 1, 15))::BIGINT
+             ) - 1 AS cluster
+      FROM v),
+    c0 AS (SELECT cluster, x AS c FROM seed WHERE cluster < 10),
+    a1 AS (
+      SELECT vec_id, cluster, d2 FROM (
+        SELECT v.vec_id, c0.cluster,
+               list_sum([(v.x[i] - c0.c[i]) * (v.x[i] - c0.c[i])
+                         for i in range(1, 65)]) AS d2,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY list_sum([(v.x[i] - c0.c[i]) * (v.x[i] - c0.c[i])
+                                                     for i in range(1, 65)]), c0.cluster) AS rn
+        FROM v CROSS JOIN c0) t WHERE rn = 1),
+    c1 AS (
+      SELECT cluster, list(s ORDER BY i) AS c FROM (
+        SELECT a1.cluster, t.i, SUM(v.x[t.i]) // COUNT(*) AS s
+        FROM a1 JOIN v USING (vec_id) CROSS JOIN range(1, 65) t(i)
+        GROUP BY 1, 2) u
+      GROUP BY cluster),
+    a2 AS (
+      SELECT vec_id, cluster, d2 FROM (
+        SELECT v.vec_id, c1.cluster,
+               list_sum([(v.x[i] - c1.c[i]) * (v.x[i] - c1.c[i])
+                         for i in range(1, 65)]) AS d2,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY list_sum([(v.x[i] - c1.c[i]) * (v.x[i] - c1.c[i])
+                                                     for i in range(1, 65)]), c1.cluster) AS rn
+        FROM v CROSS JOIN c1) t WHERE rn = 1)
+    SELECT vec_id, cluster, d2::BIGINT AS dist2 FROM a2
+    """,
+    doc="Lloyd k-means (k=10, 2 iterations) over the embedding corpus in "
+    "fixed-point integer arithmetic — the centroid-refinement step a "
+    "production IVF index needs, made fully cross-engine deterministic: "
+    "quantized coordinates, exact integer distances, integral-division "
+    "centroid updates, md5-ranked seeds. Per iteration: broadcast of k "
+    "centroid rows + a (k x dim)-keyed aggregate; no corpus-wide window "
+    "anywhere. The oracle unrolls both iterations as SQL CTEs (the same "
+    "pattern as the PageRank oracle).",
+    tags=("llm", "similarity", "clustering"),
+)
+def llm_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.kmeans_fixed_point(emb, k=10, iterations=2)
+
+
+@register(
+    "llm_mixture_weights",
+    oracle="""
+    WITH s AS (SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY 1),
+    tot AS (SELECT SUM(n_docs)::BIGINT AS total, COUNT(*)::BIGINT AS n_sources
+            FROM s)
+    SELECT s.source, s.n_docs,
+           ROUND(s.n_docs::DOUBLE / tot.total, 6) AS share,
+           ROUND(tot.total::DOUBLE / (tot.n_sources * s.n_docs), 6) AS weight
+    FROM s, tot
+    ORDER BY s.source
+    """,
+    doc="Domain-mixture reweighting: per-source corpus share and the "
+    "repeat/sampling weight that rebalances the mixture to uniform "
+    "across sources (weight = target_share / actual_share). One "
+    "source-keyed aggregate + a 1-row broadcast of the totals; the "
+    "output is a dim-sized lookup a sampler joins back to the corpus.",
+    tags=("llm", "split"),
+)
+def llm_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tot = s.agg(
+        F.sum("n_docs").cast("bigint").alias("total"),
+        F.count(F.lit(1)).cast("bigint").alias("n_sources"),
+    )
+    return (
+        s.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.round(F.col("n_docs").cast("double") / F.col("total"), 6).alias("share"),
+            F.round(
+                F.col("total").cast("double") / (F.col("n_sources") * F.col("n_docs")),
+                6,
+            ).alias("weight"),
+        )
+        .orderBy("source")
+    )
