@@ -129,3 +129,55 @@ def test_dense_ids_matches_global_row_number(spark):
         ).collect()
     }
     assert got == exp
+
+
+def test_orders_join_is_size_driven(spark):
+    """Q3 must not pin fact-sized orders as broadcast: under the default
+    threshold the (small) scan broadcasts; with broadcasting disabled the
+    same query degrades to a shuffle join. A hint-pinned broadcast would
+    keep broadcasting at 100 TB and OOM the executors."""
+    from ut_data_engineering_group_project_2022_spark.plans import get_query
+
+    build = get_query("tpch_q3_shipping_priority").spark
+    assert "BroadcastHashJoin" in _plan(build(spark, SF_DIR))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        degraded = _plan(build(spark, SF_DIR))
+        assert "SortMergeJoin" in degraded or "ShuffledHashJoin" in degraded, (
+            degraded
+        )
+    finally:
+        spark.conf.set(
+            "spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024)
+        )
+
+
+def test_token_topk_uses_take_ordered(spark):
+    """Corpus top-k must be per-partition top-k merged on the driver
+    (TakeOrderedAndProject), never a vocabulary-wide sorted window."""
+    from ut_data_engineering_group_project_2022_spark.plans import get_query
+
+    plan = _plan(get_query("llm_token_topk").spark(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_contamination_has_no_shuffle_join(spark):
+    """The benchmark shingle set is collected and broadcast; the corpus
+    side must never be shuffle-joined on shingles."""
+    from ut_data_engineering_group_project_2022_spark.plans import get_query
+
+    plan = _plan(get_query("llm_contamination").spark(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    assert "ShuffledHashJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_kmeans_centroid_joins_broadcast(spark):
+    """k-means iterations join the corpus only against k broadcast
+    centroid rows — a shuffle join would re-shuffle the corpus per
+    iteration."""
+    from ut_data_engineering_group_project_2022_spark.plans import get_query
+
+    plan = _plan(get_query("llm_kmeans_clusters").spark(spark, SF_DIR))
+    assert "SortMergeJoin" not in plan, plan
+    assert "BroadcastNestedLoopJoin" in plan, plan
