@@ -1079,3 +1079,259 @@ def llm_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# --- Corpus statistics / retrieval primitives (round 2 widening) ----------
+# TF-IDF, BM25, inverted index, and sketch-based distinct estimation are
+# the retrieval/statistics half of a training-data pipeline (quality
+# filtering ranks on tf-idf-ish signals; contamination + attribution
+# tooling needs an index; corpus monitoring needs cheap cardinality).
+
+
+@register(
+    "llm_tfidf_topterms",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    tf AS (SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+    dfreq AS (SELECT token, COUNT(DISTINCT doc_id) AS df FROM tok GROUP BY 1),
+    n AS (SELECT COUNT(*)::DOUBLE AS n FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, dfreq.df,
+             tf.tf * (ln((n.n + 1.0) / (dfreq.df + 1.0)) + 1.0) AS s
+      FROM tf JOIN dfreq USING (token) CROSS JOIN n),
+    ranked AS (
+      SELECT doc_id, token, tf, df, ROUND(s, 6) AS tfidf,
+             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY s DESC, token) AS rank
+      FROM scored)
+    SELECT doc_id, token, tf, df, tfidf, rank FROM ranked WHERE rank <= 3
+    """,
+    doc="Per-document top-3 TF-IDF terms (smoothed idf = ln((N+1)/(df+1))+1, "
+    "sklearn's convention, so a token present in every document still "
+    "scores > 0). Plan shape: one explode + (doc,token) partial-combined "
+    "groupBy, a token-keyed join against the document-frequency table "
+    "(vocabulary-sized — NOT broadcast-hinted; at 100 TB a vocabulary can "
+    "be 10^8 rows, so AQE picks the strategy by measured size), a 1-row "
+    "broadcast of N, and a per-doc row_number (doc-keyed partitions, no "
+    "global window). Both engines order the window on the unrounded "
+    "product, so ranks agree bit-for-bit; the emitted score is rounded.",
+    tags=("llm", "text", "tfidf"),
+)
+def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tok.groupBy("token").agg(F.countDistinct("doc_id").alias("df"))
+    n = d.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    scored = (
+        tf.join(dfreq, "token")
+        .crossJoin(F.broadcast(n))
+        .withColumn(
+            "s",
+            F.col("tf")
+            * (F.log((F.col("n") + F.lit(1.0)) / (F.col("df") + F.lit(1.0))) + F.lit(1.0)),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("token"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 3)
+        .select(
+            "doc_id",
+            "token",
+            "tf",
+            "df",
+            F.round("s", 6).alias("tfidf"),
+            "rank",
+        )
+    )
+
+
+@register(
+    "llm_bm25_search",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    dl AS (SELECT doc_id, COUNT(*)::DOUBLE AS len FROM tok GROUP BY 1),
+    stats AS (SELECT AVG(len) AS avg_len, COUNT(*)::DOUBLE AS n FROM dl),
+    tf AS (SELECT doc_id, token, COUNT(*)::DOUBLE AS tf FROM tok
+           WHERE token IN ('spark', 'join', 'window') GROUP BY 1, 2),
+    dfreq AS (SELECT token, COUNT(DISTINCT doc_id)::DOUBLE AS df FROM tf GROUP BY 1),
+    contrib AS (
+      SELECT tf.doc_id, tf.token,
+             ln((s.n - dfreq.df + 0.5) / (dfreq.df + 0.5) + 1.0)
+               * (tf.tf * 2.2)
+               / (tf.tf + 1.2 * (0.25 + 0.75 * dl.len / s.avg_len)) AS c
+      FROM tf JOIN dfreq USING (token)
+      JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats s),
+    scored AS (
+      SELECT doc_id,
+             COALESCE(MAX(CASE WHEN token = 'spark' THEN c END), 0.0)
+             + COALESCE(MAX(CASE WHEN token = 'join' THEN c END), 0.0)
+             + COALESCE(MAX(CASE WHEN token = 'window' THEN c END), 0.0) AS s
+      FROM contrib GROUP BY doc_id)
+    SELECT doc_id, ROUND(s, 6) AS bm25,
+           ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank
+    FROM scored ORDER BY s DESC, doc_id LIMIT 20
+    """,
+    doc="BM25 top-20 retrieval for the fixed query {spark, join, window} "
+    "(k1=1.2, b=0.75, Lucene's +1-inside-the-log idf so scores stay "
+    "positive). The per-(doc,term) contributions are pivoted to fixed "
+    "columns and added in a FIXED expression order on both engines — "
+    "float addition is non-associative, so a plain SUM over a "
+    "partial-aggregated shuffle could differ in the last bit between "
+    "engines; the pivot makes the score bit-deterministic. Top-20 via "
+    "orderBy+limit = TakeOrderedAndProject (per-partition heads merged "
+    "on the driver), not a global sort.",
+    tags=("llm", "text", "search"),
+)
+def llm_bm25_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    terms = ["spark", "join", "window"]
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).cast("double").alias("len"))
+    stats = dl.agg(
+        F.avg("len").alias("avg_len"), F.count(F.lit(1)).cast("double").alias("n")
+    )
+    tf = (
+        tok.filter(F.col("token").isin(terms))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).cast("double").alias("tf"))
+    )
+    dfreq = tf.groupBy("token").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    contrib = (
+        tf.join(F.broadcast(dfreq), "token")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .withColumn(
+            "c",
+            F.log((F.col("n") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+            * (F.col("tf") * F.lit(2.2))
+            / (
+                F.col("tf")
+                + F.lit(1.2) * (F.lit(0.25) + F.lit(0.75) * F.col("len") / F.col("avg_len"))
+            ),
+        )
+    )
+    pivoted = [
+        F.coalesce(
+            F.max(F.when(F.col("token") == t, F.col("c"))), F.lit(0.0)
+        )
+        for t in terms
+    ]
+    scored = contrib.groupBy("doc_id").agg(
+        (pivoted[0] + pivoted[1] + pivoted[2]).alias("s")
+    )
+    w = W.orderBy(F.desc("s"), F.asc("doc_id"))
+    return (
+        scored.orderBy(F.desc("s"), F.asc("doc_id"))
+        .limit(20)
+        .select(
+            "doc_id",
+            F.round("s", 6).alias("bm25"),
+            F.row_number().over(w).alias("rank"),
+        )
+    )
+
+
+@register(
+    "llm_inverted_index",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    dt AS (SELECT doc_id, token, COUNT(*) AS cnt FROM tok GROUP BY 1, 2)
+    SELECT token, COUNT(*) AS df, (SUM(cnt))::BIGINT AS total_tf,
+           array_to_string((list_sort(list(doc_id)))[1:100], ',') AS postings
+    FROM dt GROUP BY token
+    """,
+    doc="Inverted-index build: token -> document-frequency, corpus tf, and "
+    "a postings list capped at the first 100 doc_ids (sorted ascending; "
+    "the cap bounds per-token state so a stopword's postings cannot blow "
+    "an executor at corpus scale — real indexes page postings, this "
+    "emits the first page). Postings serialize as a CSV string because "
+    "the driver's hash comparator is defined over scalar columns. "
+    "Two shuffles: (doc,token) partial-combine, then token-keyed "
+    "collect_list. Oracle SUM cast ::BIGINT (DuckDB widens to HUGEINT).",
+    tags=("llm", "text", "index"),
+)
+def llm_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    dt = (
+        d.select("doc_id", F.explode(tokens("text")).alias("token"))
+        .groupBy("doc_id", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    return dt.groupBy("token").agg(
+        F.count(F.lit(1)).alias("df"),
+        F.sum("cnt").cast("bigint").alias("total_tf"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.slice(F.sort_array(F.collect_list("doc_id")), 1, 100),
+                lambda x: x.cast("string"),
+            ),
+        ).alias("postings"),
+    )
+
+
+@register(
+    "llm_approx_distinct",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    b AS (
+      SELECT DISTINCT source,
+             ('0x' || substr(md5(token), 1, 15))::BIGINT % 1024 AS bucket
+      FROM tok),
+    x AS (SELECT DISTINCT source, token FROM tok)
+    SELECT o.source, o.n_occupied, e.n_exact,
+           ROUND(-1024.0 * ln((1024.0 - o.n_occupied) / 1024.0), 4) AS est_distinct
+    FROM (SELECT source, COUNT(*) AS n_occupied FROM b GROUP BY 1) o
+    JOIN (SELECT source, COUNT(*) AS n_exact FROM x GROUP BY 1) e
+      ON e.source = o.source
+    """,
+    doc="Sketch-based distinct-token estimation per source (linear "
+    "probabilistic counting, m=1024 buckets, deterministic md5 bucket "
+    "hash — NO HLL objects to merge, the 'sketch' is just the distinct "
+    "(source,bucket) set, at most 1024 rows per source surviving the "
+    "map-side combine regardless of corpus size; that bounded-state "
+    "property is the whole point at 100 TB, where the exact distinct "
+    "(also emitted, for the error column) must shuffle every novel "
+    "token). Estimator: -m*ln(V/m), V = empty buckets. Deterministic "
+    "on both engines because the hash is md5, not engine-native.",
+    tags=("llm", "text", "sketch"),
+)
+def llm_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens("text")).alias("token"))
+    occ = (
+        tok.select("source", (md5_int60("token") % 1024).alias("bucket"))
+        .distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_occupied"))
+    )
+    exact = (
+        tok.distinct()
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    return occ.join(exact, "source").select(
+        "source",
+        "n_occupied",
+        "n_exact",
+        F.round(
+            F.lit(-1024.0)
+            * F.log((F.lit(1024.0) - F.col("n_occupied")) / F.lit(1024.0)),
+            4,
+        ).alias("est_distinct"),
+    )
