@@ -928,3 +928,152 @@ def op_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("trailing_1h_value"),
     )
+
+
+# --- Event-journey analytics (round-2 widening of SURVEY §2.11's
+# event-time surface): funnel, cohort retention, hopping windows. These
+# are the product-analytics queries an events table exists for; all
+# three are user-keyed or hour-keyed shuffles with no global window.
+
+
+@register(
+    "op_funnel",
+    oracle="""
+    WITH v AS (SELECT user_id, MIN(ts) AS t0 FROM events
+               WHERE event_type = 'view' GROUP BY 1),
+    c AS (SELECT e.user_id, MIN(e.ts) AS t1 FROM events e
+          JOIN v ON v.user_id = e.user_id
+          WHERE e.event_type = 'click' AND e.ts > v.t0 GROUP BY 1),
+    p AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+          JOIN c ON c.user_id = e.user_id
+          WHERE e.event_type = 'purchase' AND e.ts > c.t1 GROUP BY 1)
+    SELECT 1 AS stage_no, 'view' AS stage, COUNT(*) AS n_users FROM v
+    UNION ALL SELECT 2 AS stage_no, 'click' AS stage, COUNT(*) AS n_users FROM c
+    UNION ALL SELECT 3 AS stage_no, 'purchase' AS stage, COUNT(*) AS n_users FROM p
+    """,
+    doc="Ordered conversion funnel view -> click -> purchase: a user "
+    "advances a stage only with an event strictly AFTER their first "
+    "event of the previous stage. Three user-keyed min-aggregates, "
+    "each joined to the prior stage on user_id (the natural co-"
+    "partitioned key), then three 1-row counts unioned — no window "
+    "over the whole event stream, so the plan is as wide as the "
+    "user-id shuffle and nothing else.",
+    tags=("events", "funnel"),
+)
+def op_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    v = (
+        e.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    c = (
+        e.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("t0"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    p = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("t1"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+
+    def stage(df: DataFrame, no: int, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(no).alias("stage_no"),
+            F.lit(name).alias("stage"),
+            F.count(F.lit(1)).alias("n_users"),
+        )
+
+    return stage(v, 1, "view").unionAll(stage(c, 2, "click")).unionAll(
+        stage(p, 3, "purchase")
+    )
+
+
+@register(
+    "op_retention_cohorts",
+    oracle="""
+    WITH f AS (SELECT user_id, MIN(ts::DATE) AS cohort FROM events GROUP BY 1),
+    a AS (SELECT DISTINCT user_id, ts::DATE AS d FROM events)
+    SELECT f.cohort AS cohort_date,
+           COUNT(DISTINCT f.user_id) AS n_users,
+           COUNT(DISTINCT CASE WHEN a.d = f.cohort + 1
+                               THEN f.user_id END) AS retained_d1,
+           COUNT(DISTINCT CASE WHEN a.d >= f.cohort + 7 AND a.d < f.cohort + 14
+                               THEN f.user_id END) AS retained_w1,
+           COUNT(DISTINCT CASE WHEN a.d >= f.cohort + 28
+                               THEN f.user_id END) AS retained_w4
+    FROM f JOIN a ON a.user_id = f.user_id
+    GROUP BY 1
+    """,
+    doc="Cohort retention: users grouped by first-activity date; for each "
+    "cohort, how many returned the next day / in week 1 (days 7-13) / "
+    "at day 28+. First-touch and activity-day sets are both user-keyed "
+    "aggregates, joined on user_id (co-partitioned — one shuffle key "
+    "end-to-end), then a cohort-keyed count-distinct whose cardinality "
+    "is bounded by distinct activity DATES per user, not raw events.",
+    tags=("events", "retention"),
+)
+def op_retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    day = F.to_date("ts")
+    f = e.groupBy("user_id").agg(F.min(day).alias("cohort"))
+    a = e.select("user_id", day.alias("d")).distinct()
+    j = f.join(a, "user_id")
+    return j.groupBy(F.col("cohort").alias("cohort_date")).agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.countDistinct(
+            F.when(F.col("d") == F.date_add("cohort", 1), F.col("user_id"))
+        ).alias("retained_d1"),
+        F.countDistinct(
+            F.when(
+                (F.col("d") >= F.date_add("cohort", 7))
+                & (F.col("d") < F.date_add("cohort", 14)),
+                F.col("user_id"),
+            )
+        ).alias("retained_w1"),
+        F.countDistinct(
+            F.when(F.col("d") >= F.date_add("cohort", 28), F.col("user_id"))
+        ).alias("retained_w4"),
+    )
+
+
+@register(
+    "op_hopping_window",
+    oracle="""
+    SELECT date_trunc('hour', ts) - o.off * INTERVAL 1 HOUR AS win_start,
+           event_type, COUNT(*) AS n,
+           (SUM(value::DECIMAL(18,4)))::DOUBLE AS total_value
+    FROM events CROSS JOIN (SELECT unnest([0, 1]) AS off) o
+    GROUP BY 1, 2
+    """,
+    doc="Hopping (sliding) event-time window: 2-hour windows advancing "
+    "every hour, so each event lands in exactly two windows. Spark side "
+    "is the built-in F.window(ts, '2 hours', '1 hour') — the same "
+    "construct Structured Streaming uses, so the batch query IS the "
+    "streaming query minus the watermark; the oracle replicates each "
+    "event to its two hop offsets. Money through DECIMAL(18,4) per the "
+    "registry's determinism rule.",
+    tags=("events", "window"),
+)
+def op_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,4)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.col("w.start").alias("win_start"),
+            "event_type",
+            "n",
+            "total_value",
+        )
+    )
