@@ -1,11 +1,12 @@
 """Graph analytics queries (SURVEY G1-G9) over the customer-supplier
 bipartite graph derived from the star schema.
 
-PageRank/edges/similarity/reachability carry full DuckDB oracles (the
-pagerank oracle unrolls the iterations as chained CTEs). Label
-propagation and betweenness are rows-only: their contracts are the
-deterministic algorithms in operators/graph.py, gated by closed-form
-tests on hand-built graphs in tests/test_graph.py.
+Every graph query carries a full DuckDB oracle: pagerank / label
+propagation unroll their iterations as chained CTEs, and betweenness
+unrolls the whole Brandes program (BFS levels forward, dependency
+levels back — ``_betweenness_oracle()`` generates the CTE chain).
+All are additionally gated by closed-form tests on hand-built graphs
+in tests/test_graph.py.
 """
 
 from __future__ import annotations
@@ -219,14 +220,99 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.label_propagation(edges, max_iter=5)
 
 
+def _betweenness_oracle(max_depth: int = 8) -> str:
+    """Generate the unrolled exact-Brandes oracle for the nation graph.
+
+    Forward: BFS levels l0..l{max_depth} (sigma = #shortest paths),
+    cumulative reach r{k} for the anti-join. Backward: dependency
+    levels d{max_depth}..d0, each summing sigma_v/sigma_w*(1+delta_w)
+    over shortest-path-DAG successors one level down — the same
+    level-synchronous program operators/graph.py runs as frontier
+    joins. Depth 8 covers the nation co-trade graph's diameter at
+    every test SF (it is near-complete; actual diameter <= 3 — BFS
+    levels past the real depth are empty CTEs). Assumes diameter <=
+    max_depth, exactly as the Spark side's max_depth bound does."""
+    parts = [
+        """WITH base AS MATERIALIZED (
+      SELECT DISTINCT 'n' || c.c_nationkey::VARCHAR AS src,
+                      'n' || s.s_nationkey::VARCHAR AS dst
+      FROM lineitem l
+      JOIN orders o ON l.l_orderkey = o.o_orderkey
+      JOIN customer c ON o.o_custkey = c.c_custkey
+      JOIN supplier s ON l.l_suppkey = s.s_suppkey
+      WHERE c.c_nationkey != s.s_nationkey),
+    e AS MATERIALIZED (SELECT src, dst FROM base
+          UNION SELECT dst AS src, src AS dst FROM base),
+    n AS MATERIALIZED (SELECT DISTINCT src AS id FROM e),
+    l0 AS MATERIALIZED (SELECT id AS root, id AS node, 0 AS dist, 1.0 AS sigma FROM n),
+    r0 AS MATERIALIZED (SELECT root, node FROM l0)"""
+    ]
+    for k in range(1, max_depth + 1):
+        parts.append(
+            f""",
+    l{k} AS MATERIALIZED (
+      SELECT f.root, e.dst AS node, {k} AS dist, SUM(f.sigma) AS sigma
+      FROM l{k - 1} f JOIN e ON e.src = f.node
+      WHERE NOT EXISTS (SELECT 1 FROM r{k - 1} r
+                        WHERE r.root = f.root AND r.node = e.dst)
+      GROUP BY 1, 2),
+    r{k} AS MATERIALIZED (SELECT root, node FROM r{k - 1}
+             UNION ALL SELECT root, node FROM l{k})"""
+        )
+    state = " UNION ALL ".join(
+        f"SELECT * FROM l{k}" for k in range(max_depth + 1)
+    )
+    parts.append(
+        f""",
+    state AS MATERIALIZED ({state}),
+    dag AS MATERIALIZED (
+      SELECT sv.root, sv.node AS v, sv.dist AS dv, sv.sigma AS sigma_v,
+             sw.node AS w, sw.sigma AS sigma_w
+      FROM e
+      JOIN state sv ON sv.node = e.src
+      JOIN state sw ON sw.node = e.dst AND sw.root = sv.root
+      WHERE sw.dist = sv.dist + 1),
+    d{max_depth} AS MATERIALIZED (SELECT root, node, 0.0 AS delta FROM state
+                     WHERE dist = {max_depth})"""
+    )
+    for k in range(max_depth - 1, -1, -1):
+        parts.append(
+            f""",
+    d{k} AS MATERIALIZED (
+      SELECT s.root, s.node, COALESCE(x.d, 0.0) AS delta
+      FROM state s LEFT JOIN (
+        SELECT g.root, g.v AS node,
+               SUM(g.sigma_v / g.sigma_w * (1.0 + w.delta)) AS d
+        FROM dag g JOIN d{k + 1} w ON w.root = g.root AND w.node = g.w
+        WHERE g.dv = {k} GROUP BY 1, 2) x
+        ON x.root = s.root AND x.node = s.node
+      WHERE s.dist = {k})"""
+        )
+    deltas = " UNION ALL ".join(
+        f"SELECT * FROM d{k}" for k in range(max_depth + 1)
+    )
+    parts.append(
+        f""",
+    deltas AS MATERIALIZED ({deltas})
+    SELECT nn.id AS node_id,
+           ROUND(COALESCE(t.b, 0.0) / 2.0, 6) AS betweenness
+    FROM n nn LEFT JOIN (
+      SELECT node, SUM(delta) AS b FROM deltas
+      WHERE node != root GROUP BY 1) t
+      ON t.node = nn.id"""
+    )
+    return "".join(parts)
+
+
 @register(
     "graph_betweenness_nations",
-    oracle=None,  # gated by closed-form tests (== exact Brandes) instead
+    oracle=_betweenness_oracle(),
     doc="Betweenness centrality (SURVEY G7) on the nation co-trade graph "
     "(nations linked when a customer order ships from a supplier nation). "
     "Runs the distributed Brandes program (frontier joins, no driver-side "
     "graph) from all roots — exact here; landmark sampling is the knob at "
-    "100 TB. tests/test_graph.py pins it against exact Brandes.",
+    "100 TB. tests/test_graph.py pins it against exact Brandes; the "
+    "oracle unrolls the full forward/backward Brandes level chain.",
     tags=("graph", "centrality"),
 )
 def graph_betweenness_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
