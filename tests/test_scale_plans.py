@@ -181,3 +181,58 @@ def test_kmeans_centroid_joins_broadcast(spark):
     plan = _plan(get_query("llm_kmeans_clusters").spark(spark, SF_DIR))
     assert "SortMergeJoin" not in plan, plan
     assert "BroadcastNestedLoopJoin" in plan, plan
+
+
+def test_tfidf_window_is_doc_partitioned(spark):
+    """The TF-IDF rank window must partition by doc_id — a global window
+    over the (doc, token) set would single-thread the whole corpus. The
+    rank<=3 filter must also push into the window as WindowGroupLimit
+    (partial top-3 per partition BEFORE the doc_id shuffle). The only
+    SinglePartition exchange allowed is the 1-row document-count
+    aggregate that feeds a broadcast."""
+    from ut_data_engineering_group_project_2022_spark.plans import get_query
+
+    plan = _plan(get_query("llm_tfidf_topterms").spark(spark, SF_DIR))
+    assert "WindowGroupLimit [doc_id" in plan, plan
+    assert "windowspecdefinition(doc_id" in plan, plan
+
+
+def test_bm25_topk_uses_take_ordered(spark):
+    """BM25 top-20 must be TakeOrderedAndProject over the scored docs,
+    not a corpus-wide sort; the rank window then runs over 20 rows."""
+    from ut_data_engineering_group_project_2022_spark.plans import get_query
+
+    plan = _plan(get_query("llm_bm25_search").spark(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan
+
+
+def test_inverted_index_has_partial_aggregation(spark):
+    """Both aggregates (doc,token count and token rollup) must partial-
+    aggregate before their shuffles so stopword rows collapse map-side."""
+    from ut_data_engineering_group_project_2022_spark.plans import get_query
+
+    plan = _plan(get_query("llm_inverted_index").spark(spark, SF_DIR))
+    assert "partial_count" in plan, plan
+
+
+def test_funnel_reuses_user_shuffle_key(spark):
+    """Every join/agg in the funnel is keyed on user_id; no broadcast of
+    a fact-sized side is pinned (stage tables shrink monotonically, so
+    size-driven planning may still broadcast the small stage sides)."""
+    from ut_data_engineering_group_project_2022_spark.plans import get_query
+
+    plan = _plan(get_query("op_funnel").spark(spark, SF_DIR))
+    # the only partitioning keys in the plan are user_id-based
+    assert "hashpartitioning(user_id" in plan, plan
+
+
+def test_hopping_window_expands_exactly_two_hops(spark):
+    """F.window(2h, 1h) must explode each event into exactly 2 window
+    rows (2h/1h), not materialize a per-window cross join."""
+    from ut_data_engineering_group_project_2022_spark.plans import get_query
+
+    df = get_query("op_hopping_window").spark(spark, SF_DIR)
+    ev = table(spark, SF_DIR, "events")
+    n_events = ev.count()
+    n_window_rows = df.agg(F.sum("n")).collect()[0][0]
+    assert n_window_rows == 2 * n_events
