@@ -1335,3 +1335,78 @@ def llm_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("est_distinct"),
     )
+
+
+@register(
+    "llm_bigram_lm_score",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+      FROM documents),
+    w AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+          FROM documents),
+    bg AS (
+      SELECT doc_id, unnest([w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]) AS bigram
+      FROM w WHERE len(w) >= 2),
+    c2 AS (SELECT bigram, COUNT(*) AS c2 FROM bg GROUP BY 1),
+    c1 AS (SELECT token, COUNT(*) AS c1 FROM tok GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT token)::DOUBLE AS v FROM tok),
+    lp AS (
+      SELECT bg.doc_id,
+             ROUND(ln((c2.c2 + 1.0) / (c1.c1 + v.v)), 6)::DECIMAL(18,6) AS logp
+      FROM bg JOIN c2 USING (bigram)
+      JOIN c1 ON c1.token = split_part(bg.bigram, ' ', 1)
+      CROSS JOIN v)
+    SELECT doc_id, COUNT(*) AS n_bigrams,
+           ROUND((SUM(logp))::DOUBLE / COUNT(*), 6) AS avg_logp
+    FROM lp GROUP BY doc_id
+    """,
+    doc="Bigram language-model quality score: add-one-smoothed "
+    "ln P(w2|w1) = ln((C(w1 w2)+1)/(C(w1)+V)) averaged per document — "
+    "the classic cheap LM filter (docs with very low average logprob "
+    "are gibberish). The 'model' IS two count tables built from the "
+    "corpus itself; scoring joins each bigram occurrence against them "
+    "on the bigram/context keys (partial-combined counts, so the "
+    "shuffled model tables are vocabulary-sized, not corpus-sized). "
+    "Determinism: each bigram's logprob is rounded to 6 and cast to "
+    "DECIMAL(18,6) BEFORE the per-doc SUM — decimal addition is exact "
+    "and order-free, so the per-doc aggregate cannot drift between "
+    "engines the way a float SUM can.",
+    tags=("llm", "text", "quality"),
+)
+def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    tok = d.select("doc_id", F.explode(toks).alias("token"))
+    bg = d.select("doc_id", F.explode(bigrams).alias("bigram"))
+    c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
+    c1 = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
+    v = tok.agg(F.countDistinct("token").cast("double").alias("v"))
+    lp = (
+        bg.join(c2, "bigram")
+        .join(c1, F.split_part(F.col("bigram"), F.lit(" "), F.lit(1)) == c1.token)
+        .crossJoin(F.broadcast(v))
+        .select(
+            "doc_id",
+            F.round(
+                F.log((F.col("c2") + F.lit(1.0)) / (F.col("c1") + F.col("v"))), 6
+            )
+            .cast("decimal(18,6)")
+            .alias("logp"),
+        )
+    )
+    return lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(
+            F.sum("logp").cast("double") / F.count(F.lit(1)), 6
+        ).alias("avg_logp"),
+    )

@@ -1077,3 +1077,68 @@ def op_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+@register(
+    "op_scd2_user_state",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, event_type, ts, event_id,
+             CASE WHEN LAG(event_type) OVER w IS DISTINCT FROM event_type
+                  THEN 1 ELSE 0 END AS chg
+      FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    seg AS (
+      SELECT user_id, event_type, ts,
+             (SUM(chg) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS UNBOUNDED PRECEDING))::BIGINT AS segment
+      FROM ordered),
+    hist AS (
+      SELECT user_id, segment, event_type AS state,
+             MIN(ts) AS valid_from, COUNT(*) AS n_events
+      FROM seg GROUP BY 1, 2, 3)
+    SELECT user_id, segment, state, valid_from,
+           LEAD(valid_from) OVER (PARTITION BY user_id ORDER BY segment)
+             AS valid_to,
+           CASE WHEN LEAD(valid_from) OVER (PARTITION BY user_id
+                                            ORDER BY segment) IS NULL
+                THEN 1 ELSE 0 END AS is_current,
+           n_events
+    FROM hist
+    """,
+    doc="Type-2 slowly-changing-dimension history build (the Type-1 "
+    "upsert's sibling — operators/star.py does Type-1; this derives "
+    "the full validity-interval history): per-user event-type runs "
+    "become [valid_from, valid_to) intervals via a change-flag lag, a "
+    "cumulative segment id, and a lead over the collapsed segments. "
+    "All three windows partition by user_id — the history build "
+    "shuffles once on the natural key and never globally sorts.",
+    tags=("events", "scd"),
+)
+def op_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    chg = F.when(
+        ~F.lag("event_type").over(w).eqNullSafe(F.col("event_type")), 1
+    ).otherwise(0)
+    seg = e.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum(chg.cast("bigint"))
+        .over(w.rowsBetween(W.unboundedPreceding, W.currentRow))
+        .alias("segment"),
+    )
+    hist = seg.groupBy("user_id", "segment", F.col("event_type").alias("state")).agg(
+        F.min("ts").alias("valid_from"), F.count(F.lit(1)).alias("n_events")
+    )
+    w2 = W.partitionBy("user_id").orderBy("segment")
+    lead = F.lead("valid_from").over(w2)
+    return hist.select(
+        "user_id",
+        "segment",
+        "state",
+        "valid_from",
+        lead.alias("valid_to"),
+        F.when(lead.isNull(), 1).otherwise(0).alias("is_current"),
+        "n_events",
+    )
