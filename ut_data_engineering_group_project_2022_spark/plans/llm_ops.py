@@ -1410,3 +1410,115 @@ def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("logp").cast("double") / F.count(F.lit(1)), 6
         ).alias("avg_logp"),
     )
+
+
+@register(
+    "llm_pii_scrub",
+    oracle="""
+    SELECT c_custkey,
+           regexp_replace(c_name, '[0-9]', '*', 'g') AS name_masked,
+           len(regexp_extract_all(c_name, '[0-9]+')) AS n_id_runs,
+           substr(md5('pepper-v1:' || c_custkey::VARCHAR), 1, 16) AS pseudo_id
+    FROM customer
+    """,
+    doc="PII scrub for training-data release: numeric identifier runs in "
+    "the display name are masked (every synthetic c_name embeds one), "
+    "counted for audit, and the stable key is replaced by a keyed "
+    "(peppered-md5) pseudonym — deterministic, so re-runs and "
+    "incremental appends scrub identically, and referentially intact "
+    "(llm_pseudonymized_activity joins on the same pseudonym). Pure "
+    "column expressions: embarrassingly parallel, no shuffle, "
+    "whole-stage-codegen eligible.",
+    tags=("llm", "text", "privacy"),
+)
+def llm_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.regexp_replace("c_name", "[0-9]", "*").alias("name_masked"),
+        F.regexp_count(F.col("c_name"), F.lit("[0-9]+")).alias("n_id_runs"),
+        F.substring(
+            F.md5(F.concat(F.lit("pepper-v1:"), F.col("c_custkey").cast("string"))),
+            1,
+            16,
+        ).alias("pseudo_id"),
+    )
+
+
+@register(
+    "llm_pseudonymized_activity",
+    oracle="""
+    SELECT substr(md5('pepper-v1:' || user_id::VARCHAR), 1, 16) AS pseudo_id,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT event_type) AS n_event_types,
+           (SUM(value::DECIMAL(18,4)))::DOUBLE AS total_value
+    FROM events
+    GROUP BY 1
+    """,
+    doc="Activity aggregation AFTER pseudonymization — proves the keyed "
+    "pseudonym from llm_pii_scrub preserves referential integrity: "
+    "grouping on the pseudonym yields exactly the per-user aggregate "
+    "(same pepper => same partition keys), so downstream analytics "
+    "survive the scrub. The groupBy shuffles on the pseudonym, whose "
+    "md5 distribution is uniform — pseudonymization REMOVES key skew, "
+    "which op_key_skew_profile would otherwise flag on raw ids.",
+    tags=("llm", "privacy", "agg"),
+)
+def llm_pseudonymized_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    pseudo = F.substring(
+        F.md5(F.concat(F.lit("pepper-v1:"), F.col("user_id").cast("string"))), 1, 16
+    )
+    return e.groupBy(pseudo.alias("pseudo_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("event_type").alias("n_event_types"),
+        F.sum(F.col("value").cast("decimal(18,4)")).cast("double").alias("total_value"),
+    )
+
+
+@register(
+    "llm_embedding_covariance",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+             (generate_subscripts(embedding, 1) - 1)::BIGINT AS i
+      FROM embeddings
+    ),
+    n AS (SELECT COUNT(*)::DOUBLE AS n FROM embeddings),
+    sums AS (SELECT i, SUM(x) AS sx FROM e GROUP BY i),
+    prods AS (
+      SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sxy
+      FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY 1, 2
+    )
+    SELECT p.i, p.j,
+           ROUND(p.sxy / n.n - (si.sx / n.n) * (sj.sx / n.n), 6) AS cov
+    FROM prods p
+    CROSS JOIN n
+    JOIN sums si ON si.i = p.i
+    JOIN sums sj ON sj.i = p.j
+    """,
+    doc="Distributed covariance matrix of the embedding column (upper "
+    "triangle, 2080 rows at dim=64) — the moment primitive behind PCA "
+    "whitening, Mahalanobis outlier scoring, and feature-drift "
+    "monitoring. operators/stats.py folds each Arrow batch into one "
+    "partial-moment row via numpy X.T@X (NO 4096x explode of the fact "
+    "table), then sums partials with a groupBy whose input is "
+    "O(batches x d^2) — independent of corpus size, so the plan is "
+    "unchanged at 100 TB. The oracle recomputes the matrix by "
+    "brute-force UNNEST self-join, which is exactly the quadratic "
+    "blow-up the Spark plan avoids.",
+    tags=("llm", "embedding", "stats"),
+)
+def llm_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ut_data_engineering_group_project_2022_spark.operators.stats import (
+        embedding_moments,
+    )
+
+    emb = table(spark, sf_dir, "embeddings")
+    m = embedding_moments(emb, vec_col="embedding", dim=64)
+    return m.select(
+        F.col("i").cast("bigint").alias("i"),
+        F.col("j").cast("bigint").alias("j"),
+        "cov",
+    )

@@ -1142,3 +1142,114 @@ def op_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(lead.isNull(), 1).otherwise(0).alias("is_current"),
         "n_events",
     )
+
+
+@register(
+    "op_range_join_bucketed",
+    oracle="""
+    SELECT e.event_id AS error_id, e.user_id,
+           COUNT(*) AS n_prior_clicks,
+           MAX(c.ts) AS last_click_ts
+    FROM (SELECT event_id, user_id, ts FROM events
+          WHERE event_type = 'error') e
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+      ON c.user_id = e.user_id
+     AND c.ts >= e.ts - INTERVAL 30 MINUTE
+     AND c.ts < e.ts
+    GROUP BY 1, 2
+    """,
+    doc="Bounded range (interval) join: for each error event, the user's "
+    "clicks in the preceding 30 minutes. Spark plans a raw ts-inequality "
+    "join as a nested-loop cross product; operators/temporal.py:"
+    "range_join_bucketed discretizes time into window-width buckets so "
+    "the range predicate becomes an EQUI-join on (user_id, bucket) with "
+    "a 2x bounded left-side explode and an exact post-filter — hash "
+    "shuffle, AQE-skew-eligible, no quadratic blow-up. The oracle is "
+    "DuckDB's native inequality join over the same predicate, i.e. an "
+    "independent implementation of the range semantics.",
+    tags=("join", "temporal", "events"),
+)
+def op_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ut_data_engineering_group_project_2022_spark.operators.temporal import (
+        range_join_bucketed,
+    )
+
+    e = table(spark, sf_dir, "events")
+    errors = e.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("error_id"), "user_id", "ts"
+    )
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    pairs = range_join_bucketed(
+        errors,
+        clicks,
+        keys=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        window_seconds=1800,
+    )
+    return pairs.groupBy("error_id", "user_id").agg(
+        F.count(F.lit(1)).alias("n_prior_clicks"),
+        F.max("r_ts").alias("last_click_ts"),
+    )
+
+
+@register(
+    "op_key_skew_profile",
+    oracle="""
+    WITH per_key AS (
+      SELECT user_id, COUNT(*) AS n_events,
+             (SUM(value::DECIMAL(18,4)))::DOUBLE AS total_value
+      FROM events GROUP BY user_id
+    ),
+    ranked AS (
+      SELECT user_id, n_events, total_value,
+             ROW_NUMBER() OVER (ORDER BY n_events DESC, user_id) AS rk,
+             SUM(n_events) OVER () AS total_n
+      FROM per_key
+    )
+    SELECT user_id, n_events, total_value, rk,
+           ROUND(n_events / total_n, 6) AS share,
+           ROUND(SUM(n_events) OVER (ORDER BY rk
+                                     ROWS UNBOUNDED PRECEDING) / total_n, 6)
+             AS cum_share
+    FROM ranked
+    WHERE rk <= 20
+    """,
+    doc="Key-skew profiler — the diagnostic you run BEFORE choosing a "
+    "partitioning/salting strategy at 100 TB: per-key counts, global "
+    "share, and cumulative share of the top-20 heaviest keys. The "
+    "per-key aggregate is a map-side-combined groupBy; only the "
+    "(distinct-key-count)-sized profile ever reaches the rank windows, "
+    "so the global windows rank dims, not facts (the same two-phase "
+    "shape the bi_* queries use). Pairs with op_salted_agg, which is "
+    "the remediation this profiler motivates.",
+    tags=("agg", "diagnostics", "events"),
+)
+def op_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    per_key = e.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,4)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+    w_rank = W.orderBy(F.desc("n_events"), F.asc("user_id"))
+    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    ranked = per_key.select(
+        "user_id",
+        "n_events",
+        "total_value",
+        F.row_number().over(w_rank).alias("rk"),
+        F.sum("n_events").over(w_all).alias("total_n"),
+    )
+    w_cum = W.orderBy("rk").rowsBetween(W.unboundedPreceding, W.currentRow)
+    return ranked.filter(F.col("rk") <= 20).select(
+        "user_id",
+        "n_events",
+        "total_value",
+        "rk",
+        F.round(F.col("n_events") / F.col("total_n"), 6).alias("share"),
+        F.round(F.sum("n_events").over(w_cum) / F.col("total_n"), 6).alias(
+            "cum_share"
+        ),
+    )
