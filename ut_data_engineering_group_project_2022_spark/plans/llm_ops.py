@@ -1522,3 +1522,133 @@ def llm_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("j").cast("bigint").alias("j"),
         "cov",
     )
+
+
+@register(
+    "llm_length_filter",
+    oracle="""
+    WITH t AS (
+      SELECT quantile_cont(n_chars, 0.05) AS lo,
+             quantile_cont(n_chars, 0.95) AS hi
+      FROM documents
+    )
+    SELECT d.doc_id, d.n_chars, d.source
+    FROM documents d, t
+    WHERE d.n_chars >= t.lo AND d.n_chars <= t.hi
+    """,
+    doc="Percentile-gated length filter — the standard outlier-trimming "
+    "quality gate (drop the shortest/longest 5%% of a corpus before "
+    "training). Two-phase plan: a map-side-combined global percentile "
+    "aggregate produces a ONE-ROW threshold table that broadcast-joins "
+    "into the scan filter — the corpus is read once, never sorted. At "
+    "100 TB the exact percentile swaps for percentile_approx (mergeable "
+    "t-digest, same plan shape); the exact form is the verification "
+    "baseline, Spark `percentile` == DuckDB quantile_cont.",
+    tags=("llm", "text", "quality"),
+)
+def llm_length_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    thr = d.agg(
+        F.expr("percentile(n_chars, 0.05)").alias("lo"),
+        F.expr("percentile(n_chars, 0.95)").alias("hi"),
+    )
+    return (
+        d.join(F.broadcast(thr))
+        .filter((F.col("n_chars") >= F.col("lo")) & (F.col("n_chars") <= F.col("hi")))
+        .select("doc_id", "n_chars", "source")
+    )
+
+
+@register(
+    "llm_doc_chunks",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS st FROM t
+    )
+    SELECT doc_id,
+           (st // 24)::BIGINT AS chunk_idx,
+           len(list_slice(toks, st + 1, st + 32))::BIGINT AS n_chunk_tokens,
+           array_to_string(list_slice(toks, st + 1, st + 32), ' ') AS chunk_text
+    FROM s
+    """,
+    doc="Sliding-window document chunking (size 32, stride 24, overlap 8) "
+    "— the context-window splitting step of a training-data pipeline. "
+    "Pure per-row array math: split once, explode the stride-spaced "
+    "start offsets, slice per start — no shuffle at all, output rows "
+    "stay on the partition that read the document, so the op is "
+    "embarrassingly parallel at any corpus size. Oracle replays the "
+    "same slicing with DuckDB list_slice over a lateral "
+    "generate_series.",
+    tags=("llm", "text", "chunking"),
+)
+def llm_doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    starts = F.sequence(F.lit(0), F.size(F.col("toks")) - 1, F.lit(24))
+    chunk = F.slice(F.col("toks"), F.col("st") + 1, 32)
+    return (
+        d.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", F.explode(starts.cast("array<int>")).alias("st"))
+        .select(
+            "doc_id",
+            (F.col("st") / 24).cast("bigint").alias("chunk_idx"),
+            F.size(chunk).cast("bigint").alias("n_chunk_tokens"),
+            F.array_join(chunk, " ").alias("chunk_text"),
+        )
+    )
+
+
+@register(
+    "llm_sequence_packing",
+    oracle="""
+    WITH d AS (
+      SELECT doc_id, source,
+             len(string_split(text, ' '))::BIGINT AS n_tokens
+      FROM documents
+    ),
+    c AS (
+      SELECT doc_id, source, n_tokens,
+             SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS start_tok
+      FROM d
+    )
+    SELECT doc_id, source, n_tokens,
+           (start_tok // 256)::BIGINT AS pack_id,
+           (start_tok % 256)::BIGINT AS pack_offset
+    FROM c
+    """,
+    doc="Greedy sequence packing into 256-token context windows, per "
+    "source (document-spanning concatenation, the GPT-style packing "
+    "layout): a per-source running token total assigns each document "
+    "its pack id and offset. The only shuffle is the window's "
+    "partitionBy(source) — packing is deterministic (doc_id order), "
+    "re-run stable, and never global-sorts: each source packs "
+    "independently, which is exactly how a 1000-executor job would "
+    "shard a 100 TB corpus (source ~ shard key).",
+    tags=("llm", "text", "packing"),
+)
+def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        W.partitionBy("source")
+        .orderBy("doc_id")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    start = (F.sum("n_tokens").over(w) - F.col("n_tokens")).alias("start_tok")
+    return d.select("doc_id", "source", "n_tokens", start).select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        F.floor(F.col("start_tok") / 256).cast("bigint").alias("pack_id"),
+        (F.col("start_tok") % 256).cast("bigint").alias("pack_offset"),
+    )
