@@ -236,3 +236,63 @@ def test_hopping_window_expands_exactly_two_hops(spark):
     n_events = ev.count()
     n_window_rows = df.agg(F.sum("n")).collect()[0][0]
     assert n_window_rows == 2 * n_events
+
+
+def test_range_join_is_equi_not_nested_loop(spark):
+    """The bucketed range join must plan as an EQUI-join on
+    (user_id, bucket) — never the BroadcastNestedLoopJoin/Cartesian that
+    a raw ts-inequality theta-join degenerates to."""
+    from ut_data_engineering_group_project_2022_spark.plans import get_query
+
+    plan = _plan(get_query("op_range_join_bucketed").spark(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    assert "CartesianProduct" not in plan, plan
+
+
+def test_doc_chunks_has_no_exchange(spark):
+    """Chunking is per-row array slicing: output rows must stay on the
+    partition that read the document — zero shuffles."""
+    from ut_data_engineering_group_project_2022_spark.plans import get_query
+
+    plan = _plan(get_query("llm_doc_chunks").spark(spark, SF_DIR))
+    assert "Exchange" not in plan, plan
+
+
+def test_length_filter_broadcasts_threshold(spark):
+    """The one-row percentile threshold joins into the scan as a
+    broadcast; the corpus side must never shuffle-join."""
+    from ut_data_engineering_group_project_2022_spark.plans import get_query
+
+    plan = _plan(get_query("llm_length_filter").spark(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_sequence_packing_window_is_source_partitioned(spark):
+    """Packing's running total must partition by source (the shard key)
+    — a global cumulative window would single-thread the corpus."""
+    from ut_data_engineering_group_project_2022_spark.plans import get_query
+
+    plan = _plan(get_query("llm_sequence_packing").spark(spark, SF_DIR))
+    assert "windowspecdefinition(source" in plan, plan
+    assert "hashpartitioning(source" in plan, plan
+
+
+def test_covariance_partials_aggregate_before_shuffle(spark):
+    """The moment partials (one row per Arrow batch) must partial-sum
+    map-side before the (i, j) shuffle, and the finalize joins against
+    the 1-row count / 64-row means must broadcast, never sort-merge."""
+    from ut_data_engineering_group_project_2022_spark.plans import get_query
+
+    plan = _plan(get_query("llm_embedding_covariance").spark(spark, SF_DIR))
+    assert "partial_sum" in plan, plan
+    assert "SortMergeJoin" not in plan, plan
+
+
+def test_pseudonymized_activity_has_partial_aggregation(spark):
+    """The per-pseudonym rollup must map-side combine before its single
+    shuffle on the (uniform) md5 pseudonym key."""
+    from ut_data_engineering_group_project_2022_spark.plans import get_query
+
+    plan = _plan(get_query("llm_pseudonymized_activity").spark(spark, SF_DIR))
+    assert "partial_count" in plan, plan
