@@ -1,0 +1,60 @@
+"""Closed-form gates for operators/stats.py — the moment pass and PCA
+whitening have no SQL oracle (eigendecomposition), so correctness is
+pinned against numpy on the real test embeddings instead."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from tests.conftest import SF_DIR
+from ut_data_engineering_group_project_2022_spark.catalog import table
+from ut_data_engineering_group_project_2022_spark.operators.stats import (
+    embedding_moments,
+    pca_whiten,
+)
+
+
+@pytest.fixture(scope="module")
+def ref_matrix(spark):
+    emb = table(spark, SF_DIR, "embeddings")
+    x = np.stack([r["embedding"] for r in emb.select("embedding").collect()]).astype(
+        "float64"
+    )
+    return x
+
+
+def test_moments_match_numpy_covariance(spark, ref_matrix):
+    x = ref_matrix
+    expected = np.cov(x, rowvar=False, bias=True)  # population covariance
+    got = {
+        (r["i"], r["j"]): r["cov"]
+        for r in embedding_moments(
+            table(spark, SF_DIR, "embeddings"), dim=64
+        ).collect()
+    }
+    assert len(got) == 64 * 65 // 2
+    iu, ju = np.triu_indices(64)
+    for i, j in zip(iu, ju):
+        assert got[(i, j)] == pytest.approx(expected[i, j], abs=2e-6)
+
+
+def test_pca_whiten_output_is_whitened(spark):
+    df = pca_whiten(table(spark, SF_DIR, "embeddings"), dim=64, k=8)
+    rows = df.collect()
+    z = np.array([[r[f"pc{c}"] for c in range(8)] for r in rows])
+    assert z.shape[1] == 8
+    # centered, unit variance, decorrelated
+    assert np.abs(z.mean(axis=0)).max() < 1e-2
+    cov = np.cov(z, rowvar=False, bias=True)
+    assert np.abs(cov - np.eye(8)).max() < 1e-2
+    # top axes carry the most variance: projecting onto axis 0 must
+    # spread the labeled clusters (sanity that the axes aren't noise)
+    assert z[:, 0].std() > 0
+
+
+def test_pca_whiten_is_deterministic_across_runs(spark):
+    emb = table(spark, SF_DIR, "embeddings")
+    a = sorted(map(tuple, pca_whiten(emb, dim=64, k=8).collect()))
+    b = sorted(map(tuple, pca_whiten(emb.repartition(7), dim=64, k=8).collect()))
+    assert a == b

@@ -1652,3 +1652,27 @@ def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("start_tok") / 256).cast("bigint").alias("pack_id"),
         (F.col("start_tok") % 256).cast("bigint").alias("pack_offset"),
     )
+
+
+@register(
+    "llm_embedding_pca_whiten",
+    oracle=None,  # eigendecomposition is not SQL-expressible; closed-form
+    # statistical gates live in tests/test_stats.py (cov(output) ~ I,
+    # mean ~ 0, run-to-run determinism) — the driver records rows-only.
+    doc="PCA whitening of the embedding column (top-8 axes): one "
+    "distributed moment pass (operators/stats.py — mapInPandas X.T@X "
+    "partials, no d^2 explode), driver-side eigh of the DIM-sized "
+    "covariance (64x64, corpus-independent — the same driver-artifact "
+    "pattern as k-means centroids), then an Arrow mapInPandas matmul "
+    "projection. Two corpus passes, zero corpus shuffles. Output "
+    "components are centered, unit-variance, decorrelated — the "
+    "embedding-space normalization step before cosine near-dup / "
+    "retrieval. Eigenvector signs pinned for reproducibility.",
+    tags=("llm", "embedding", "stats"),
+)
+def llm_embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ut_data_engineering_group_project_2022_spark.operators.stats import (
+        pca_whiten,
+    )
+
+    return pca_whiten(table(spark, sf_dir, "embeddings"), dim=64, k=8)
