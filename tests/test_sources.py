@@ -91,3 +91,18 @@ def test_star_save_load_roundtrip(spark, tmp_path):
     back = star.StarState.load(spark, str(tmp_path / "warehouse"))
     assert back.paper_fact.count() == state.paper_fact.count()
     assert back.dim_author.count() == state.dim_author.count()
+
+
+def test_staging_orc_roundtrip(spark, tmp_path):
+    """ORC staging sink/source: values and schema survive the round
+    trip, and predicate pushdown reaches the ORC scan."""
+    main, _ = staging_batch_1(spark)
+    path = str(tmp_path / "staging_orc")
+    connectors.write_staging_orc(main, path)
+    connectors.write_staging_orc(main, path)  # overwrite, not accumulate
+    back = connectors.read_staging_orc(spark, path)
+    assert back.count() == main.count()
+    assert set(back.columns) == set(main.columns)
+    plan = back.filter(back[back.columns[0]].isNotNull())._jdf.queryExecution(
+    ).executedPlan().toString()
+    assert "PushedFilters: [" in plan, plan

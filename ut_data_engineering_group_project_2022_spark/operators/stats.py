@@ -180,3 +180,50 @@ def pca_whiten(
 
     schema = f"{id_col} bigint, " + ", ".join(f"pc{c} double" for c in range(k))
     return emb.select(id_col, vec_col).mapInPandas(project, schema=schema)
+
+
+def mahalanobis_diag(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+    dim: int = 64,
+) -> DataFrame:
+    """Diagonal-Mahalanobis outlier score per vector: ``(id, maha2)``.
+
+    ``maha2 = sum_i ((x_i - mean_i) / std_i)^2`` — the standard cheap
+    embedding-outlier score (full Mahalanobis needs the inverse
+    covariance; the diagonal form is the per-dimension z-score energy).
+
+    Scale plan: per-dimension mean/std come from the distributed moment
+    pass (diagonal rows only), are ROUNDED to 6 decimals (so any other
+    engine computing the same stats agrees bit-for-bit on the
+    constants), collected — 64 numbers, corpus-independent — and
+    embedded as array literals in a ``zip_with``+``aggregate`` fold:
+    pure JVM column expressions, NO per-dimension explode of the corpus
+    and no shuffle in the scoring pass.
+    """
+    summed = _summed_moments(emb, vec_col, dim)
+    diag = {
+        (r["i"], r["j"]): r["s"]
+        for r in summed.filter(
+            (F.col("i") == F.col("j")) | (F.col("j") == -1)
+        ).collect()
+    }
+    n = diag[(-1, -1)]
+    means = [round(diag[(i, -1)] / n, 6) for i in range(dim)]
+    stds = [
+        round((diag[(i, i)] / n - (diag[(i, -1)] / n) ** 2) ** 0.5, 6)
+        for i in range(dim)
+    ]
+    m_arr = F.array(*[F.lit(v) for v in means])
+    s_arr = F.array(*[F.lit(v) for v in stds])
+    x = F.transform(F.col(vec_col), lambda v: v.cast("double"))
+    z2 = F.zip_with(
+        F.zip_with(x, m_arr, lambda a, b: a - b),
+        s_arr,
+        lambda d, s: (d / s) * (d / s),
+    )
+    return emb.select(
+        id_col,
+        F.aggregate(z2, F.lit(0.0), lambda acc, v: acc + v).alias("maha2"),
+    )

@@ -1676,3 +1676,53 @@ def llm_embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     return pca_whiten(table(spark, sf_dir, "embeddings"), dim=64, k=8)
+
+
+@register(
+    "llm_embedding_outliers",
+    oracle="""
+    WITH e AS (
+      SELECT vec_id, unnest(embedding)::DOUBLE AS x,
+             (generate_subscripts(embedding, 1) - 1)::BIGINT AS i
+      FROM embeddings
+    ),
+    st AS (
+      SELECT i, ROUND(AVG(x), 6) AS m, ROUND(STDDEV_POP(x), 6) AS s
+      FROM e GROUP BY i
+    ),
+    sc AS (
+      SELECT e.vec_id,
+             SUM(((e.x - st.m) / st.s) * ((e.x - st.m) / st.s)) AS raw
+      FROM e JOIN st USING (i) GROUP BY 1
+    ),
+    thr AS (SELECT quantile_cont(raw, 0.99) AS t FROM sc)
+    SELECT sc.vec_id, ROUND(sc.raw, 6) AS maha2,
+           sc.raw > thr.t AS is_outlier
+    FROM sc, thr
+    """,
+    doc="Diagonal-Mahalanobis embedding outlier scores with a p99 flag — "
+    "the drift/garbage detector run before admitting embeddings into a "
+    "training corpus. Per-dim mean/std come from the distributed moment "
+    "pass (operators/stats.py), rounded to 6 decimals so the constants "
+    "are engine-exact, then scoring is a zip_with+aggregate fold over "
+    "array literals: zero corpus explode, zero shuffle in the scoring "
+    "pass; the p99 threshold is a 1-row broadcast. The oracle recomputes "
+    "stats by UNNEST (the blow-up the Spark plan avoids) with the same "
+    "rounded constants.",
+    tags=("llm", "embedding", "stats", "quality"),
+)
+def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ut_data_engineering_group_project_2022_spark.operators.stats import (
+        mahalanobis_diag,
+    )
+
+    scored = mahalanobis_diag(table(spark, sf_dir, "embeddings"), dim=64)
+    thr = scored.agg(F.expr("percentile(maha2, 0.99)").alias("t"))
+    return (
+        scored.join(F.broadcast(thr))
+        .select(
+            "vec_id",
+            F.round("maha2", 6).alias("maha2"),
+            (F.col("maha2") > F.col("t")).alias("is_outlier"),
+        )
+    )

@@ -97,6 +97,18 @@ def read_staging_table(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
+def write_staging_orc(df: DataFrame, path: str) -> None:
+    """ORC variant of the columnar staging sink — same overwrite
+    semantics as S6/S7, for consumers standardized on ORC (both are
+    splittable, predicate-pushdown columnar formats; interchange only,
+    the engine's own tables stay parquet)."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_staging_orc(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.orc(path)
+
+
 def stream_json_source(
     spark: SparkSession,
     directory: str,
