@@ -108,17 +108,14 @@ def minhash_signatures(shingled: DataFrame, n_perm: int = N_PERM) -> DataFrame:
     return exploded.groupBy("doc_id").agg(*aggs)
 
 
-def lsh_candidate_pairs(
+def band_signatures(
     signatures: DataFrame, n_perm: int = N_PERM, band_rows: int = BAND_ROWS
 ) -> DataFrame:
-    """Band the wide signature matrix; candidates share any (band, band-sig).
+    """Unpivot the wide signature matrix to (doc_id, band, bsig).
 
     Band signatures are built column-wise (concat of the band's minhash
-    columns) and unpivoted with stack() — no second shuffle before the
-    band self-join, which hash-partitions on the band signature (the
-    equi-join Catalyst already knows how to distribute and AQE can
-    skew-split if one bucket runs hot).
-    """
+    columns) and unpivoted with stack() — no shuffle; the downstream
+    band equi-join is what hash-partitions."""
     n_bands = n_perm // band_rows
     band_cols = [
         F.concat_ws(
@@ -131,7 +128,21 @@ def lsh_candidate_pairs(
         n=n_bands,
         args=", ".join(f"{b}L, band{b}" for b in range(n_bands)),
     )
-    bandsig = wide.selectExpr("doc_id", stack_expr)
+    return wide.selectExpr("doc_id", stack_expr)
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame, n_perm: int = N_PERM, band_rows: int = BAND_ROWS
+) -> DataFrame:
+    """Band the wide signature matrix; candidates share any (band, band-sig).
+
+    Band signatures are built column-wise (concat of the band's minhash
+    columns) and unpivoted with stack() — no second shuffle before the
+    band self-join, which hash-partitions on the band signature (the
+    equi-join Catalyst already knows how to distribute and AQE can
+    skew-split if one bucket runs hot).
+    """
+    bandsig = band_signatures(signatures, n_perm, band_rows)
     a = bandsig.select(
         F.col("doc_id").alias("doc_a"), "band", F.col("bsig").alias("bsig_a")
     )
@@ -298,3 +309,73 @@ def simhash_pairs(fingerprints: DataFrame, max_hamming: int) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
     )
+
+
+def incremental_neardup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    k: int = 3,
+    min_jaccard: float = 0.8,
+) -> DataFrame:
+    """Near-dup check of a NEW batch against an EXISTING corpus.
+
+    The append-time dedup path of an ongoing ingestion pipeline: unlike
+    the self-join form (minhash_lsh_dedup), the band join here is
+    batch x corpus — candidate volume scales with the (small) batch, not
+    the corpus, and the corpus side would be a pre-materialized
+    signature table in production (signatures are |docs| x 33 ints; the
+    expensive shingle pass over history runs once, not per batch).
+
+    Returns one row per batch doc: ``(doc_id, is_dup, n_matches,
+    match_id)`` with ``match_id`` = smallest verified corpus doc id
+    (NULL when the doc is novel).
+    """
+    sh_b = shingle_docs(batch, k).cache()
+    sh_b.count()
+    sh_c = shingle_docs(corpus, k).cache()
+    sh_c.count()
+    bands_b = band_signatures(minhash_signatures(sh_b)).select(
+        F.col("doc_id").alias("batch_id"), "band", "bsig"
+    )
+    bands_c = band_signatures(minhash_signatures(sh_c)).select(
+        F.col("doc_id").alias("corpus_id"),
+        F.col("band").alias("band_c"),
+        F.col("bsig").alias("bsig_c"),
+    )
+    cands = (
+        bands_b.join(
+            bands_c,
+            (F.col("band") == F.col("band_c")) & (F.col("bsig") == F.col("bsig_c")),
+        )
+        .select("batch_id", "corpus_id")
+        .distinct()
+    )
+    sa = sh_b.select(F.col("doc_id").alias("batch_id"), F.col("shingles").alias("sh_a"))
+    sb = sh_c.select(
+        F.col("doc_id").alias("corpus_id"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    verified = (
+        cands.join(sa, "batch_id")
+        .join(sb, "corpus_id")
+        .filter((union > 0) & (inter / union >= F.lit(min_jaccard)))
+        .select("batch_id", "corpus_id")
+    )
+    agg = verified.groupBy("batch_id").agg(
+        F.count(F.lit(1)).alias("n_matches"), F.min("corpus_id").alias("match_id")
+    )
+    out = (
+        batch.select("doc_id")
+        .join(agg, batch.doc_id == agg.batch_id, "left")
+        .select(
+            "doc_id",
+            F.col("match_id").isNotNull().alias("is_dup"),
+            F.coalesce("n_matches", F.lit(0)).alias("n_matches"),
+            "match_id",
+        )
+    )
+    out = out.localCheckpoint(eager=True)
+    sh_b.unpersist()
+    sh_c.unpersist()
+    return out

@@ -1726,3 +1726,70 @@ def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("maha2") > F.col("t")).alias("is_outlier"),
         )
     )
+
+
+@register(
+    "llm_incremental_dedup",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    th AS (
+      SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h
+      FROM (SELECT doc_id, unnest(shingles) AS s FROM sh)
+    ),
+    perms AS (
+      SELECT i::BIGINT AS perm, (2 * i + 3)::BIGINT AS a,
+             ((i * 1000003) % 2147483647)::BIGINT AS b
+      FROM range(32) t(i)
+    ),
+    sig AS (
+      SELECT doc_id, perm, perm // 4 AS band,
+             MIN((a * h + b) % 2147483647) AS minh
+      FROM th CROSS JOIN perms GROUP BY doc_id, perm
+    ),
+    bandsig AS (
+      SELECT doc_id, band, string_agg(minh::VARCHAR, '-' ORDER BY perm) AS bsig
+      FROM sig GROUP BY doc_id, band
+    ),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS batch_id, b.doc_id AS corpus_id
+      FROM bandsig a JOIN bandsig b ON a.band = b.band AND a.bsig = b.bsig
+      WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 != 0
+    ),
+    ver AS (
+      SELECT c.batch_id, c.corpus_id
+      FROM cand c
+      JOIN sh sa ON sa.doc_id = c.batch_id
+      JOIN sh sb ON sb.doc_id = c.corpus_id
+      WHERE len(sa.shingles) + len(sb.shingles)
+              - len(list_intersect(sa.shingles, sb.shingles)) > 0
+        AND len(list_intersect(sa.shingles, sb.shingles))::DOUBLE
+            / (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles))) >= 0.8
+    ),
+    agg AS (
+      SELECT batch_id, COUNT(*) AS n_matches, MIN(corpus_id) AS match_id
+      FROM ver GROUP BY 1
+    )
+    SELECT d.doc_id,
+           (a.match_id IS NOT NULL) AS is_dup,
+           COALESCE(a.n_matches, 0) AS n_matches,
+           a.match_id
+    FROM documents d LEFT JOIN agg a ON a.batch_id = d.doc_id
+    WHERE d.doc_id % 10 = 0
+    """,
+    doc="Append-time incremental near-dup: the NEW batch (doc_id %% 10 = 0 "
+    "as the arriving 10%%) is LSH-banded against the EXISTING corpus "
+    "(the other 90%%) — candidates scale with the batch, not the "
+    "corpus, and in production the corpus side is a pre-materialized "
+    "signature table (the history shingle pass runs once, not per "
+    "batch). Each batch doc gets is_dup / n_matches / smallest "
+    "verified corpus match at jaccard >= 0.8. This is the ingestion "
+    "sibling of llm_minhash_lsh's self-join (same signatures, "
+    "asymmetric join).",
+    tags=("llm", "dedup", "incremental"),
+)
+def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+    return dedup.incremental_neardup(batch, corpus, min_jaccard=0.8)
