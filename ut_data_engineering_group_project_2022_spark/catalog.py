@@ -37,17 +37,27 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """events.ts is parquet TIMESTAMP(NANOS), which vanilla Spark rejects
-    (PARQUET_TYPE_ILLEGAL). Read nanos as long and rebuild a microsecond
-    timestamp (floor-truncation — matching how DuckDB coerces ns -> us)."""
+    """Normalize events.ts across testdata generations.
+
+    Older generations wrote parquet TIMESTAMP(NANOS), which vanilla Spark
+    rejects (PARQUET_TYPE_ILLEGAL) — read nanos as long and rebuild a
+    microsecond timestamp (floor-truncation, matching DuckDB's ns -> us
+    coercion). Newer generations write TIMESTAMP_MICROS with
+    isAdjustedToUTC=false, which Spark reads as TIMESTAMP_NTZ — cast to
+    session-timezone TIMESTAMP (session tz is pinned UTC, so the instant
+    is unchanged and matches DuckDB's UTC-naive reading)."""
     from pyspark.sql import functions as F
+    from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     raw = spark.read.parquet(f"{sf_dir}/events.parquet")
-    # Integer DIV, not `/`: float division of ~1.7e18 ns exceeds double's
-    # 2^53 mantissa and lands some timestamps 1 us off DuckDB's exact
-    # ns -> us truncation (surfaced by the first oracle exposing raw us).
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    ts_type = raw.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        # Integer DIV, not `/`: float division of ~1.7e18 ns exceeds
+        # double's 2^53 mantissa and lands some timestamps 1 us off
+        # DuckDB's exact ns -> us truncation.
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts DIV 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def load_all(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:

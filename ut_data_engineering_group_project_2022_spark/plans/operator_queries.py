@@ -1217,12 +1217,14 @@ def op_range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="Key-skew profiler — the diagnostic you run BEFORE choosing a "
     "partitioning/salting strategy at 100 TB: per-key counts, global "
-    "share, and cumulative share of the top-20 heaviest keys. The "
-    "per-key aggregate is a map-side-combined groupBy; only the "
-    "(distinct-key-count)-sized profile ever reaches the rank windows, "
-    "so the global windows rank dims, not facts (the same two-phase "
-    "shape the bi_* queries use). Pairs with op_salted_agg, which is "
-    "the remediation this profiler motivates.",
+    "share, and cumulative share of the top-20 heaviest keys. user_id "
+    "is a FACT-scale key (10^8+ distinct at 100 TB), so nothing "
+    "key-count-sized may cross a global window: the grand total is a "
+    "1-row agg broadcast back via crossJoin, the top-20 is "
+    "orderBy+limit (TakeOrderedAndProject — per-partition top-k merged "
+    "on the driver), and the rank/cum-share windows run over the "
+    "20-row result only. Pairs with op_salted_agg, which is the "
+    "remediation this profiler motivates.",
     tags=("agg", "diagnostics", "events"),
 )
 def op_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1233,21 +1235,19 @@ def op_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_value"),
     )
+    total = per_key.agg(F.sum("n_events").alias("total_n"))
+    top = (
+        per_key.orderBy(F.desc("n_events"), F.asc("user_id"))
+        .limit(20)
+        .crossJoin(F.broadcast(total))
+    )
     w_rank = W.orderBy(F.desc("n_events"), F.asc("user_id"))
-    w_all = W.rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
-    ranked = per_key.select(
+    w_cum = w_rank.rowsBetween(W.unboundedPreceding, W.currentRow)
+    return top.select(
         "user_id",
         "n_events",
         "total_value",
         F.row_number().over(w_rank).alias("rk"),
-        F.sum("n_events").over(w_all).alias("total_n"),
-    )
-    w_cum = W.orderBy("rk").rowsBetween(W.unboundedPreceding, W.currentRow)
-    return ranked.filter(F.col("rk") <= 20).select(
-        "user_id",
-        "n_events",
-        "total_value",
-        "rk",
         F.round(F.col("n_events") / F.col("total_n"), 6).alias("share"),
         F.round(F.sum("n_events").over(w_cum) / F.col("total_n"), 6).alias(
             "cum_share"
