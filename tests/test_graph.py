@@ -83,6 +83,55 @@ def test_label_propagation_two_components(spark):
     assert got == {"b": "b", "c": "b", "d": "b", "x": "x", "y": "x", "z": "x"}
 
 
+# --- Louvain (one-level modularity moves) ---------------------------------
+
+
+def _clique(names):
+    return [(a, b) for a in names for b in names if a < b]
+
+
+def test_louvain_two_cliques_split(spark):
+    # Two 4-cliques joined by one bridge: modularity-gain moves must land
+    # each clique in a single community and keep the two cliques apart.
+    pairs = _clique(["a1", "a2", "a3", "a4"]) + _clique(
+        ["b1", "b2", "b3", "b4"]
+    ) + [("a1", "b1")]
+    got = {
+        r["node_id"]: r["community"]
+        for r in graph.louvain(_edges(spark, pairs), rounds=4).collect()
+    }
+    a_comms = {got[v] for v in ("a1", "a2", "a3", "a4")}
+    b_comms = {got[v] for v in ("b1", "b2", "b3", "b4")}
+    assert len(a_comms) == 1 and len(b_comms) == 1
+    assert a_comms != b_comms
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        _clique(["a1", "a2", "a3", "a4"])
+        + _clique(["b1", "b2", "b3", "b4"])
+        + [("a1", "b1")],
+        # path + pendant star: asymmetric degrees exercise the gain term
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"),
+         ("x", "c"), ("x", "y"), ("x", "z")],
+        # cycle C6
+        [("n1", "n2"), ("n2", "n3"), ("n3", "n4"),
+         ("n4", "n5"), ("n5", "n6"), ("n6", "n1")],
+    ],
+)
+def test_louvain_matches_driver_simulation(spark, pairs):
+    dist = {
+        r["node_id"]: r["community"]
+        for r in graph.louvain(_edges(spark, pairs), rounds=4).collect()
+    }
+    sim = {
+        r["node_id"]: r["community"]
+        for r in graph.louvain_exact(_edges(spark, pairs), rounds=4).collect()
+    }
+    assert dist == sim
+
+
 # --- Betweenness ----------------------------------------------------------
 
 

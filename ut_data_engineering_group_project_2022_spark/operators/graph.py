@@ -142,6 +142,146 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
     )
 
 
+_EVEN_HEX = ("0", "2", "4", "6", "8", "a", "c", "e")
+
+
+def louvain(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """One-level Louvain: modularity-gain local moves (SURVEY G6).
+
+    The reference runs Neo4j GDS Louvain (ref dags/graph_queries.cyp:19-30);
+    this is the distributed level-1 local-moving phase as a DataFrame loop
+    (no coarsening — one level, fixed ``rounds``):
+
+      * singleton seed — every node starts as its own community (the
+        Louvain init; a min-label-propagation seed would collapse each
+        connected component to one community on this graph family,
+        leaving no neighbor community to move to);
+      * per round, a node may move to the neighbor community maximizing
+        the modularity gain.  Gain comparisons use the integer score
+        ``2m * k_iC - k_i * sigma_tot(C \\ i)`` (gain * (2m)^2 with
+        constant terms dropped) so the argmax is exact — no float
+        ties to diverge cross-engine.  Ties break to the minimum
+        community label;
+      * only half the nodes (md5-parity, alternating per round) may move
+        each round — synchronous all-node updates oscillate on symmetric
+        structures (a<->b adopt each other forever); deterministic
+        parity half-sweeps are the standard distributed-Louvain fix.
+
+    Each round is three keyed shuffles (community sizes, per-node
+    candidate scan, per-node argmax) — no global window, no driver-side
+    graph; rank vector localCheckpoint'ed per round as in pagerank().
+    Returns (node_id, community).
+    """
+    und = undirect(edges).distinct().localCheckpoint(eager=True)
+    deg = und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("k"))
+    nodes = deg.localCheckpoint(eager=True)
+    two_m = und.count()  # sum of degrees = 2m
+    labels = nodes.select("id", F.col("id").alias("label"))
+    even = F.substring(F.md5(F.col("id")), 1, 1).isin(*_EVEN_HEX)
+    from pyspark.sql import Window as W
+
+    for r in range(rounds):
+        sig = (
+            labels.join(nodes, "id")
+            .groupBy("label")
+            .agg(F.sum("k").alias("sig"))
+        )
+        nbrc = (
+            und.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("cand")),
+                "dst",
+            )
+            .groupBy(F.col("src").alias("id"), "cand")
+            .agg(F.count(F.lit(1)).alias("kin"))
+        )
+        own = labels.select("id", F.col("label").alias("cand"))
+        own_missing = own.join(
+            nbrc.select("id", "cand"), ["id", "cand"], "left_anti"
+        ).withColumn("kin", F.lit(0).cast("long"))
+        cand = nbrc.unionByName(own_missing)
+        scored = (
+            cand.join(nodes, "id")
+            .join(labels, "id")
+            .join(sig.withColumnRenamed("label", "cand"), "cand")
+            .withColumn(
+                "score",
+                F.lit(two_m) * F.col("kin")
+                - F.col("k")
+                * (
+                    F.col("sig")
+                    - F.when(F.col("cand") == F.col("label"), F.col("k")).otherwise(
+                        F.lit(0)
+                    )
+                ),
+            )
+        )
+        best = (
+            scored.withColumn(
+                "rn",
+                F.row_number().over(
+                    W.partitionBy("id").orderBy(F.desc("score"), F.asc("cand"))
+                ),
+            )
+            .filter(F.col("rn") == 1)
+            .select("id", F.col("cand").alias("new_label"))
+        )
+        mover = even if r % 2 == 0 else ~even
+        labels = (
+            labels.join(best, "id")
+            .select(
+                "id",
+                F.when(mover, F.col("new_label")).otherwise(F.col("label")).alias(
+                    "label"
+                ),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return labels.select(
+        F.col("id").alias("node_id"), F.col("label").alias("community")
+    )
+
+
+def louvain_exact(edges: DataFrame, rounds: int = 4) -> DataFrame:
+    """Driver-side simulation of :func:`louvain` — the small-graph TEST
+    ORACLE (same role as :func:`betweenness_exact`): identical singleton
+    seed, integer gain score, min-label tiebreak, and md5-parity
+    half-sweeps, executed in plain Python over the collected edge list."""
+    import hashlib
+
+    adj: dict[str, set[str]] = {}
+    for row in undirect(edges).distinct().collect():
+        adj.setdefault(row["src"], set()).add(row["dst"])
+    k = {v: len(ns) for v, ns in adj.items()}
+    two_m = sum(k.values())
+    label = {v: v for v in adj}
+    parity = {
+        v: hashlib.md5(v.encode()).hexdigest()[0] in _EVEN_HEX for v in adj
+    }
+    for r in range(rounds):
+        sig: dict[str, int] = {}
+        for v, lb in label.items():
+            sig[lb] = sig.get(lb, 0) + k[v]
+        new_label = dict(label)
+        for v in adj:
+            if parity[v] != (r % 2 == 0):
+                continue
+            kin: dict[str, int] = {label[v]: 0}
+            for w in adj[v]:
+                kin[label[w]] = kin.get(label[w], 0) + 1
+
+            def score(c: str) -> int:
+                return two_m * kin[c] - k[v] * (
+                    sig[c] - (k[v] if c == label[v] else 0)
+                )
+
+            best_score = max(score(c) for c in kin)
+            new_label[v] = min(c for c in kin if score(c) == best_score)
+        label = new_label
+    spark = edges.sparkSession
+    rows = sorted(label.items())
+    return spark.createDataFrame(rows, "node_id string, community string")
+
+
 def bounded_reachability(edges: DataFrame, max_hops: int) -> DataFrame:
     """Variable-length path expansion (SURVEY J11, `REFERENCES*1..k`):
     (node, reachable-node) pairs within <= max_hops, via iterative

@@ -29,66 +29,69 @@ from ut_data_engineering_group_project_2022_spark.plans import (  # noqa: F401,E
     tpch_queries,
 )
 
-# Round-2 window: the flagship surface (all 15 star_q*, the full TPC-H
-# 22-query suite), the two round-1 fixes (simhash oracle HUGEINT cast,
-# de-vacuated node similarity), and the round-2 additions. op_* micro
-# queries yield their window slots to the completed TPC-H suite: each is a
-# single-operator query fully gated by tests/test_oracle_parity.py, and
-# everything round 1 already drove green stays registered after the window.
+# Round-4 window: the 47 queries that have never received a driver-side
+# correctness row (every llm_* stats/retrieval operator and every round-2
+# op_* family), plus graph_betweenness_nations (whose only driver row is
+# round 1's FAIL — it passes the identical DuckDB-oracle compare locally
+# and must be re-proven at the driver), plus a re-confirmation slot for
+# llm_simhash_fingerprints (the other r1 FAIL, re-greened r2/r3).
+# Everything rotated out of the window stays registered and fully gated by
+# tests/test_oracle_parity.py; rounds 1-3 already drove it green
+# (CORRECTNESS_r01..r03 union covers 98/145).
 _PRIORITY = [
-    "star_q01_authors_by_papers_in_domain",
-    "star_q02_authors_by_citations_in_domain",
-    "star_q03_authors_by_hindex",
-    "star_q04_authors_by_gindex",
-    "star_q05_papers_by_citations",
-    "star_q06_affiliations_by_papers",
-    "star_q07_affiliations_by_papers_this_century",
-    "star_q08_affiliations_by_citations",
-    "star_q09_affiliations_by_avg_citations",
-    "star_q10_venues_by_papers",
-    "star_q11_venues_by_citations",
-    "star_q12_venues_by_avg_citations",
-    "star_q13_math_venues",
-    "star_q14_years_by_papers",
-    "star_q15_domain_year_histogram",
-    "tpch_q1_pricing_summary",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_priority_check",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q9_profit_by_nation",
-    "tpch_q10_returned_items",
-    "tpch_q11_important_stock",
-    "tpch_q12_late_priority",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_revenue",
-    "tpch_q15_top_supplier",
-    "tpch_q16_supplier_counts",
-    "tpch_q17_small_qty_revenue",
-    "tpch_q18_large_orders",
-    "tpch_q19_disjunctive_revenue",
-    "tpch_q20_volume_suppliers",
-    "tpch_q21_waiting_suppliers",
-    "tpch_q22_dormant_customers",
-    "llm_simhash_fingerprints",
-    "graph_node_similarity",
-    "graph_author_rank",
-    "graph_institution_rank",
-    "llm_simhash_pairs_banded",
-    "llm_embedding_neardup_lsh",
-    "llm_train_val_split",
-    "op_asof_join",
-    "op_grouping_sets",
-    "op_surrogate_keys",
-    # op_percentiles / op_range_frame / op_sessionize yield their slots to
-    # the round-2 flagship additions below; they stay fully gated by
-    # tests/test_oracle_parity.py.
-    "llm_kmeans_clusters",
-    "graph_triangle_counts",
-    "llm_contamination",
+    # -- llm_* text/retrieval/stats: never driver-checked --
+    "llm_repetition_metrics",
+    "llm_stratified_sample",
+    "llm_token_topk",
+    "llm_mixture_weights",
+    "llm_tfidf_topterms",
+    "llm_bm25_search",
+    "llm_inverted_index",
+    "llm_approx_distinct",
+    "llm_bigram_lm_score",
+    "llm_pii_scrub",
+    "llm_pseudonymized_activity",
+    "llm_embedding_covariance",
+    "llm_length_filter",
+    "llm_doc_chunks",
+    "llm_sequence_packing",
+    "llm_embedding_pca_whiten",  # rows-only: no SQL oracle by design
+    "llm_embedding_outliers",
+    "llm_incremental_dedup",
+    # -- op_* single-operator queries: never driver-checked --
+    "op_union_all",
+    "op_explode_tokens",
+    "op_collect_reassemble",
+    "op_sequence_dim",
+    "op_regex_filter",
+    "op_length_filter",
+    "op_running_total",
+    "op_topk_per_group",
+    "op_argmax_customer_per_nation",
+    "op_sessionize",
+    "op_tumbling_hourly",
+    "op_pivot_event_counts",
+    "op_json_extract",
+    "op_clean_strings",
+    "op_order_limit",
+    "op_array_predicates",
+    "op_failure_count",
+    "op_salted_agg",
+    "op_rollup_revenue",
+    "op_lead_lag_delta",
+    "op_intersect_except",
+    "op_percentiles",
+    "op_range_frame",
+    "op_funnel",
+    "op_retention_cohorts",
+    "op_hopping_window",
+    "op_scd2_user_state",
+    "op_range_join_bucketed",
+    "op_key_skew_profile",
+    # -- re-proof slots --
+    "graph_betweenness_nations",  # only driver row is r1 FAIL; green locally
+    "graph_louvain",  # round-4 addition: modularity-gain community detection
+    "llm_simhash_fingerprints",  # r1 FAIL -> r2/r3 green; keep one fresh row
 ]
 
 set_priority(_PRIORITY)

@@ -220,6 +220,82 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.label_propagation(edges, max_iter=5)
 
 
+def _louvain_oracle(rounds: int = 4) -> str:
+    """Unrolled one-level-Louvain oracle (the ``_betweenness_oracle``
+    technique): per round — community degree sums, per-node neighbor-
+    community candidate scan (own community appended when absent), the
+    integer gain score ``2m*k_iC - k_i*(sig_tot(C) - k_i[C=own])``,
+    argmax via ROW_NUMBER (score DESC, cand ASC), and the md5-parity
+    half-sweep move gate. Mirrors operators/graph.py:louvain() exactly."""
+    even = "('0','2','4','6','8','a','c','e')"
+    parts = [
+        f"""WITH e0 AS ({_EDGES_SQL}),
+    und AS MATERIALIZED (SELECT DISTINCT src, dst FROM
+        (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
+    deg AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS k
+        FROM und GROUP BY 1),
+    tm AS (SELECT SUM(k)::BIGINT AS m2 FROM deg),
+    lab0 AS (SELECT id, id AS label FROM deg)"""
+    ]
+    for r in range(rounds):
+        mover_is_even = "TRUE" if r % 2 == 0 else "FALSE"
+        parts.append(
+            f""",
+    sig{r} AS MATERIALIZED (SELECT l.label, SUM(d.k)::BIGINT AS sig
+        FROM lab{r} l JOIN deg d ON d.id = l.id GROUP BY 1),
+    nbrc{r} AS MATERIALIZED (
+        SELECT u.src AS id, l.label AS cand, COUNT(*)::BIGINT AS kin
+        FROM und u JOIN lab{r} l ON l.id = u.dst GROUP BY 1, 2),
+    cand{r} AS (
+        SELECT id, cand, kin FROM nbrc{r}
+        UNION ALL
+        SELECT l.id, l.label AS cand, 0::BIGINT AS kin FROM lab{r} l
+        WHERE NOT EXISTS (SELECT 1 FROM nbrc{r} n
+                          WHERE n.id = l.id AND n.cand = l.label)),
+    best{r} AS MATERIALIZED (
+        SELECT id, cand FROM (
+            SELECT c.id, c.cand, ROW_NUMBER() OVER (
+                PARTITION BY c.id ORDER BY
+                t.m2 * c.kin - d.k * (s.sig -
+                    CASE WHEN c.cand = l.label THEN d.k ELSE 0 END) DESC,
+                c.cand ASC) AS rn
+            FROM cand{r} c
+            JOIN deg d ON d.id = c.id
+            JOIN lab{r} l ON l.id = c.id
+            JOIN sig{r} s ON s.label = c.cand
+            CROSS JOIN tm t)
+        WHERE rn = 1),
+    lab{r + 1} AS MATERIALIZED (
+        SELECT l.id,
+               CASE WHEN (substr(md5(l.id), 1, 1) IN {even}) = {mover_is_even}
+                    THEN b.cand ELSE l.label END AS label
+        FROM lab{r} l JOIN best{r} b ON b.id = l.id)"""
+        )
+    parts.append(
+        f"""
+    SELECT id AS node_id, label AS community FROM lab{rounds}"""
+    )
+    return "".join(parts)
+
+
+@register(
+    "graph_louvain",
+    oracle=_louvain_oracle(),
+    doc="One-level Louvain community detection (SURVEY G6; ref dags/"
+    "graph_queries.cyp:19-30 GDS Louvain): modularity-gain local moves "
+    "over a singleton seed with integer-exact gain scores and md5-parity "
+    "half-sweeps (4 rounds) — see operators/graph.py:louvain(). Replaces "
+    "the label-propagation stand-in as the G6 implementation; the oracle "
+    "unrolls all four move rounds as CTEs, and tests/test_graph.py pins "
+    "the distributed program against a driver-side simulation plus a "
+    "closed-form two-clique split.",
+    tags=("graph", "community"),
+)
+def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = graph.customer_supplier_edges(spark, sf_dir)
+    return graph.louvain(edges, rounds=4)
+
+
 def _betweenness_oracle(max_depth: int = 8) -> str:
     """Generate the unrolled exact-Brandes oracle for the nation graph.
 
