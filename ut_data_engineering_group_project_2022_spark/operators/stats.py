@@ -15,11 +15,24 @@ aggregation instead:
 
   1. ``mapInPandas`` folds each Arrow batch into ONE partial-moment
      row set: ``n``, the 64 component sums, and the 2080 upper-triangle
-     product sums (numpy ``X.T @ X`` per batch, float64).
-  2. The partials (one row set per Arrow batch, ~thousands of floats
+     product sums (numpy ``X.T @ X`` per batch).
+  2. The partials (one row set per Arrow batch, ~thousands of values
      each) are summed with ``groupBy(i, j)`` — a shuffle of
      O(batches x d^2/2) tiny rows, independent of the corpus size.
-  3. Covariance finalizes JVM-side: ``cov = sxy/n - mean_i * mean_j``.
+  3. Covariance finalizes JVM-side from the exact integer sums.
+
+Determinism contract (round-5 fix for the driver hash flake):
+components are QUANTIZED before summation — ``q = floor(x * 1e4)`` as
+int64 — so every partial sum is integer-exact and the grand totals are
+accumulated as ``DECIMAL(38,0)``. Integer addition is associative, so
+the result is identical under ANY partitioning / Arrow-batch order; a
+float64 fold was not (the partial sums depended on batch composition,
+and ``ROUND(cov, 6)`` flipped on cells near a rounding boundary
+between the local run and the driver run). The covariance is therefore
+*of the 4-decimal-quantized components* — a ~1e-4 perturbation, stated
+in the registered query's contract and mirrored exactly by the DuckDB
+oracle (same FLOOR quantization) — in exchange for bit-identical
+output across engines, partitionings, and runs.
 
 At 1000 executors over 100 TB this moves only a few MB per batch to
 the shuffle, and the Python boundary is Arrow-vectorized numpy, not
@@ -36,14 +49,26 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Quantization scale: 4 decimal digits. Chosen so that at driver-compare
+# scale every finalization intermediate (n*Sxy, Sx_i*Sx_j, n^2*SCALE^2)
+# stays far below 2^53 and the decimal->double casts are EXACT in both
+# engines — the cross-engine doubles are bit-identical, not merely close.
+SCALE = 10_000
+SCALE2 = SCALE * SCALE  # product-sum scale (1e8)
+
 
 def _moment_partials(vec_col: str, dim: int):
     """mapInPandas fn: fold each Arrow batch into flat moment rows.
 
     Encoding (summable under groupBy(i, j) + SUM(s)):
-      * (i, j)  with 0 <= i <= j < dim : sum of x_i * x_j
-      * (i, -1)                        : sum of x_i
-      * (-1, -1)                       : row count
+      * (i, j)  with 0 <= i <= j < dim : sum of q_i * q_j   (scale 1e8)
+      * (i, -1)                        : sum of q_i         (scale 1e4)
+      * (-1, -1)                       : row count          (scale 1)
+
+    where ``q = floor(x * SCALE)`` per component (int64). Per-chunk sums
+    are emitted as int64; batches are chunked so ``rows * max(q)^2``
+    cannot overflow int64 even on adversarial value ranges. Exact
+    cross-chunk accumulation happens in Spark as DECIMAL(38,0).
     """
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -54,25 +79,35 @@ def _moment_partials(vec_col: str, dim: int):
             if pdf.empty:
                 continue
             x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
-            sxy = x.T @ x
-            yield pd.DataFrame(
-                {
-                    "i": np.concatenate([iu, np.arange(dim), [-1]]),
-                    "j": np.concatenate([ju, np.full(dim, -1), [-1]]),
-                    "s": np.concatenate(
-                        [sxy[iu, ju], x.sum(axis=0), [float(x.shape[0])]]
-                    ),
-                }
-            )
+            q = np.floor(x * float(SCALE)).astype("int64")
+            # int64-overflow guard: bound rows-per-chunk by the largest
+            # possible per-term product magnitude in this batch.
+            maxq = int(np.abs(q).max()) or 1
+            step = max(1, (1 << 62) // (maxq * maxq))
+            for lo in range(0, q.shape[0], step):
+                c = q[lo : lo + step]
+                sxy = c.T @ c  # int64-exact within the chunk bound
+                yield pd.DataFrame(
+                    {
+                        "i": np.concatenate([iu, np.arange(dim), [-1]]),
+                        "j": np.concatenate([ju, np.full(dim, -1), [-1]]),
+                        "s": np.concatenate(
+                            [sxy[iu, ju], c.sum(axis=0), [c.shape[0]]]
+                        ).astype("int64"),
+                    }
+                )
 
     return fn
 
 
 def _summed_moments(emb: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Exact integer moment totals: (i, j, s DECIMAL(38,0))."""
     partials = emb.select(vec_col).mapInPandas(
-        _moment_partials(vec_col, dim), schema="i int, j int, s double"
+        _moment_partials(vec_col, dim), schema="i int, j int, s long"
     )
-    return partials.groupBy("i", "j").agg(F.sum("s").alias("s"))
+    return partials.groupBy("i", "j").agg(
+        F.sum(F.col("s").cast("decimal(38,0)")).alias("s")
+    )
 
 
 def embedding_moments(
@@ -80,8 +115,15 @@ def embedding_moments(
 ) -> DataFrame:
     """Upper-triangle covariance of ``vec_col``: rows ``(i, j, cov)``.
 
-    ``cov`` is the population covariance (divide by n), rounded to 6
-    decimals to pin float associativity differences across engines.
+    ``cov`` is the population covariance of the SCALE-quantized
+    components (divide by n), finalized from exact integer sums:
+
+        cov = (n * Sxy - Sx_i * Sx_j) / n^2 / SCALE^2
+
+    The numerator and denominator are exact DECIMAL(38,0) products, so
+    the double division — mirrored operation-for-operation in the
+    DuckDB oracle — is bit-identical across engines and runs; the final
+    ROUND(6) can no longer flip on partitioning.
     """
     summed = _summed_moments(emb, vec_col, dim)
     n = summed.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
@@ -107,12 +149,34 @@ def embedding_moments(
             "i",
             "j",
             F.round(
-                F.col("s") / F.col("n")
-                - (F.col("sx_i") / F.col("n")) * (F.col("sx_j") / F.col("n")),
+                (F.col("n") * F.col("s") - F.col("sx_i") * F.col("sx_j")).cast(
+                    "double"
+                )
+                / (F.col("n") * F.col("n")).cast("double")
+                / F.lit(float(SCALE2)),
                 6,
             ).alias("cov"),
         )
     )
+
+
+def _collect_moments(
+    emb: DataFrame, vec_col: str, dim: int
+) -> tuple[int, list[int], dict[tuple[int, int], int]]:
+    """Driver-side exact integer totals: (n, sx[dim], {(i,j): sxy})."""
+    rows = _summed_moments(emb, vec_col, dim).collect()
+    n = 0
+    sx = [0] * dim
+    sxy: dict[tuple[int, int], int] = {}
+    for r in rows:
+        s = int(r["s"])
+        if r["i"] == -1:
+            n = s
+        elif r["j"] == -1:
+            sx[r["i"]] = s
+        else:
+            sxy[(r["i"], r["j"])] = s
+    return n, sx, sxy
 
 
 def pca_whiten(
@@ -136,29 +200,25 @@ def pca_whiten(
     ``mapInPandas`` projection (per-batch numpy matmul, no per-row
     Python). Two corpus passes total, no shuffle of the corpus itself.
 
-    Eigenvector sign is pinned (largest-|component| coordinate made
-    positive) so output is reproducible across runs; components are
-    rounded to 4 decimals because eigendecomposition amplifies the
-    ~1e-12 summation-order jitter of the float moment sums (the same
-    reason this op has no SQL oracle — tests/test_stats.py gates it
-    closed-form instead: cov(output) ~ I, mean ~ 0, run-to-run match).
+    The moment sums are integer-exact (quantized fold, see module
+    docstring), so the covariance fed to ``eigh`` is identical across
+    runs and partitionings; eigenvector sign is additionally pinned
+    (largest-|component| coordinate made positive) and components are
+    rounded to 4 decimals. No SQL oracle exists because
+    eigendecomposition isn't SQL-expressible — tests/test_stats.py
+    gates it closed-form instead: cov(output) ~ I, mean ~ 0,
+    run-to-run determinism.
     """
     import numpy as np
 
-    rows = _summed_moments(emb, vec_col, dim).collect()
-    n = 0.0
-    sx = np.zeros(dim)
+    n, sx_l, sxy_d = _collect_moments(emb, vec_col, dim)
+    sx = np.array(sx_l, dtype="float64")
     sxy = np.zeros((dim, dim))
-    for r in rows:
-        if r["i"] == -1:
-            n = r["s"]
-        elif r["j"] == -1:
-            sx[r["i"]] = r["s"]
-        else:
-            sxy[r["i"], r["j"]] = r["s"]
-            sxy[r["j"], r["i"]] = r["s"]
-    mean = sx / n
-    cov = sxy / n - np.outer(mean, mean)
+    for (i, j), s in sxy_d.items():
+        sxy[i, j] = s
+        sxy[j, i] = s
+    mean = sx / (n * float(SCALE))
+    cov = sxy / (n * float(SCALE2)) - np.outer(mean, mean)
     eigval, eigvec = np.linalg.eigh(cov)
     order = np.argsort(eigval)[::-1][:k]
     lam, v = eigval[order], eigvec[:, order]
@@ -195,26 +255,35 @@ def mahalanobis_diag(
     covariance; the diagonal form is the per-dimension z-score energy).
 
     Scale plan: per-dimension mean/std come from the distributed moment
-    pass (diagonal rows only), are ROUNDED to 6 decimals (so any other
-    engine computing the same stats agrees bit-for-bit on the
-    constants), collected — 64 numbers, corpus-independent — and
-    embedded as array literals in a ``zip_with``+``aggregate`` fold:
-    pure JVM column expressions, NO per-dimension explode of the corpus
-    and no shuffle in the scoring pass.
+    pass (diagonal rows only — integer-exact quantized sums, see module
+    docstring), are finalized with the EXACT expression the oracle
+    mirrors (``Sq/(n*SCALE)`` etc.), ROUNDED to 6 decimals, collected —
+    64 numbers, corpus-independent — and embedded as array literals in
+    a ``zip_with``+``aggregate`` fold: pure JVM column expressions, NO
+    per-dimension explode of the corpus and no shuffle in the scoring
+    pass. Because the constants derive from exact integer sums they are
+    identical across runs/partitionings; the scoring fold itself is
+    order-pinned (arrays fold left-to-right on both engines).
     """
+    import math
+
     summed = _summed_moments(emb, vec_col, dim)
     diag = {
-        (r["i"], r["j"]): r["s"]
+        (r["i"], r["j"]): int(r["s"])
         for r in summed.filter(
             (F.col("i") == F.col("j")) | (F.col("j") == -1)
         ).collect()
     }
     n = diag[(-1, -1)]
-    means = [round(diag[(i, -1)] / n, 6) for i in range(dim)]
-    stds = [
-        round((diag[(i, i)] / n - (diag[(i, -1)] / n) ** 2) ** 0.5, 6)
-        for i in range(dim)
-    ]
+    # NOTE: expression shapes below mirror the DuckDB oracle exactly
+    # (same operand order, same double ops) so the rounded constants are
+    # bit-identical cross-engine.
+    means, stds = [], []
+    for i in range(dim):
+        m2 = diag[(i, -1)] / (n * float(SCALE))
+        var = diag[(i, i)] / (n * float(SCALE2)) - m2 * m2
+        means.append(round(m2, 6))
+        stds.append(round(math.sqrt(var), 6))
     m_arr = F.array(*[F.lit(v) for v in means])
     s_arr = F.array(*[F.lit(v) for v in stds])
     x = F.transform(F.col(vec_col), lambda v: v.cast("double"))

@@ -1479,20 +1479,24 @@ def llm_pseudonymized_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "llm_embedding_covariance",
     oracle="""
-    WITH e AS (
+    WITH e0 AS (
       SELECT vec_id, unnest(embedding)::DOUBLE AS x,
              (generate_subscripts(embedding, 1) - 1)::BIGINT AS i
       FROM embeddings
     ),
-    n AS (SELECT COUNT(*)::DOUBLE AS n FROM embeddings),
-    sums AS (SELECT i, SUM(x) AS sx FROM e GROUP BY i),
+    e AS (
+      SELECT vec_id, i, CAST(FLOOR(x * 10000.0) AS BIGINT) AS q FROM e0
+    ),
+    n AS (SELECT COUNT(*)::BIGINT AS n FROM embeddings),
+    sums AS (SELECT i, SUM(q) AS sx FROM e GROUP BY i),
     prods AS (
-      SELECT a.i AS i, b.i AS j, SUM(a.x * b.x) AS sxy
+      SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS sxy
       FROM e a JOIN e b ON a.vec_id = b.vec_id AND a.i <= b.i
       GROUP BY 1, 2
     )
     SELECT p.i, p.j,
-           ROUND(p.sxy / n.n - (si.sx / n.n) * (sj.sx / n.n), 6) AS cov
+           ROUND((n.n * p.sxy - si.sx * sj.sx)::DOUBLE
+                 / (n.n * n.n)::DOUBLE / 100000000.0, 6) AS cov
     FROM prods p
     CROSS JOIN n
     JOIN sums si ON si.i = p.i
@@ -1505,9 +1509,13 @@ def llm_pseudonymized_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "partial-moment row via numpy X.T@X (NO 4096x explode of the fact "
     "table), then sums partials with a groupBy whose input is "
     "O(batches x d^2) — independent of corpus size, so the plan is "
-    "unchanged at 100 TB. The oracle recomputes the matrix by "
-    "brute-force UNNEST self-join, which is exactly the quadratic "
-    "blow-up the Spark plan avoids.",
+    "unchanged at 100 TB. Components are quantized (floor(x*1e4), the "
+    "op's stated contract) so every sum is integer-exact and the result "
+    "is bit-identical under any partitioning — the round-4 driver hash "
+    "flake was float summation-order dependence, eliminated here. The "
+    "oracle recomputes the same quantized matrix by brute-force UNNEST "
+    "self-join, which is exactly the quadratic blow-up the Spark plan "
+    "avoids.",
     tags=("llm", "embedding", "stats"),
 )
 def llm_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1687,8 +1695,13 @@ def llm_embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     ),
     st AS (
-      SELECT i, ROUND(AVG(x), 6) AS m, ROUND(STDDEV_POP(x), 6) AS s
-      FROM e GROUP BY i
+      SELECT i,
+             ROUND(SUM(q)::DOUBLE / (COUNT(*) * 10000.0), 6) AS m,
+             ROUND(SQRT(SUM(q * q)::DOUBLE / (COUNT(*) * 100000000.0)
+                        - (SUM(q)::DOUBLE / (COUNT(*) * 10000.0))
+                          * (SUM(q)::DOUBLE / (COUNT(*) * 10000.0))), 6) AS s
+      FROM (SELECT i, CAST(FLOOR(x * 10000.0) AS BIGINT) AS q FROM e)
+      GROUP BY i
     ),
     sc AS (
       SELECT e.vec_id,
@@ -1703,12 +1716,13 @@ def llm_embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="Diagonal-Mahalanobis embedding outlier scores with a p99 flag — "
     "the drift/garbage detector run before admitting embeddings into a "
     "training corpus. Per-dim mean/std come from the distributed moment "
-    "pass (operators/stats.py), rounded to 6 decimals so the constants "
-    "are engine-exact, then scoring is a zip_with+aggregate fold over "
-    "array literals: zero corpus explode, zero shuffle in the scoring "
-    "pass; the p99 threshold is a 1-row broadcast. The oracle recomputes "
-    "stats by UNNEST (the blow-up the Spark plan avoids) with the same "
-    "rounded constants.",
+    "pass (operators/stats.py — integer-exact quantized sums, so the "
+    "constants cannot drift with partitioning), rounded to 6 decimals "
+    "so they are engine-exact, then scoring is a zip_with+aggregate "
+    "fold over array literals: zero corpus explode, zero shuffle in the "
+    "scoring pass; the p99 threshold is a 1-row broadcast. The oracle "
+    "recomputes stats by UNNEST (the blow-up the Spark plan avoids) "
+    "with the identical quantized expressions.",
     tags=("llm", "embedding", "stats", "quality"),
 )
 def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
