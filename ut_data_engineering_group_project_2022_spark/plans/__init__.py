@@ -29,69 +29,64 @@ from ut_data_engineering_group_project_2022_spark.plans import (  # noqa: F401,E
     tpch_queries,
 )
 
-# Round-4 window: the 47 queries that have never received a driver-side
-# correctness row (every llm_* stats/retrieval operator and every round-2
-# op_* family), plus graph_betweenness_nations (whose only driver row is
-# round 1's FAIL — it passes the identical DuckDB-oracle compare locally
-# and must be re-proven at the driver), plus a re-confirmation slot for
-# llm_simhash_fingerprints (the other r1 FAIL, re-greened r2/r3).
-# Everything rotated out of the window stays registered and fully gated by
-# tests/test_oracle_parity.py; rounds 1-3 already drove it green
-# (CORRECTNESS_r01..r03 union covers 98/145).
-_PRIORITY = [
-    # -- llm_* text/retrieval/stats: never driver-checked --
-    "llm_repetition_metrics",
-    "llm_stratified_sample",
-    "llm_token_topk",
-    "llm_mixture_weights",
-    "llm_tfidf_topterms",
-    "llm_bm25_search",
-    "llm_inverted_index",
-    "llm_approx_distinct",
-    "llm_bigram_lm_score",
-    "llm_pii_scrub",
-    "llm_pseudonymized_activity",
-    "llm_embedding_covariance",
-    "llm_length_filter",
-    "llm_doc_chunks",
-    "llm_sequence_packing",
-    "llm_embedding_pca_whiten",  # rows-only: no SQL oracle by design
-    "llm_embedding_outliers",
-    "llm_incremental_dedup",
-    # -- op_* single-operator queries: never driver-checked --
-    "op_union_all",
-    "op_explode_tokens",
-    "op_collect_reassemble",
-    "op_sequence_dim",
-    "op_regex_filter",
-    "op_length_filter",
-    "op_running_total",
-    "op_topk_per_group",
-    "op_argmax_customer_per_nation",
-    "op_sessionize",
-    "op_tumbling_hourly",
-    "op_pivot_event_counts",
-    "op_json_extract",
-    "op_clean_strings",
-    "op_order_limit",
-    "op_array_predicates",
-    "op_failure_count",
-    "op_salted_agg",
-    "op_rollup_revenue",
-    "op_lead_lag_delta",
-    "op_intersect_except",
-    "op_percentiles",
-    "op_range_frame",
-    "op_funnel",
-    "op_retention_cohorts",
-    "op_hopping_window",
-    "op_scd2_user_state",
-    "op_range_join_bucketed",
-    "op_key_skew_profile",
-    # -- re-proof slots --
-    "graph_betweenness_nations",  # only driver row is r1 FAIL; green locally
-    "graph_louvain",  # round-4 addition: modularity-gain community detection
-    "llm_simhash_fingerprints",  # r1 FAIL -> r2/r3 green; keep one fresh row
-]
+# Freshness POLICY (replaces the per-round hand-curated lists of rounds
+# 1-4): the driver's 50-slot correctness window is allocated by reading
+# the CORRECTNESS_r*.json history the driver itself writes to the repo
+# root, ordering the registry as
+#
+#   1. queries whose LATEST driver row is a FAIL  (re-prove fixes first),
+#   2. queries with no driver row yet             (close coverage gaps),
+#   3. everything else, stalest-checked round first,
+#
+# with registration order as the deterministic tiebreak. Strict
+# oldest-first rotation bounds worst-case staleness at
+# ceil(n_queries / 50) rounds (~3 at the current 146) — the best any
+# 50-slot window can do — and automatically rotates flagship families
+# (star_q*, tpch_q*) back in as they age, with no list to maintain.
+# Every oracle-carrying query additionally stays gated every session by
+# tests/test_oracle_parity.py regardless of window position.
 
-set_priority(_PRIORITY)
+
+def _driver_history() -> dict[str, tuple[int, bool]]:
+    """name -> (latest driver round with a row, that row passed).
+
+    A row passes when err is None/'no_oracle' and no match flag is
+    False ('no_oracle' is the driver's rows-only check for queries that
+    are not SQL-expressible — a pass of the weaker gate).
+    Missing/corrupt history files degrade to registration order.
+    """
+    import json
+    from pathlib import Path
+
+    hist: dict[str, tuple[int, bool]] = {}
+    root = Path(__file__).resolve().parents[2]
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
+        try:
+            rnd = int(p.stem.rsplit("_r", 1)[1])
+            rows = json.loads(p.read_text())
+        except (ValueError, OSError, json.JSONDecodeError):
+            continue
+        for name, row in rows.items():
+            ok = row.get("err") in (None, "no_oracle") and not any(
+                row.get(k) is False
+                for k in ("rows_match", "schema_match", "hash_match")
+            )
+            hist[name] = (rnd, ok)
+    return hist
+
+
+_HIST = _driver_history()
+_REGISTERED = list(all_queries())
+
+
+def _window_key(pos_name: tuple[int, str]) -> tuple[int, int, int]:
+    pos, name = pos_name
+    if name not in _HIST:
+        return (1, 0, pos)
+    rnd, ok = _HIST[name]
+    return (0 if not ok else 2, rnd, pos)
+
+
+set_priority(
+    [name for _, name in sorted(enumerate(_REGISTERED), key=_window_key)]
+)
