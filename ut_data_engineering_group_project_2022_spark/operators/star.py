@@ -204,6 +204,55 @@ def dense_ids(
     )
 
 
+def global_dense_rank(
+    df: DataFrame,
+    order_col: str,
+    colname: str = "rnk",
+    descending: bool = True,
+) -> DataFrame:
+    """Global DENSE_RANK over ``order_col`` WITHOUT a single-partition
+    window — the scale path for W1 ranks at fact grain (the customer-
+    grain bi_rank_* queries were the registry's last unpartitioned
+    WindowExec at 100x; rounds 3-4 verdicts flagged them).
+
+    Same two-phase trick as :func:`dense_ids`: range-partition on the
+    key so equal keys colocate (partition i holds strictly better keys
+    than partition i+1), DENSE_RANK locally per partition, then add the
+    number of DISTINCT keys in all earlier partitions. The only driver
+    artifact is the numPartitions-row distinct-count collect; sampled
+    range boundaries cannot change the result (equal keys always land
+    in the same partition), so the ranks are deterministic.
+    """
+    spark = df.sparkSession
+    n = spark.sparkContext.defaultParallelism
+    key = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    local = (
+        df.repartitionByRange(n, key)
+        .withColumn("__pid", F.spark_partition_id())
+        .withColumn(
+            "__lrnk",
+            F.dense_rank().over(W.partitionBy("__pid").orderBy(key)),
+        )
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        local.groupBy("__pid")
+        .agg(F.countDistinct(order_col).alias("__c"))
+        .collect(),
+        key=lambda r: r["__pid"],
+    )
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r["__pid"], acc))
+        acc += r["__c"]
+    off_df = spark.createDataFrame(offsets, "__pid int, __off long")
+    return (
+        local.join(F.broadcast(off_df), "__pid")
+        .withColumn(colname, (F.col("__lrnk") + F.col("__off")).cast("int"))
+        .drop("__pid", "__lrnk", "__off")
+    )
+
+
 def upsert_dim(
     dim: DataFrame,
     values: DataFrame,

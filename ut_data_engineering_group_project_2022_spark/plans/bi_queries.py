@@ -23,6 +23,9 @@ from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
 from ut_data_engineering_group_project_2022_spark.catalog import table
+from ut_data_engineering_group_project_2022_spark.operators.star import (
+    global_dense_rank,
+)
 from ut_data_engineering_group_project_2022_spark.plans.registry import register
 
 # Exact cross-engine revenue: decimal arithmetic end-to-end (see registry.py).
@@ -59,8 +62,11 @@ def bi_rank_customers_by_order_count(spark: SparkSession, sf_dir: str) -> DataFr
         "c_name",
         F.count("o_orderkey").over(W.partitionBy("c_custkey")).alias("n_orders"),
     ).distinct()
-    return counted.withColumn(
-        "rnk", F.dense_rank().over(W.orderBy(F.desc("n_orders")))
+    # Customer-grain rank: two-phase (range-partition + offsets), NOT a
+    # global window — W1 parity at fact grain without the single-partition
+    # WindowExec (the rounds-3/4 100x finding).
+    return global_dense_rank(counted, "n_orders").select(
+        "c_custkey", "c_name", "n_orders", "rnk"
     )
 
 
@@ -91,7 +97,10 @@ def bi_rank_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("revenue"),
     ).distinct()
-    return summed.withColumn("rnk", F.dense_rank().over(W.orderBy(F.desc("revenue"))))
+    # Two-phase rank — see bi_rank_customers_by_order_count.
+    return global_dense_rank(summed, "revenue").select(
+        "c_custkey", "c_name", "revenue", "rnk"
+    )
 
 
 @register(
