@@ -289,6 +289,97 @@ def test_covariance_partials_aggregate_before_shuffle(spark):
     assert "SortMergeJoin" not in plan, plan
 
 
+# -- Registry-wide global-window audit ------------------------------------
+#
+# A Window with an EMPTY partition spec funnels its whole input through one
+# task. That is only acceptable above a bounded-cardinality frame. Every
+# query below is allowed a global window for the stated reason; everything
+# else must either have a Limit below the window (top-k frames — including
+# rank()+filter forms Spark rewrites via LimitPushDownThroughWindow) or no
+# global window at all. Queries whose rank runs inside an eager
+# localCheckpoint (the two-phase global_dense_rank family) surface no
+# window here BY DESIGN: their window is partitioned by __pid.
+_GLOBAL_WINDOW_EXEMPT = {
+    # W1 reference parity: the 15 star BI queries return ALL ranked rows of
+    # a dim-grain frame (years/domains/venues/affiliations/authors after
+    # the DISTINCT collapse) — same asymptotics as the reference's
+    # Postgres DENSE_RANK (SURVEY §2.6 W1; ref dags/sql/queries.sql).
+    **{
+        f"star_q{i:02d}": "W1 parity rank over dim-grain collapse"
+        for i in range(1, 15)
+    },
+    # Bounded-by-schema frames: 25 nations / <=61 order years / 5 market
+    # segments / 5 order priorities.
+    "bi_rank_nations_by_avg_order": "25-row nation frame",
+    "bi_rank_order_years": "bounded year frame",
+    "bi_rank_mktsegments": "5-row segment frame",
+    "bi_rank_priorities_by_revenue": "5-row priority frame",
+    # k-row / distinct-dim frames.
+    "llm_kmeans_clusters": "row_number over k centroid seeds",
+    "op_surrogate_keys": "row_number over DISTINCT dim naturals",
+}
+
+
+def _walk_jplan(node):
+    yield node
+    ch = node.children()
+    for i in range(ch.size()):
+        yield from _walk_jplan(ch.apply(i))
+
+
+def test_no_unbounded_global_windows_registry_wide(spark):
+    """Walk every registered query's optimized plan: any empty-partition
+    Window must sit above a Limit or be exempt-listed with a reason."""
+    from ut_data_engineering_group_project_2022_spark.plans import all_queries
+
+    offenders = []
+    for name, spec in all_queries().items():
+        qe = spec.spark(spark, SF_DIR)._jdf.queryExecution()
+        exempt_hits = 0
+        for nd in _walk_jplan(qe.optimizedPlan()):
+            if (
+                nd.getClass().getSimpleName() != "Window"
+                or not nd.partitionSpec().isEmpty()
+            ):
+                continue
+            bounded = any(
+                c.getClass().getSimpleName() in ("GlobalLimit", "LocalLimit")
+                for c in _walk_jplan(nd.child())
+            )
+            if bounded:
+                continue
+            if name in _GLOBAL_WINDOW_EXEMPT or any(
+                name.startswith(p + "_") for p in _GLOBAL_WINDOW_EXEMPT
+            ):
+                exempt_hits += 1
+                continue
+            offenders.append(
+                (name, nd.windowExpressions().apply(0).toString()[:80])
+            )
+        assert exempt_hits <= 1, (
+            f"{name}: several global windows — exemption covers one frame"
+        )
+    assert not offenders, (
+        "unbounded global windows (single-task at scale); two-phase them "
+        f"via operators.star.global_dense_rank or exempt with a reason: "
+        f"{offenders}"
+    )
+
+
+def test_global_window_exempt_list_is_current(spark):
+    """Every exempt entry must still name a registered query — stale
+    entries would silently waive the audit for renamed queries."""
+    from ut_data_engineering_group_project_2022_spark.plans import all_queries
+
+    names = set(all_queries())
+    stale = [
+        n
+        for n in _GLOBAL_WINDOW_EXEMPT
+        if n not in names and not any(q.startswith(n + "_") for q in names)
+    ]
+    assert not stale, f"exempt entries name no registered query: {stale}"
+
+
 def test_pseudonymized_activity_has_partial_aggregation(spark):
     """The per-pseudonym rollup must map-side combine before its single
     shuffle on the (uniform) md5 pseudonym key."""

@@ -168,8 +168,9 @@ def bi_rank_parts_by_shipped_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("total_qty"),
     ).distinct()
-    return collapsed.withColumn(
-        "rnk", F.dense_rank().over(W.orderBy(F.desc("total_qty")))
+    # Part-grain scales with SF -> two-phase rank, not a global window.
+    return global_dense_rank(collapsed, "total_qty").select(
+        "p_partkey", "p_name", "total_qty", "rnk"
     )
 
 
@@ -208,8 +209,9 @@ def bi_rank_suppliers_by_region_revenue(spark: SparkSession, sf_dir: str) -> Dat
         "s_name",
         F.round(F.sum(_rev()).over(W.partitionBy("s_suppkey")), 2).cast("double").alias("revenue"),
     ).distinct()
-    return collapsed.withColumn(
-        "rnk", F.dense_rank().over(W.orderBy(F.desc("revenue")))
+    # Supplier-grain scales with SF -> two-phase rank, not a global window.
+    return global_dense_rank(collapsed, "revenue").select(
+        "s_suppkey", "s_name", "revenue", "rnk"
     )
 
 
