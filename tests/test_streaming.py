@@ -251,3 +251,61 @@ def test_stateful_dedup_first_wins_across_batches(spark, tmp_path):
     ).write.mode("append").parquet(str(inbox))
     got2 = {(r["doc_id"], r["text"]) for r in run("dedup_b2")}
     assert got2 == {(5, "gamma")}
+
+
+def test_incremental_neardup_two_batch_replay(spark):
+    """X52's defining append-time behavior (asked rounds 2-3): run TWO
+    consecutive batches against a corpus that grows between them. A
+    batch-2 doc that near-dups a batch-1 doc must be caught — proving
+    batch-1 admissions really join the corpus signature set — and a
+    replay of batch 2 must be byte-identical (idempotent append path)."""
+    from ut_data_engineering_group_project_2022_spark.operators.dedup import (
+        incremental_neardup,
+    )
+
+    def doc(i, text):
+        return (i, text)
+
+    schema = "doc_id bigint, text string"
+    words = "the quick brown fox jumps over a lazy dog near the old stone bridge"
+    novel1 = "orbits of small moons precess slowly under tidal torque each year"
+    base = [
+        doc(1, words + " at dawn"),
+        doc(2, "entropy always increases in closed systems over long spans"),
+        doc(3, "rivers carve canyons through soft rock given enough time"),
+        doc(4, "markets clear when prices adjust to match supply and demand"),
+    ]
+    corpus0 = spark.createDataFrame(base, schema)
+
+    # batch 1: one exact dup of corpus doc 2, one novel doc
+    batch1 = spark.createDataFrame(
+        [doc(101, base[1][1]), doc(102, novel1)], schema
+    )
+    r1 = {r["doc_id"]: r for r in incremental_neardup(batch1, corpus0).collect()}
+    assert r1[101]["is_dup"] and r1[101]["match_id"] == 2
+    assert not r1[102]["is_dup"] and r1[102]["match_id"] is None
+
+    # corpus grows by the admitted batch (the append path)
+    corpus1 = corpus0.unionByName(batch1)
+
+    # batch 2: near-dup of BATCH-1's novel doc (one word changed), exact
+    # dup of an original corpus doc, and a novel doc
+    near_102 = novel1.replace("year", "orbit")
+    batch2 = spark.createDataFrame(
+        [
+            doc(201, near_102),
+            doc(202, base[2][1]),
+            doc(203, "glaciers retreat uphill as summer melt outpaces snowfall"),
+        ],
+        schema,
+    )
+    r2 = {r["doc_id"]: r for r in incremental_neardup(batch2, corpus1).collect()}
+    assert r2[201]["is_dup"] and r2[201]["match_id"] == 102, (
+        "batch-2 near-dup against a batch-1 admission must be caught"
+    )
+    assert r2[202]["is_dup"] and r2[202]["match_id"] == 3
+    assert not r2[203]["is_dup"]
+
+    # replay batch 2: identical verdicts (deterministic md5 signatures)
+    r2b = {r["doc_id"]: r for r in incremental_neardup(batch2, corpus1).collect()}
+    assert r2 == r2b
