@@ -242,7 +242,23 @@ def simhash_pairs_banded(
     3 bits would collide nearly every pair — at 14/48 the threshold sits
     inside the random-pair Hamming distribution and no guaranteed
     banding is sub-quadratic.
+
+    Verification is FUSED into the band join: each banded row carries
+    its 8-byte fingerprint, so the popcount filter kills false
+    candidates in the join stage itself. The naive shape (candidate
+    pairs -> distinct -> re-join fingerprints twice) shuffles the full
+    candidate set — on near-dup-heavy corpora band values are skewed
+    and candidates blow up far past n_bands*n^2/2^bits (13.9M pairs on
+    the 5k-doc bench corpus); fusing cut the query 2.5x and at scale
+    removes a candidate-sized shuffle entirely. The final dedup
+    (a pair can match in several bands) runs on the verified set, which
+    the Hamming threshold keeps near-dup-sized.
     """
+    # Referenced four times below (banded x2 via self-join, fa, fb):
+    # materialize once — in production this is the pre-built signature
+    # table; recomputing the tokenize + 48-agg plan per reference is the
+    # round-5 bench finding (3x the fingerprint cost for nothing).
+    fingerprints = fingerprints.localCheckpoint(eager=True)
     n_bands = max_hamming + 1
     widths = [
         n_bits // n_bands + (1 if b < n_bits % n_bands else 0)
@@ -261,33 +277,32 @@ def simhash_pairs_banded(
         ]
     )
     banded = fingerprints.select(
-        "doc_id", F.explode(bands).alias("bv")
-    ).select("doc_id", F.col("bv.band").alias("band"), F.col("bv.bval").alias("bval"))
-    cand = (
-        banded.alias("a")
-        .join(
-            banded.alias("b"),
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.bval") == F.col("b.bval"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
-        )
-        .distinct()
+        "doc_id", "simhash48", F.explode(bands).alias("bv")
+    ).select(
+        "doc_id",
+        "simhash48",
+        F.col("bv.band").alias("band"),
+        F.col("bv.bval").alias("bval"),
     )
-    fa = fingerprints.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash48").alias("fa")
+    ba = banded.select(
+        F.col("doc_id").alias("doc_a"), F.col("simhash48").alias("fa"),
+        "band", "bval",
     )
-    fb = fingerprints.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash48").alias("fb")
+    bb = banded.select(
+        F.col("doc_id").alias("doc_b"), F.col("simhash48").alias("fb"),
+        F.col("band").alias("band_b"), F.col("bval").alias("bval_b"),
     )
     return (
-        cand.join(fa, "doc_a")
-        .join(fb, "doc_b")
+        ba.join(
+            bb,
+            (F.col("band") == F.col("band_b"))
+            & (F.col("bval") == F.col("bval_b"))
+            & (F.col("doc_a") < F.col("doc_b")),
+        )
         .withColumn("hamming", F.bit_count(F.expr("fa ^ fb")).cast("int"))
         .filter(F.col("hamming") <= max_hamming)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
@@ -297,6 +312,9 @@ def simhash_pairs(fingerprints: DataFrame, max_hamming: int) -> DataFrame:
     All-pairs form — the verification baseline for
     :func:`simhash_pairs_banded`, and the only complete path for loose
     thresholds (see the banding scale note there)."""
+    # Both join sides derive from `fingerprints`; materialize it once or
+    # the whole tokenize + 48-agg fingerprint plan evaluates twice.
+    fingerprints = fingerprints.localCheckpoint(eager=True)
     a = fingerprints.select(
         F.col("doc_id").alias("doc_a"), F.col("simhash48").alias("fa")
     )

@@ -66,41 +66,48 @@ def pagerank(
     Iterative join-aggregate loop: contrib_i+1(v) = sum over in-edges of
     pr_i(u)/outdeg(u); pr_i+1 = (1-d)/N + d*contrib. Scores rounded to 6
     decimals at the end. Each iteration is one shuffle on dst; the rank
-    vector is eagerly localCheckpoint'ed between iterations (lineage
-    otherwise grows exponentially at cluster scale).
+    vector is eagerly localCheckpoint'ed every OTHER iteration (each
+    round references pr once, so lineage grows linearly — truncating
+    every second generation bounds plan depth at 2 while halving the
+    blocking materialization jobs), and never on the last iteration:
+    its result flows straight into the output projection, so the final
+    round + rounding run as ONE job instead of checkpoint-then-project.
     """
     # localCheckpoint(eager) instead of cache+count everywhere below: one
     # action materializes AND truncates the logical plan (cache keeps it),
-    # so each iteration schedules one job, not two — measured 27% faster
-    # at sf0.1. No lazy-cache race is possible (materialization is eager);
-    # the node-sized checkpoint blocks of stale generations are released
-    # by the ContextCleaner once their DataFrames go out of scope.
-    nodes = edges.select(F.col("src").alias("id")).unionAll(
-        edges.select(F.col("dst").alias("id"))
+    # so each checkpointed iteration schedules one job, not two —
+    # measured 27% faster at sf0.1. No lazy-cache race is possible
+    # (materialization is eager); the node-sized checkpoint blocks of
+    # stale generations are released by the ContextCleaner once their
+    # DataFrames go out of scope.
+    # Materialize the edge projection ONCE: nodes, deg, and the joined
+    # edge list all derive from it, and without this barrier the (often
+    # expensive) upstream plan re-evaluates for each of them.
+    ed = edges.localCheckpoint(eager=True)
+    nodes = ed.select(F.col("src").alias("id")).unionAll(
+        ed.select(F.col("dst").alias("id"))
     ).distinct().localCheckpoint(eager=True)
     n = nodes.count()
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    e = edges.join(deg, "src").select("src", "dst", "d").localCheckpoint(eager=True)
+    deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    e = ed.join(deg, "src").select("src", "dst", "d").localCheckpoint(eager=True)
 
     pr = nodes.withColumn("pr", F.lit(1.0 / n))
-    for _ in range(iterations):
+    for i in range(iterations):
         contrib = (
             e.join(pr, e.src == pr.id)
             .select(F.col("dst").alias("id"), (F.col("pr") / F.col("d")).alias("c"))
             .groupBy("id")
             .agg(F.sum("c").alias("contrib"))
         )
-        pr = (
-            nodes.join(contrib, "id", "left")
-            .select(
-                "id",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
-                ).alias("pr"),
-            )
-            .localCheckpoint(eager=True)
+        pr = nodes.join(contrib, "id", "left").select(
+            "id",
+            (
+                F.lit((1.0 - damping) / n)
+                + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
+            ).alias("pr"),
         )
+        if i % 2 == 0 and i != iterations - 1:
+            pr = pr.localCheckpoint(eager=True)
     return pr.select(
         F.col("id").alias("node_id"), F.round("pr", 6).alias("pagerank")
     )
@@ -194,11 +201,18 @@ def louvain(edges: DataFrame, rounds: int = 4) -> DataFrame:
             .groupBy(F.col("src").alias("id"), "cand")
             .agg(F.count(F.lit(1)).alias("kin"))
         )
-        own = labels.select("id", F.col("label").alias("cand"))
-        own_missing = own.join(
-            nbrc.select("id", "cand"), ["id", "cand"], "left_anti"
-        ).withColumn("kin", F.lit(0).cast("long"))
-        cand = nbrc.unionByName(own_missing)
+        # Ensure every node's OWN community is a candidate (kin=0 when no
+        # neighbor shares it): union a zero row and take max — identical
+        # to the anti-join+union form (nbrc kin >= 1 beats the 0) with
+        # one fewer shuffle per round.
+        own = labels.select(
+            "id", F.col("label").alias("cand"), F.lit(0).cast("long").alias("kin")
+        )
+        cand = (
+            nbrc.unionByName(own)
+            .groupBy("id", "cand")
+            .agg(F.max("kin").alias("kin"))
+        )
         scored = (
             cand.join(nodes, "id")
             .join(labels, "id")

@@ -290,6 +290,7 @@ def _louvain_oracle(rounds: int = 4) -> str:
     "the distributed program against a driver-side simulation plus a "
     "closed-form two-clique split.",
     tags=("graph", "community"),
+    bench=True,
 )
 def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = graph.customer_supplier_edges(spark, sf_dir)

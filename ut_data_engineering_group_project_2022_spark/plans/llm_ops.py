@@ -226,6 +226,7 @@ def llm_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     "random-pair Hamming distribution, where no guaranteed banding is "
     "sub-quadratic (see operators/dedup.py).",
     tags=("llm", "dedup", "simhash"),
+    bench=True,
 )
 def llm_simhash_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
     fps = dedup.simhash_fingerprints(table(spark, sf_dir, "documents"))
@@ -1517,6 +1518,7 @@ def llm_pseudonymized_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "self-join, which is exactly the quadratic blow-up the Spark plan "
     "avoids.",
     tags=("llm", "embedding", "stats"),
+    bench=True,
 )
 def llm_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ut_data_engineering_group_project_2022_spark.operators.stats import (
@@ -1801,6 +1803,7 @@ def llm_embedding_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     "sibling of llm_minhash_lsh's self-join (same signatures, "
     "asymmetric join).",
     tags=("llm", "dedup", "incremental"),
+    bench=True,
 )
 def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")

@@ -1113,6 +1113,7 @@ def op_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "All three windows partition by user_id — the history build "
     "shuffles once on the natural key and never globally sorts.",
     tags=("events", "scd"),
+    bench=True,
 )
 def op_scd2_user_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = table(spark, sf_dir, "events")
