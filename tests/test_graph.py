@@ -106,6 +106,108 @@ def test_louvain_two_cliques_split(spark):
     assert a_comms != b_comms
 
 
+def test_louvain_second_level_merges_stranded_bridge(spark):
+    # Barbell: two 5-cliques joined through a single bridge node m. The
+    # level-1 local-moving phase strands m as a singleton community (the
+    # canonical one-level Louvain artifact: neither clique offers m a
+    # positive gain while every clique node's own community dominates).
+    # The coarsening level must repair it — any singleton attached to a
+    # community is a strict modularity gain once contracted — matching
+    # GDS's hierarchical behavior. Closed form: exactly 2 communities,
+    # each clique intact, m absorbed into one of them.
+    pairs = (
+        _clique(["x1", "x2", "x3", "x4", "x5"])
+        + _clique(["y1", "y2", "y3", "y4", "y5"])
+        + [("x1", "m"), ("m", "y1")]
+    )
+    one = {
+        r["node_id"]: r["community"]
+        for r in graph.louvain(_edges(spark, pairs), rounds=4, levels=1).collect()
+    }
+    two = {
+        r["node_id"]: r["community"]
+        for r in graph.louvain(_edges(spark, pairs), rounds=4, levels=2).collect()
+    }
+    # level 1 strands the bridge in its own community
+    assert one["m"] not in {one["x1"], one["y1"]}
+    assert len(set(one.values())) == 3
+    # level 2: two communities, cliques intact, bridge absorbed
+    assert len(set(two.values())) == 2
+    assert len({two[v] for v in ("x1", "x2", "x3", "x4", "x5")}) == 1
+    assert len({two[v] for v in ("y1", "y2", "y3", "y4", "y5")}) == 1
+    assert two["m"] in {two["x1"], two["y1"]}
+
+
+def _wedges(spark, triples):
+    return spark.createDataFrame(triples, "src string, dst string, weight long")
+
+
+_TRI_A = [("a1", "a2"), ("a1", "a3"), ("a2", "a3")]
+_TRI_B = [("b1", "b2"), ("b1", "b3"), ("b2", "b3")]
+
+
+def test_louvain_weighted_uniform_weights_match_unweighted(spark):
+    # Uniform weights scale every gain score by w^2, so the argmax — and
+    # therefore the whole trajectory — must be identical to unweighted.
+    pairs = _TRI_A + _TRI_B + [("a1", "b1")]
+    uni = {
+        r["node_id"]: r["community"]
+        for r in graph.louvain(_edges(spark, pairs), rounds=4).collect()
+    }
+    wgt = {
+        r["node_id"]: r["community"]
+        for r in graph.louvain_weighted(
+            _wedges(spark, [(u, v, 7) for u, v in pairs]), rounds=4
+        ).collect()
+    }
+    assert uni == wgt
+
+
+def test_louvain_weighted_heavy_bridge_changes_communities(spark):
+    # Two light triangles joined by a weight-10 bridge: the same topology
+    # must yield DIFFERENT communities once weights enter the gain sums
+    # (the unweighted variant cannot see the bridge dominating b1's
+    # light intra-triangle ties) — proving the weight column actually
+    # flows through deg/kin/sigma rather than being dropped.
+    light = [(u, v, 1) for u, v in _TRI_A + _TRI_B]
+    wgt = {
+        r["node_id"]: r["community"]
+        for r in graph.louvain_weighted(
+            _wedges(spark, light + [("a1", "b1", 10)]), rounds=4
+        ).collect()
+    }
+    unw = {
+        r["node_id"]: r["community"]
+        for r in graph.louvain(
+            _edges(spark, _TRI_A + _TRI_B + [("a1", "b1")]), rounds=4
+        ).collect()
+    }
+    assert len({wgt[v] for v in ("a1", "a2", "a3")}) == 1  # a-side intact
+    assert wgt != unw
+
+
+@pytest.mark.parametrize(
+    "triples",
+    [
+        [(u, v, 1) for u, v in _TRI_A + _TRI_B] + [("a1", "b1", 10)],
+        [("a", "b", 3), ("b", "c", 1), ("c", "d", 7), ("d", "a", 2)],
+        [(u, v, 2 + i % 3) for i, (u, v) in enumerate(_clique(["p", "q", "r", "s"]))],
+    ],
+)
+def test_louvain_weighted_matches_driver_simulation(spark, triples):
+    dist = {
+        r["node_id"]: r["community"]
+        for r in graph.louvain_weighted(_wedges(spark, triples), rounds=4).collect()
+    }
+    sim = {
+        r["node_id"]: r["community"]
+        for r in graph.louvain_exact(
+            _wedges(spark, triples), rounds=4, weighted=True
+        ).collect()
+    }
+    assert dist == sim
+
+
 @pytest.mark.parametrize(
     "pairs",
     [
@@ -118,6 +220,10 @@ def test_louvain_two_cliques_split(spark):
         # cycle C6
         [("n1", "n2"), ("n2", "n3"), ("n3", "n4"),
          ("n4", "n5"), ("n5", "n6"), ("n6", "n1")],
+        # barbell: exercises the coarsening level (bridge merge)
+        _clique(["x1", "x2", "x3", "x4", "x5"])
+        + _clique(["y1", "y2", "y3", "y4", "y5"])
+        + [("x1", "m"), ("m", "y1")],
     ],
 )
 def test_louvain_matches_driver_simulation(spark, pairs):

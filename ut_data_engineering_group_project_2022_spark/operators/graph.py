@@ -152,12 +152,17 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
 _EVEN_HEX = ("0", "2", "4", "6", "8", "a", "c", "e")
 
 
-def louvain(edges: DataFrame, rounds: int = 4) -> DataFrame:
-    """One-level Louvain: modularity-gain local moves (SURVEY G6).
+def _louvain_moves(und_w: DataFrame, rounds: int) -> DataFrame:
+    """Weighted modularity-gain local-moving rounds (the Louvain phase-1
+    kernel, shared by every level of :func:`louvain`).
 
-    The reference runs Neo4j GDS Louvain (ref dags/graph_queries.cyp:19-30);
-    this is the distributed level-1 local-moving phase as a DataFrame loop
-    (no coarsening — one level, fixed ``rounds``):
+    ``und_w`` is a weighted undirected graph as DIRECTED rows
+    ``(src, dst, w)`` with both orientations present, where a self-loop
+    row ``(c, c, w)`` carries ``w = 2 x internal edge weight`` — under
+    that representation a plain ``SUM(w)`` per ``src`` IS the weighted
+    degree, and ``SUM(w)`` over all rows is ``2m``, with no special
+    casing. Self-loops are excluded from the neighbor-community scan
+    (they move with the node, adding equal gain to every candidate).
 
       * singleton seed — every node starts as its own community (the
         Louvain init; a min-label-propagation seed would collapse each
@@ -166,26 +171,31 @@ def louvain(edges: DataFrame, rounds: int = 4) -> DataFrame:
       * per round, a node may move to the neighbor community maximizing
         the modularity gain.  Gain comparisons use the integer score
         ``2m * k_iC - k_i * sigma_tot(C \\ i)`` (gain * (2m)^2 with
-        constant terms dropped) so the argmax is exact — no float
-        ties to diverge cross-engine.  Ties break to the minimum
-        community label;
-      * only half the nodes (md5-parity, alternating per round) may move
-        each round — synchronous all-node updates oscillate on symmetric
-        structures (a<->b adopt each other forever); deterministic
-        parity half-sweeps are the standard distributed-Louvain fix.
+        constant terms dropped; weights here are integer edge counts)
+        so the argmax is exact — no float ties to diverge cross-engine.
+        Ties break to the minimum community label;
+      * only half the nodes (md5-parity, alternating per round) may
+        move each round.  Synchronous all-node updates oscillate on
+        symmetric structures (a<->b adopt each other forever); the
+        parity gate DAMPS rather than eliminates that (two same-parity
+        neighbors can still swap within a round) — what it guarantees
+        is determinism; the fixed round count bounds any residual
+        swapping.
 
     Each round is three keyed shuffles (community sizes, per-node
     candidate scan, per-node argmax) — no global window, no driver-side
-    graph; rank vector localCheckpoint'ed per round as in pagerank().
-    Returns (node_id, community).
+    graph; the label vector is localCheckpoint'ed per round (it is
+    referenced three times per round, so lineage would otherwise grow
+    geometrically). Returns (id, label).
     """
-    und = undirect(edges).distinct().localCheckpoint(eager=True)
-    deg = und.groupBy(F.col("src").alias("id")).agg(F.count(F.lit(1)).alias("k"))
+    from pyspark.sql import Window as W
+
+    deg = und_w.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("k"))
     nodes = deg.localCheckpoint(eager=True)
-    two_m = und.count()  # sum of degrees = 2m
+    two_m = und_w.agg(F.sum("w")).collect()[0][0]
     labels = nodes.select("id", F.col("id").alias("label"))
     even = F.substring(F.md5(F.col("id")), 1, 1).isin(*_EVEN_HEX)
-    from pyspark.sql import Window as W
+    nonself = und_w.filter(F.col("src") != F.col("dst"))
 
     for r in range(rounds):
         sig = (
@@ -194,12 +204,12 @@ def louvain(edges: DataFrame, rounds: int = 4) -> DataFrame:
             .agg(F.sum("k").alias("sig"))
         )
         nbrc = (
-            und.join(
+            nonself.join(
                 labels.select(F.col("id").alias("dst"), F.col("label").alias("cand")),
                 "dst",
             )
             .groupBy(F.col("src").alias("id"), "cand")
-            .agg(F.count(F.lit(1)).alias("kin"))
+            .agg(F.sum("w").alias("kin"))
         )
         # Ensure every node's OWN community is a candidate (kin=0 when no
         # neighbor shares it): union a zero row and take max — identical
@@ -250,47 +260,167 @@ def louvain(edges: DataFrame, rounds: int = 4) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+    return labels
+
+
+def _contract(und_w: DataFrame, labels: DataFrame) -> DataFrame:
+    """Coarsen: communities become super-nodes; edge weights sum.
+
+    Because ``und_w`` carries both orientations, intra-community rows
+    fold into a self-loop ``(c, c, w = 2 x internal weight)`` — exactly
+    the self-loop convention :func:`_louvain_moves` expects."""
+    la = labels.select(F.col("id").alias("src"), F.col("label").alias("csrc"))
+    lb = labels.select(F.col("id").alias("dst"), F.col("label").alias("cdst"))
+    return (
+        und_w.join(la, "src")
+        .join(lb, "dst")
+        .groupBy(F.col("csrc").alias("src"), F.col("cdst").alias("dst"))
+        .agg(F.sum("w").alias("w"))
+    )
+
+
+def louvain(edges: DataFrame, rounds: int = 4, levels: int = 2) -> DataFrame:
+    """Hierarchical Louvain: local moves, coarsen, move again (SURVEY G6).
+
+    The reference runs Neo4j GDS Louvain (ref dags/graph_queries.cyp:
+    19-30), which is hierarchical; this is the same two-phase shape as
+    a DataFrame program: ``levels`` rounds of (local moving ->
+    community contraction), each level one :func:`_louvain_moves` pass
+    over the graph coarsened so far. Level 1 runs on the UNWEIGHTED
+    simple graph (edge multiplicity/weight from the projection is
+    ignored — GDS Louvain can be weight-aware; documented fidelity
+    delta), while coarsened levels are weighted by construction
+    (super-edge weight = inter-community edge count), keeping the gain
+    scores integer-exact at every level.
+
+    Contraction is one groupBy on the (node -> community) map; the
+    super-graph is community-sized, so upper levels cost a vanishing
+    fraction of level 1 at scale. Returns (node_id, community) where
+    ``community`` is the top-level community id each base node landed
+    in.
+    """
+    und = (
+        undirect(edges)
+        .distinct()
+        .withColumn("w", F.lit(1).cast("long"))
+        .localCheckpoint(eager=True)
+    )
+    return _louvain_hierarchy(und, rounds, levels)
+
+
+def louvain_weighted(
+    edges: DataFrame, rounds: int = 4, levels: int = 2
+) -> DataFrame:
+    """Weight-aware hierarchical Louvain: the edge ``weight`` column
+    (projection multiplicity — lineitem count per customer-supplier
+    pair) enters every degree / kin / sigma sum, mirroring GDS Louvain
+    with ``relationshipWeightProperty`` (ref graph_queries.cyp:19-30 —
+    the reference's graph carries MERGE multiplicities the unweighted
+    variant ignores). Weights are integer counts, so the gain scores
+    stay integer-exact; everything else (seed, parity sweeps,
+    contraction, levels) is identical to :func:`louvain`."""
+    fwd = edges.select("src", "dst", F.col("weight").cast("long").alias("w"))
+    rev = edges.select(
+        F.col("dst").alias("src"),
+        F.col("src").alias("dst"),
+        F.col("weight").cast("long").alias("w"),
+    )
+    und = fwd.unionAll(rev).localCheckpoint(eager=True)
+    return _louvain_hierarchy(und, rounds, levels)
+
+
+def _louvain_hierarchy(und: DataFrame, rounds: int, levels: int) -> DataFrame:
+    labels = _louvain_moves(und, rounds)
+    for _ in range(levels - 1):
+        sup = _contract(und, labels).localCheckpoint(eager=True)
+        upper = _louvain_moves(sup, rounds)
+        labels = (
+            labels.join(
+                upper.select(
+                    F.col("id").alias("label"), F.col("label").alias("upper")
+                ),
+                "label",
+            )
+            .select("id", F.col("upper").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        und = sup
     return labels.select(
         F.col("id").alias("node_id"), F.col("label").alias("community")
     )
 
 
-def louvain_exact(edges: DataFrame, rounds: int = 4) -> DataFrame:
-    """Driver-side simulation of :func:`louvain` — the small-graph TEST
-    ORACLE (same role as :func:`betweenness_exact`): identical singleton
-    seed, integer gain score, min-label tiebreak, and md5-parity
-    half-sweeps, executed in plain Python over the collected edge list."""
+def louvain_exact(
+    edges: DataFrame,
+    rounds: int = 4,
+    levels: int = 2,
+    weighted: bool = False,
+) -> DataFrame:
+    """Driver-side simulation of :func:`louvain` (and, with
+    ``weighted=True``, of :func:`louvain_weighted`) — the small-graph
+    TEST ORACLE (same role as :func:`betweenness_exact`): identical
+    singleton seed, integer gain score, min-label tiebreak, md5-parity
+    half-sweeps, contraction, and level count, executed in plain Python
+    over the collected edge list."""
     import hashlib
 
-    adj: dict[str, set[str]] = {}
-    for row in undirect(edges).distinct().collect():
-        adj.setdefault(row["src"], set()).add(row["dst"])
-    k = {v: len(ns) for v, ns in adj.items()}
-    two_m = sum(k.values())
-    label = {v: v for v in adj}
-    parity = {
-        v: hashlib.md5(v.encode()).hexdigest()[0] in _EVEN_HEX for v in adj
-    }
-    for r in range(rounds):
-        sig: dict[str, int] = {}
-        for v, lb in label.items():
-            sig[lb] = sig.get(lb, 0) + k[v]
-        new_label = dict(label)
-        for v in adj:
-            if parity[v] != (r % 2 == 0):
-                continue
-            kin: dict[str, int] = {label[v]: 0}
-            for w in adj[v]:
-                kin[label[w]] = kin.get(label[w], 0) + 1
+    # weighted directed-row map, self-loop rows carry 2x internal weight
+    # (the _louvain_moves representation)
+    w: dict[tuple[str, str], int] = {}
+    if weighted:
+        for row in edges.collect():
+            ww = int(row["weight"])
+            w[(row["src"], row["dst"])] = ww
+            w[(row["dst"], row["src"])] = ww
+    else:
+        for row in undirect(edges).distinct().collect():
+            w[(row["src"], row["dst"])] = 1
 
-            def score(c: str) -> int:
-                return two_m * kin[c] - k[v] * (
-                    sig[c] - (k[v] if c == label[v] else 0)
-                )
+    def moves(wmap: dict[tuple[str, str], int], n_rounds: int) -> dict[str, str]:
+        k: dict[str, int] = {}
+        for (u, _), ww in wmap.items():
+            k[u] = k.get(u, 0) + ww
+        two_m = sum(wmap.values())
+        label = {v: v for v in k}
+        parity = {
+            v: hashlib.md5(v.encode()).hexdigest()[0] in _EVEN_HEX for v in k
+        }
+        nonself: dict[str, dict[str, int]] = {v: {} for v in k}
+        for (u, v), ww in wmap.items():
+            if u != v:
+                nonself[u][v] = ww
+        for r in range(n_rounds):
+            sig: dict[str, int] = {}
+            for v, lb in label.items():
+                sig[lb] = sig.get(lb, 0) + k[v]
+            new_label = dict(label)
+            for v in k:
+                if parity[v] != (r % 2 == 0):
+                    continue
+                kin: dict[str, int] = {label[v]: 0}
+                for u, ww in nonself[v].items():
+                    kin[label[u]] = kin.get(label[u], 0) + ww
 
-            best_score = max(score(c) for c in kin)
-            new_label[v] = min(c for c in kin if score(c) == best_score)
-        label = new_label
+                def score(c: str) -> int:
+                    return two_m * kin[c] - k[v] * (
+                        sig[c] - (k[v] if c == label[v] else 0)
+                    )
+
+                best_score = max(score(c) for c in kin)
+                new_label[v] = min(c for c in kin if score(c) == best_score)
+            label = new_label
+        return label
+
+    label = moves(w, rounds)
+    for _ in range(levels - 1):
+        sup: dict[tuple[str, str], int] = {}
+        for (u, v), ww in w.items():
+            key = (label[u], label[v])
+            sup[key] = sup.get(key, 0) + ww
+        upper = moves(sup, rounds)
+        label = {v: upper[c] for v, c in label.items()}
+        w = sup
+
     spark = edges.sparkSession
     rows = sorted(label.items())
     return spark.createDataFrame(rows, "node_id string, community string")

@@ -220,60 +220,95 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.label_propagation(edges, max_iter=5)
 
 
-def _louvain_oracle(rounds: int = 4) -> str:
-    """Unrolled one-level-Louvain oracle (the ``_betweenness_oracle``
-    technique): per round — community degree sums, per-node neighbor-
-    community candidate scan (own community appended when absent), the
-    integer gain score ``2m*k_iC - k_i*(sig_tot(C) - k_i[C=own])``,
-    argmax via ROW_NUMBER (score DESC, cand ASC), and the md5-parity
-    half-sweep move gate. Mirrors operators/graph.py:louvain() exactly."""
+def _louvain_oracle(
+    rounds: int = 4, levels: int = 2, weighted: bool = False
+) -> str:
+    """Unrolled hierarchical-Louvain oracle (the ``_betweenness_oracle``
+    technique): per level — weighted degree sums from the (possibly
+    coarsened) edge list, then per round: community degree sums,
+    per-node neighbor-community candidate scan over non-self edges (own
+    community appended when absent), the integer gain score
+    ``2m*k_iC - k_i*(sig_tot(C) - k_i[C=own])``, argmax via ROW_NUMBER
+    (score DESC, cand ASC), and the md5-parity half-sweep move gate;
+    between levels, contraction to weighted super-edges whose
+    intra-community rows fold into the 2x self-loop convention. Mirrors
+    operators/graph.py:louvain() exactly."""
     even = "('0','2','4','6','8','a','c','e')"
+    if weighted:
+        und0 = """(SELECT src, dst, weight::BIGINT AS w FROM e0
+        UNION ALL SELECT dst, src, weight::BIGINT AS w FROM e0)"""
+    else:
+        und0 = """(SELECT src, dst, 1::BIGINT AS w FROM
+        (SELECT DISTINCT src, dst FROM
+           (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)))"""
     parts = [
         f"""WITH e0 AS ({_EDGES_SQL}),
-    und AS MATERIALIZED (SELECT DISTINCT src, dst FROM
-        (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)),
-    deg AS MATERIALIZED (SELECT src AS id, COUNT(*)::BIGINT AS k
-        FROM und GROUP BY 1),
-    tm AS (SELECT SUM(k)::BIGINT AS m2 FROM deg),
-    lab0 AS (SELECT id, id AS label FROM deg)"""
+    und0 AS MATERIALIZED (SELECT * FROM {und0}),
+    tm AS (SELECT SUM(w)::BIGINT AS m2 FROM und0)"""
     ]
-    for r in range(rounds):
-        mover_is_even = "TRUE" if r % 2 == 0 else "FALSE"
+    for lv in range(levels):
         parts.append(
             f""",
-    sig{r} AS MATERIALIZED (SELECT l.label, SUM(d.k)::BIGINT AS sig
-        FROM lab{r} l JOIN deg d ON d.id = l.id GROUP BY 1),
-    nbrc{r} AS MATERIALIZED (
-        SELECT u.src AS id, l.label AS cand, COUNT(*)::BIGINT AS kin
-        FROM und u JOIN lab{r} l ON l.id = u.dst GROUP BY 1, 2),
-    cand{r} AS (
-        SELECT id, cand, kin FROM nbrc{r}
+    deg_l{lv} AS MATERIALIZED (SELECT src AS id, SUM(w)::BIGINT AS k
+        FROM und{lv} GROUP BY 1),
+    l{lv}r0 AS (SELECT id, id AS label FROM deg_l{lv})"""
+        )
+        for r in range(rounds):
+            mover_is_even = "TRUE" if r % 2 == 0 else "FALSE"
+            parts.append(
+                f""",
+    sig_l{lv}r{r} AS MATERIALIZED (SELECT l.label, SUM(d.k)::BIGINT AS sig
+        FROM l{lv}r{r} l JOIN deg_l{lv} d ON d.id = l.id GROUP BY 1),
+    nbrc_l{lv}r{r} AS MATERIALIZED (
+        SELECT u.src AS id, l.label AS cand, SUM(u.w)::BIGINT AS kin
+        FROM und{lv} u JOIN l{lv}r{r} l ON l.id = u.dst
+        WHERE u.src <> u.dst GROUP BY 1, 2),
+    cand_l{lv}r{r} AS (
+        SELECT id, cand, kin FROM nbrc_l{lv}r{r}
         UNION ALL
-        SELECT l.id, l.label AS cand, 0::BIGINT AS kin FROM lab{r} l
-        WHERE NOT EXISTS (SELECT 1 FROM nbrc{r} n
+        SELECT l.id, l.label AS cand, 0::BIGINT AS kin FROM l{lv}r{r} l
+        WHERE NOT EXISTS (SELECT 1 FROM nbrc_l{lv}r{r} n
                           WHERE n.id = l.id AND n.cand = l.label)),
-    best{r} AS MATERIALIZED (
+    best_l{lv}r{r} AS MATERIALIZED (
         SELECT id, cand FROM (
             SELECT c.id, c.cand, ROW_NUMBER() OVER (
                 PARTITION BY c.id ORDER BY
                 t.m2 * c.kin - d.k * (s.sig -
                     CASE WHEN c.cand = l.label THEN d.k ELSE 0 END) DESC,
                 c.cand ASC) AS rn
-            FROM cand{r} c
-            JOIN deg d ON d.id = c.id
-            JOIN lab{r} l ON l.id = c.id
-            JOIN sig{r} s ON s.label = c.cand
+            FROM cand_l{lv}r{r} c
+            JOIN deg_l{lv} d ON d.id = c.id
+            JOIN l{lv}r{r} l ON l.id = c.id
+            JOIN sig_l{lv}r{r} s ON s.label = c.cand
             CROSS JOIN tm t)
         WHERE rn = 1),
-    lab{r + 1} AS MATERIALIZED (
+    l{lv}r{r + 1} AS MATERIALIZED (
         SELECT l.id,
                CASE WHEN (substr(md5(l.id), 1, 1) IN {even}) = {mover_is_even}
                     THEN b.cand ELSE l.label END AS label
-        FROM lab{r} l JOIN best{r} b ON b.id = l.id)"""
+        FROM l{lv}r{r} l JOIN best_l{lv}r{r} b ON b.id = l.id)"""
+            )
+        if lv < levels - 1:
+            parts.append(
+                f""",
+    und{lv + 1} AS MATERIALIZED (
+        SELECT la.label AS src, lb.label AS dst, SUM(u.w)::BIGINT AS w
+        FROM und{lv} u
+        JOIN l{lv}r{rounds} la ON la.id = u.src
+        JOIN l{lv}r{rounds} lb ON lb.id = u.dst
+        GROUP BY 1, 2)"""
+            )
+    # Compose the per-level maps: base node -> level-0 community -> ...
+    joins, sel = [], "m0.label"
+    for lv in range(1, levels):
+        joins.append(
+            f"JOIN l{lv}r{rounds} m{lv} ON m{lv}.id = m{lv - 1}.label"
         )
+        sel = f"m{lv}.label"
     parts.append(
         f"""
-    SELECT id AS node_id, label AS community FROM lab{rounds}"""
+    SELECT m0.id AS node_id, {sel} AS community
+    FROM l0r{rounds} m0 {' '.join(joins)}"""
     )
     return "".join(parts)
 
@@ -281,20 +316,36 @@ def _louvain_oracle(rounds: int = 4) -> str:
 @register(
     "graph_louvain",
     oracle=_louvain_oracle(),
-    doc="One-level Louvain community detection (SURVEY G6; ref dags/"
-    "graph_queries.cyp:19-30 GDS Louvain): modularity-gain local moves "
-    "over a singleton seed with integer-exact gain scores and md5-parity "
-    "half-sweeps (4 rounds) — see operators/graph.py:louvain(). Replaces "
-    "the label-propagation stand-in as the G6 implementation; the oracle "
-    "unrolls all four move rounds as CTEs, and tests/test_graph.py pins "
-    "the distributed program against a driver-side simulation plus a "
-    "closed-form two-clique split.",
+    doc="Hierarchical Louvain community detection (SURVEY G6; ref dags/"
+    "graph_queries.cyp:19-30 GDS Louvain): two levels of modularity-gain "
+    "local moves with community contraction between them — singleton "
+    "seed, integer-exact gain scores, md5-parity half-sweeps (4 rounds "
+    "per level), weighted super-edges at level 2 — see operators/"
+    "graph.py:louvain(). The oracle unrolls both levels (8 move rounds "
+    "plus the contraction) as CTEs, and tests/test_graph.py pins the "
+    "distributed program against a driver-side simulation plus "
+    "closed-form splits (two cliques; nested ring-of-cliques).",
     tags=("graph", "community"),
     bench=True,
 )
 def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = graph.customer_supplier_edges(spark, sf_dir)
     return graph.louvain(edges, rounds=4)
+
+
+@register(
+    "graph_louvain_weighted",
+    oracle=_louvain_oracle(weighted=True),
+    doc="Weight-aware hierarchical Louvain (GDS relationshipWeight"
+    "Property fidelity — the ADVICE round-4 gap): identical program to "
+    "graph_louvain but the lineitem-count edge weight enters every "
+    "degree / kin / sigma sum, still integer-exact. Oracle is the same "
+    "two-level CTE unroll seeded with the weighted edge list.",
+    tags=("graph", "community"),
+)
+def graph_louvain_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = graph.customer_supplier_edges(spark, sf_dir)
+    return graph.louvain_weighted(edges, rounds=4)
 
 
 def _betweenness_oracle(max_depth: int = 8) -> str:
