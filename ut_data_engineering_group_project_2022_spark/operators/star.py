@@ -226,6 +226,10 @@ def global_dense_rank(
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
     key = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    # Materialize the input before range-partitioning: the range
+    # partitioner's boundary-sampling pass and the exchange itself would
+    # otherwise each evaluate the (typically aggregate-shaped) input plan.
+    df = df.localCheckpoint(eager=True)
     local = (
         df.repartitionByRange(n, key)
         .withColumn("__pid", F.spark_partition_id())
