@@ -179,6 +179,11 @@ def dense_ids(
     """
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
+    if eager:
+        # One evaluation of the input instead of two: the range
+        # partitioner's boundary sampling and the exchange both run the
+        # input plan otherwise (same fix as global_dense_rank).
+        df = df.localCheckpoint(eager=True)
     local = df.repartitionByRange(n, *order_cols).withColumn(
         "__pid", F.spark_partition_id()
     )
