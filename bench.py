@@ -68,6 +68,20 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     cold_total = round(sum(r[0] for r in raw.values()), 3)
+    # The headline suite grew from 14 queries (rounds 1-4) to 19 in round
+    # 5; `value` covers the full current suite, while `r1_suite_total`
+    # sums only the original 14 so round-over-round totals stay
+    # comparable against the round-1 anchor in BASELINE.md.
+    r1_suite = {
+        "bi_rank_customers_by_order_count", "bi_rank_customers_by_revenue",
+        "bi_rank_parts_by_shipped_qty", "bi_rank_suppliers_by_region_revenue",
+        "graph_pagerank", "llm_knn_bruteforce", "llm_minhash_lsh",
+        "metric_hindex", "star_q01_authors_by_papers_in_domain",
+        "tpch_q10_returned_items", "tpch_q1_pricing_summary",
+        "tpch_q3_shipping_priority", "tpch_q5_local_supplier_volume",
+        "tpch_q6_forecast_revenue",
+    }
+    r1_total = round(sum(t for n, t in timings.items() if n in r1_suite), 3)
     print(
         json.dumps(
             {
@@ -77,6 +91,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_runs": raw,
                 "cold_total": cold_total,
+                "r1_suite_total": r1_total,
                 "sf": sf,
             }
         )
