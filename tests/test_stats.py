@@ -79,3 +79,25 @@ def test_pca_whiten_is_deterministic_across_runs(spark):
     a = sorted(map(tuple, pca_whiten(emb, dim=64, k=8).collect()))
     b = sorted(map(tuple, pca_whiten(emb.repartition(7), dim=64, k=8).collect()))
     assert a == b
+
+
+def test_embedding_quantize_reconstruction_bound(spark):
+    """int8 quantization contract: q in [-127, 127], and dequantized
+    components reconstruct within one quantization step (scale/127)."""
+    from ut_data_engineering_group_project_2022_spark.plans import get_query
+
+    rows = get_query("llm_embedding_quantize").spark(spark, SF_DIR).collect()
+    emb = {
+        r["vec_id"]: r["embedding"]
+        for r in table(spark, SF_DIR, "embeddings").collect()
+    }
+    assert len(rows) == len(emb)
+    for r in rows:
+        x = np.asarray(emb[r["vec_id"]], dtype="float64")
+        q = np.asarray(r["qvec"], dtype="float64")
+        s = r["scale"]
+        assert s == np.abs(x).max()
+        assert q.min() >= -127 and q.max() <= 127
+        if s > 0:
+            err = np.abs(x - q * s / 127.0)
+            assert err.max() <= s / 127.0 + 1e-12

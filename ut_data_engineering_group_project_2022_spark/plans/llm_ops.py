@@ -1810,3 +1810,44 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
     return dedup.incremental_neardup(batch, corpus, min_jaccard=0.8)
+
+
+@register(
+    "llm_embedding_quantize",
+    oracle="""
+    WITH s AS (
+      SELECT vec_id, embedding,
+             list_max(list_transform(embedding, x -> abs(x::DOUBLE))) AS scale
+      FROM embeddings
+    )
+    SELECT vec_id, scale,
+           CASE WHEN scale = 0
+                THEN list_transform(embedding, x -> 0)
+                ELSE list_transform(
+                  embedding,
+                  x -> CAST(FLOOR(x::DOUBLE / scale * 127.0) AS INT))
+           END AS qvec
+    FROM s
+    """,
+    doc="Per-vector symmetric int8 quantization of the embedding column "
+    "(scale = max |component|, q = floor(x/scale*127)) — the standard "
+    "4x memory reduction applied before ANN indexing / shipping "
+    "embeddings at corpus scale. Pure JVM column expressions (transform/"
+    "array_max), zero shuffles, zero Python; fully deterministic because "
+    "nothing is summed — scale is an exact float max and the quantizer "
+    "is FLOOR, so both engines produce identical arrays with no "
+    "rounding pins needed. The zero-vector guard avoids an ANSI-mode "
+    "overflow on floor(inf).",
+    tags=("llm", "embedding", "quantization"),
+)
+def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    x = F.transform(F.col("embedding"), lambda v: v.cast("double"))
+    scale = F.array_max(F.transform(x, lambda v: F.abs(v)))
+    q = F.transform(x, lambda v: F.floor(v / scale * F.lit(127.0)).cast("int"))
+    zeros = F.transform(x, lambda v: F.lit(0))
+    return emb.select(
+        "vec_id",
+        scale.alias("scale"),
+        F.when(scale == 0, zeros).otherwise(q).alias("qvec"),
+    )
