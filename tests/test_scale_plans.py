@@ -387,3 +387,33 @@ def test_pseudonymized_activity_has_partial_aggregation(spark):
 
     plan = _plan(get_query("llm_pseudonymized_activity").spark(spark, SF_DIR))
     assert "partial_count" in plan, plan
+
+
+def test_global_dense_rank_matches_window_on_random_data(spark):
+    """Property check for the two-phase rank: on randomized key
+    distributions (heavy ties, negatives, skew) the result must equal
+    the single-window DENSE_RANK exactly."""
+    import random
+
+    from pyspark.sql import Window
+
+    rng = random.Random(20260813)
+    for case in range(5):
+        n_rows = rng.choice([1, 7, 100, 500])
+        n_distinct = rng.choice([1, 3, 25])
+        rows = [
+            (i, float(rng.choice(range(-n_distinct, n_distinct, 2))))
+            for i in range(n_rows)
+        ]
+        df = spark.createDataFrame(rows, "id long, v double")
+        got = {
+            r["id"]: r["rnk"]
+            for r in star.global_dense_rank(df, "v").collect()
+        }
+        exp = {
+            r["id"]: r["rnk"]
+            for r in df.withColumn(
+                "rnk", F.dense_rank().over(Window.orderBy(F.desc("v")))
+            ).collect()
+        }
+        assert got == exp, f"case {case}: n_rows={n_rows} k={n_distinct}"
