@@ -1851,3 +1851,42 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         scale.alias("scale"),
         F.when(scale == 0, zeros).otherwise(q).alias("qvec"),
     )
+
+
+@register(
+    "llm_source_quota_sample",
+    oracle="""
+    SELECT doc_id, source
+    FROM (
+      SELECT doc_id, source,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY md5('quota-v1:' || doc_id::VARCHAR), doc_id) AS rn
+      FROM documents
+    )
+    WHERE rn <= 100
+    """,
+    doc="Per-source quota sampling: cap every source's share of the "
+    "corpus at K=100 documents, choosing a deterministic pseudo-random "
+    "subset (salted md5 order, doc_id tiebreak — no RNG, stable across "
+    "runs and replays) — the standard web-pipeline guard against one "
+    "domain dominating the training mix. The rank window partitions by "
+    "source, so the plan is one keyed shuffle with WindowGroupLimit "
+    "pushing the top-K inside each partition; no global window, no "
+    "skew beyond the source key itself (which op_salted_agg's salting "
+    "technique would absorb if one source were pathological).",
+    tags=("llm", "sampling", "curation"),
+)
+def llm_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.md5(F.concat(F.lit("quota-v1:"), F.col("doc_id").cast("string"))),
+        "doc_id",
+    )
+    return (
+        d.select("doc_id", "source", F.row_number().over(w).alias("rn"))
+        .filter(F.col("rn") <= 100)
+        .select("doc_id", "source")
+    )
