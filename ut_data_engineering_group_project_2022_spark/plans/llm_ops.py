@@ -1890,3 +1890,47 @@ def llm_source_quota_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 100)
         .select("doc_id", "source")
     )
+
+
+@register(
+    "llm_ngram_novelty",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+    freq AS (SELECT s, COUNT(*) AS nf FROM ex GROUP BY s)
+    SELECT e.doc_id,
+           COUNT(*)::BIGINT AS n_shingles,
+           SUM(CASE WHEN f.nf = 1 THEN 1 ELSE 0 END)::BIGINT AS n_unique,
+           SUM(CASE WHEN f.nf = 1 THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*)::DOUBLE AS novelty
+    FROM ex e JOIN freq f ON f.s = e.s
+    GROUP BY e.doc_id
+    """,
+    doc="Per-document n-gram novelty: the fraction of a doc's distinct "
+    "3-word shingles that occur in NO other document — high novelty "
+    "marks fresh content, low novelty flags boilerplate/templates and "
+    "memorization risk before training. Two keyed shuffles (corpus "
+    "shingle frequency, then per-doc rollup), both with map-side "
+    "partial aggregation; novelty is a ratio of exact integer counts, "
+    "so no rounding pin is needed. Docs shorter than 3 words have no "
+    "shingles and drop out (mirrored by the oracle's inner join).",
+    tags=("llm", "quality", "text"),
+)
+def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    sh = d.select(
+        "doc_id", F.explode(word_shingles("text", 3)).alias("s")
+    )
+    freq = sh.groupBy("s").agg(F.count(F.lit(1)).alias("nf"))
+    uniq = F.sum(F.when(F.col("nf") == 1, 1).otherwise(0))
+    return (
+        sh.join(freq, "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            uniq.alias("n_unique"),
+            (uniq.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "novelty"
+            ),
+        )
+    )
