@@ -51,6 +51,12 @@ def _norm_cell(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "NaN"
+        # The driver's pandas canonicalization distinguishes -0.0 from 0.0
+        # (repr-level hash) — r5 burned a round on exactly this
+        # (llm_embedding_covariance cell (5,9)).  Preserve the sign bit so a
+        # -0.0 divergence fails LOCALLY instead of at the driver gate.
+        if v == 0.0 and math.copysign(1.0, v) < 0:
+            return "-0.0"
         if v == int(v) and abs(v) < 1e15:
             return str(int(v))
         return repr(v)
@@ -69,6 +75,21 @@ def canonical_rows(columns, rows):
 
 def compare_with_oracle(spark_df, duck_con, oracle_sql, limit=2_000_000):
     """Assert Spark result == DuckDB oracle result (driver-gate semantics)."""
+    # The driver canonicalizes via pandas sort_values, which throws
+    # `unhashable type: 'list'` on array/struct/map cells (r5
+    # llm_embedding_quantize failure).  fetchall()/collect() happily yield
+    # lists, so — as with the HUGEINT guard below — reject the TYPE locally:
+    # serialize complex outputs (array_join / to_json) before registering.
+    complex_cols = [
+        f.name
+        for f in spark_df.schema.fields
+        if f.dataType.typeName() in ("array", "struct", "map")
+    ]
+    assert not complex_cols, (
+        f"spark output columns {complex_cols} are array/struct/map-typed — "
+        "the driver's pandas canonicalizer cannot sort/hash list cells; "
+        "serialize them (array_join / to_json) on both sides"
+    )
     s_rows = [tuple(r) for r in spark_df.collect()]
     s_cols = list(spark_df.columns)
     rel = duck_con.sql(oracle_sql)
@@ -87,6 +108,16 @@ def compare_with_oracle(spark_df, duck_con, oracle_sql, limit=2_000_000):
         f"oracle columns {hugeint_cols} are HUGEINT (driver pandas bridge "
         "renders these float64 and hash-mismatches Spark int64) — cast the "
         "aggregate to ::BIGINT in the oracle SQL"
+    )
+    duck_complex = [
+        c
+        for c, t in zip(d_cols, rel.types)
+        if "[]" in str(t) or str(t).upper().startswith(("STRUCT", "MAP", "LIST"))
+    ]
+    assert not duck_complex, (
+        f"oracle columns {duck_complex} are list/struct/map-typed — the "
+        "driver's pandas canonicalizer cannot hash these; use "
+        "array_to_string / to_json in the oracle SQL"
     )
 
     assert sorted(s_cols) == sorted(

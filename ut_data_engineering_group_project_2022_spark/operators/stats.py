@@ -122,8 +122,10 @@ def embedding_moments(
 
     The numerator and denominator are exact DECIMAL(38,0) products, so
     the double division — mirrored operation-for-operation in the
-    DuckDB oracle — is bit-identical across engines and runs; the final
-    ROUND(6) can no longer flip on partitioning.
+    DuckDB oracle — is partition-order-exact; the final ROUND(6) cannot
+    flip on partitioning.  ``+ 0.0`` after the ROUND collapses IEEE
+    negative zero (DuckDB's ROUND can emit ``-0.0`` where Spark emits
+    ``0.0`` — numerically equal but repr/hash-distinct).
     """
     summed = _summed_moments(emb, vec_col, dim)
     n = summed.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
@@ -148,13 +150,16 @@ def embedding_moments(
         .select(
             "i",
             "j",
-            F.round(
-                (F.col("n") * F.col("s") - F.col("sx_i") * F.col("sx_j")).cast(
-                    "double"
+            (
+                F.round(
+                    (F.col("n") * F.col("s") - F.col("sx_i") * F.col("sx_j")).cast(
+                        "double"
+                    )
+                    / (F.col("n") * F.col("n")).cast("double")
+                    / F.lit(float(SCALE2)),
+                    6,
                 )
-                / (F.col("n") * F.col("n")).cast("double")
-                / F.lit(float(SCALE2)),
-                6,
+                + F.lit(0.0)
             ).alias("cov"),
         )
     )

@@ -1497,7 +1497,7 @@ def llm_pseudonymized_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT p.i, p.j,
            ROUND((n.n * p.sxy - si.sx * sj.sx)::DOUBLE
-                 / (n.n * n.n)::DOUBLE / 100000000.0, 6) AS cov
+                 / (n.n * n.n)::DOUBLE / 100000000.0, 6) + 0.0 AS cov
     FROM prods p
     CROSS JOIN n
     JOIN sums si ON si.i = p.i
@@ -1512,8 +1512,9 @@ def llm_pseudonymized_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "O(batches x d^2) — independent of corpus size, so the plan is "
     "unchanged at 100 TB. Components are quantized (floor(x*1e4), the "
     "op's stated contract) so every sum is integer-exact and the result "
-    "is bit-identical under any partitioning — the round-4 driver hash "
-    "flake was float summation-order dependence, eliminated here. The "
+    "is partition-order-exact — the round-4 driver hash flake was float "
+    "summation-order dependence, eliminated here; `+ 0.0` on both sides "
+    "collapses the residual -0.0/+0.0 repr divergence of round 5. The "
     "oracle recomputes the same quantized matrix by brute-force UNNEST "
     "self-join, which is exactly the quadratic blow-up the Spark plan "
     "avoids.",
@@ -1821,12 +1822,13 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
       FROM embeddings
     )
     SELECT vec_id, scale,
-           CASE WHEN scale = 0
-                THEN list_transform(embedding, x -> 0)
-                ELSE list_transform(
-                  embedding,
-                  x -> CAST(FLOOR(x::DOUBLE / scale * 127.0) AS INT))
-           END AS qvec
+           array_to_string(
+             CASE WHEN scale = 0
+                  THEN list_transform(embedding, x -> 0)
+                  ELSE list_transform(
+                    embedding,
+                    x -> CAST(FLOOR(x::DOUBLE / scale * 127.0) AS INT))
+             END, ',') AS qvec
     FROM s
     """,
     doc="Per-vector symmetric int8 quantization of the embedding column "
@@ -1837,7 +1839,10 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     "nothing is summed — scale is an exact float max and the quantizer "
     "is FLOOR, so both engines produce identical arrays with no "
     "rounding pins needed. The zero-vector guard avoids an ANSI-mode "
-    "overflow on floor(inf).",
+    "overflow on floor(inf). Output serializes qvec via array_join / "
+    "array_to_string (the registry's scalar-output house rule — the "
+    "driver's pandas canonicalizer cannot hash list cells; see "
+    "llm_doc_chunks for the precedent).",
     tags=("llm", "embedding", "quantization"),
 )
 def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1849,7 +1854,7 @@ def llm_embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.select(
         "vec_id",
         scale.alias("scale"),
-        F.when(scale == 0, zeros).otherwise(q).alias("qvec"),
+        F.array_join(F.when(scale == 0, zeros).otherwise(q), ",").alias("qvec"),
     )
 
 
