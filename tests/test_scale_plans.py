@@ -103,12 +103,18 @@ def test_dim_joins_broadcast_and_pushdown(spark):
 def test_dense_ids_avoids_single_partition_window(spark):
     """The star loader's surrogate-key assignment must not funnel the
     batch through one partition: dense_ids ranks per range-partition and
-    adds offsets, so the plan has no SinglePartition exchange and its
-    WindowExec is partitioned."""
+    adds offsets. The only SinglePartition exchange allowed is the
+    offset frame — it must sit ABOVE the partial per-__pid max
+    aggregate, so it carries ≤numPartitions rows, never the batch."""
     o = table(spark, SF_DIR, "orders").select("o_orderkey")
     plan = _plan(star.dense_ids(o, ["o_orderkey"], "seq", eager=False))
     assert "Window" in plan, plan
-    assert "SinglePartition" not in plan, plan
+    n_single = plan.count("SinglePartition")
+    assert n_single <= 1, plan
+    if n_single:
+        # the funnel's input is the map-side-combined max(__lrn) partial —
+        # one row per range partition.
+        assert "partial_max(__lrn" in plan, plan
 
 
 def test_dense_ids_matches_global_row_number(spark):
@@ -300,10 +306,11 @@ def test_covariance_partials_aggregate_before_shuffle(spark):
 # localCheckpoint (the two-phase global_dense_rank family) surface no
 # window here BY DESIGN: their window is partitioned by __pid.
 _GLOBAL_WINDOW_EXEMPT = {
-    # W1 reference parity: the 15 star BI queries return ALL ranked rows of
-    # a dim-grain frame (years/domains/venues/affiliations/authors after
+    # W1 reference parity: star_q01..q14 return ALL ranked rows of a
+    # dim-grain frame (years/domains/venues/affiliations/authors after
     # the DISTINCT collapse) — same asymptotics as the reference's
     # Postgres DENSE_RANK (SURVEY §2.6 W1; ref dags/sql/queries.sql).
+    # star_q15 needs no exemption: its only window is partitioned.
     **{
         f"star_q{i:02d}": "W1 parity rank over dim-grain collapse"
         for i in range(1, 15)
@@ -347,6 +354,23 @@ def test_no_unbounded_global_windows_registry_wide(spark):
                 for c in _walk_jplan(nd.child())
             )
             if bounded:
+                continue
+            # The two-phase rank's offset frame: a running sum over the
+            # per-range-partition max-rank aggregate — its input is an
+            # Aggregate grouped by __pid, i.e. ≤numPartitions rows,
+            # bounded by cluster parallelism rather than data volume
+            # (operators/star.py:_partition_offsets).
+            offset_frame = False
+            for c in _walk_jplan(nd.child()):
+                if c.getClass().getSimpleName() != "Aggregate":
+                    continue
+                ge = c.groupingExpressions()
+                if any(
+                    "__pid" in ge.apply(i).toString() for i in range(ge.size())
+                ):
+                    offset_frame = True
+                    break
+            if offset_frame:
                 continue
             if name in _GLOBAL_WINDOW_EXEMPT or any(
                 name.startswith(p + "_") for p in _GLOBAL_WINDOW_EXEMPT
@@ -417,3 +441,28 @@ def test_global_dense_rank_matches_window_on_random_data(spark):
             ).collect()
         }
         assert got == exp, f"case {case}: n_rows={n_rows} k={n_distinct}"
+
+
+def test_global_dense_rank_null_keys_both_directions(spark):
+    """NULL order keys must form their own rank group in either sort
+    direction (the r5 advice trap: countDistinct-based offsets dropped
+    the NULL group; max(__lrnk) offsets count it)."""
+    from pyspark.sql import Window
+
+    rows = [(0, None), (1, 1.0), (2, 1.0), (3, 2.0), (4, None), (5, 3.0)]
+    df = spark.createDataFrame(rows, "id long, v double")
+    for descending in (True, False):
+        order = F.desc("v") if descending else F.asc("v")
+        got = {
+            r["id"]: r["rnk"]
+            for r in star.global_dense_rank(
+                df, "v", descending=descending
+            ).collect()
+        }
+        exp = {
+            r["id"]: r["rnk"]
+            for r in df.withColumn(
+                "rnk", F.dense_rank().over(Window.orderBy(order))
+            ).collect()
+        }
+        assert got == exp, f"descending={descending}: {got} != {exp}"

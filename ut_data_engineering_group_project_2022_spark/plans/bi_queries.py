@@ -57,11 +57,14 @@ def bi_rank_customers_by_order_count(spark: SparkSession, sf_dir: str) -> DataFr
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-    counted = joined.select(
-        "c_custkey",
-        "c_name",
-        F.count("o_orderkey").over(W.partitionBy("c_custkey")).alias("n_orders"),
-    ).distinct()
+    # The ref's windowed-COUNT + DISTINCT collapses to exactly one row per
+    # (c_custkey, c_name) — a partial-aggregating groupBy produces identical
+    # values with map-side combine and a rank input of one row per group
+    # (the r5 two-phase-rank regression fix: the first checkpoint inside
+    # global_dense_rank now materializes |customers| rows, not a window).
+    counted = joined.groupBy("c_custkey", "c_name").agg(
+        F.count("o_orderkey").alias("n_orders")
+    )
     # Customer-grain rank: two-phase (range-partition + offsets), NOT a
     # global window — W1 parity at fact grain without the single-partition
     # WindowExec (the rounds-3/4 100x finding).
@@ -89,14 +92,14 @@ def bi_rank_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     o = table(spark, sf_dir, "orders")
     c = table(spark, sf_dir, "customer")
     joined = o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
-    summed = joined.select(
-        "c_custkey",
-        "c_name",
+    # Windowed-SUM + DISTINCT == one row per customer: groupBy form (see
+    # bi_rank_customers_by_order_count). Decimal sum keeps cross-engine
+    # exactness; the cast to double happens once per group row.
+    summed = joined.groupBy("c_custkey", "c_name").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
-        .over(W.partitionBy("c_custkey"))
         .cast("double")
-        .alias("revenue"),
-    ).distinct()
+        .alias("revenue")
+    )
     # Two-phase rank — see bi_rank_customers_by_order_count.
     return global_dense_rank(summed, "revenue").select(
         "c_custkey", "c_name", "revenue", "rnk"
@@ -160,14 +163,13 @@ def bi_rank_parts_by_shipped_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = table(spark, sf_dir, "lineitem")
     p = table(spark, sf_dir, "part").filter(F.col("p_type").like("%ECO%"))
     joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
-    collapsed = joined.select(
-        "p_partkey",
-        "p_name",
+    # Windowed-SUM + DISTINCT == one row per part: groupBy form (see
+    # bi_rank_customers_by_order_count).
+    collapsed = joined.groupBy("p_partkey", "p_name").agg(
         F.sum(F.col("l_quantity").cast("decimal(18,4)"))
-        .over(W.partitionBy("p_partkey"))
         .cast("double")
-        .alias("total_qty"),
-    ).distinct()
+        .alias("total_qty")
+    )
     # Part-grain scales with SF -> two-phase rank, not a global window.
     return global_dense_rank(collapsed, "total_qty").select(
         "p_partkey", "p_name", "total_qty", "rnk"
@@ -204,11 +206,12 @@ def bi_rank_suppliers_by_region_revenue(spark: SparkSession, sf_dir: str) -> Dat
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
-    collapsed = joined.select(
-        "s_suppkey",
-        "s_name",
-        F.round(F.sum(_rev()).over(W.partitionBy("s_suppkey")), 2).cast("double").alias("revenue"),
-    ).distinct()
+    # Windowed-SUM + DISTINCT == one row per supplier: groupBy form (see
+    # bi_rank_customers_by_order_count). ROUND applies to the exact
+    # decimal group sum — same value as the windowed form.
+    collapsed = joined.groupBy("s_suppkey", "s_name").agg(
+        F.round(F.sum(_rev()), 2).cast("double").alias("revenue")
+    )
     # Supplier-grain scales with SF -> two-phase rank, not a global window.
     return global_dense_rank(collapsed, "revenue").select(
         "s_suppkey", "s_name", "revenue", "rnk"
