@@ -80,27 +80,38 @@ def pagerank(
     # (materialization is eager); the node-sized checkpoint blocks of
     # stale generations are released by the ContextCleaner once their
     # DataFrames go out of scope.
-    # Materialize the edge projection ONCE: nodes, deg, and the joined
-    # edge list all derive from it, and without this barrier the (often
-    # expensive) upstream plan re-evaluates for each of them.
+    # Materialize the edge projection ONCE; everything else derives from
+    # it. The prologue is TWO blocking jobs (was four in r5): the node
+    # inventory and the out-degree fuse into one union-aggregate (dst
+    # rows contribute 0 to the degree sum, so dst-only nodes appear with
+    # d=0), and no degree-annotated |E|-row edge list is ever
+    # materialized — the per-iteration join attaches the NODE-sized
+    # share vector pr/d to the raw edges instead (join strategy left to
+    # AQE: broadcast when the rank vector is small, shuffle join at
+    # scale — never a driver-side collect).
     ed = edges.localCheckpoint(eager=True)
-    nodes = ed.select(F.col("src").alias("id")).unionAll(
-        ed.select(F.col("dst").alias("id"))
-    ).distinct().localCheckpoint(eager=True)
-    n = nodes.count()
-    deg = ed.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    e = ed.join(deg, "src").select("src", "dst", "d").localCheckpoint(eager=True)
+    nd = (
+        ed.select(F.col("src").alias("id"), F.lit(1).alias("c"))
+        .unionAll(ed.select(F.col("dst").alias("id"), F.lit(0).alias("c")))
+        .groupBy("id")
+        .agg(F.sum("c").alias("d"))
+        .localCheckpoint(eager=True)
+    )
+    n = nd.count()
 
-    pr = nodes.withColumn("pr", F.lit(1.0 / n))
+    pr = nd.withColumn("pr", F.lit(1.0 / n))
     for i in range(iterations):
-        contrib = (
-            e.join(pr, e.src == pr.id)
-            .select(F.col("dst").alias("id"), (F.col("pr") / F.col("d")).alias("c"))
-            .groupBy("id")
-            .agg(F.sum("c").alias("contrib"))
+        share = pr.filter(F.col("d") > 0).select(
+            F.col("id").alias("sid"), (F.col("pr") / F.col("d")).alias("s")
         )
-        pr = nodes.join(contrib, "id", "left").select(
+        contrib = (
+            ed.join(share, ed.src == F.col("sid"))
+            .groupBy(F.col("dst").alias("id"))
+            .agg(F.sum("s").alias("contrib"))
+        )
+        pr = nd.join(contrib, "id", "left").select(
             "id",
+            "d",
             (
                 F.lit((1.0 - damping) / n)
                 + F.lit(damping) * F.coalesce("contrib", F.lit(0.0))
@@ -186,46 +197,43 @@ def _louvain_moves(und_w: DataFrame, rounds: int) -> DataFrame:
     candidate scan, per-node argmax) — no global window, no driver-side
     graph; the label vector is localCheckpoint'ed per round (it is
     referenced three times per round, so lineage would otherwise grow
-    geometrically). Returns (id, label).
+    geometrically). The weighted degree ``k`` rides INSIDE the label
+    vector (r6: one node-sized column instead of a nodes join in both
+    the sigma aggregate and the score join — two joins fewer per
+    round). Returns (id, label).
     """
     from pyspark.sql import Window as W
 
     deg = und_w.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("k"))
-    nodes = deg.localCheckpoint(eager=True)
     two_m = und_w.agg(F.sum("w")).collect()[0][0]
-    labels = nodes.select("id", F.col("id").alias("label"))
+    # labels carries (id, label, k) throughout — k is immutable.
+    labels = deg.select("id", F.col("id").alias("label"), "k").localCheckpoint(
+        eager=True
+    )
     even = F.substring(F.md5(F.col("id")), 1, 1).isin(*_EVEN_HEX)
     nonself = und_w.filter(F.col("src") != F.col("dst"))
 
     for r in range(rounds):
-        sig = (
-            labels.join(nodes, "id")
-            .groupBy("label")
-            .agg(F.sum("k").alias("sig"))
-        )
-        nbrc = (
-            nonself.join(
-                labels.select(F.col("id").alias("dst"), F.col("label").alias("cand")),
-                "dst",
-            )
-            .groupBy(F.col("src").alias("id"), "cand")
-            .agg(F.sum("w").alias("kin"))
-        )
-        # Ensure every node's OWN community is a candidate (kin=0 when no
-        # neighbor shares it): union a zero row and take max — identical
-        # to the anti-join+union form (nbrc kin >= 1 beats the 0) with
-        # one fewer shuffle per round.
+        sig = labels.groupBy("label").agg(F.sum("k").alias("sig"))
+        # Per-node candidate-community scan. The node's OWN community is
+        # guaranteed a candidate (kin=0 when no neighbor shares it) by
+        # unioning a zero row BEFORE the aggregation: SUM over
+        # {edge rows, one zero row} equals the r5 two-shuffle
+        # sum-then-max form exactly, in ONE keyed shuffle per round.
+        nbr_rows = nonself.join(
+            labels.select(F.col("id").alias("dst"), F.col("label").alias("cand")),
+            "dst",
+        ).select(F.col("src").alias("id"), "cand", F.col("w").alias("kin"))
         own = labels.select(
             "id", F.col("label").alias("cand"), F.lit(0).cast("long").alias("kin")
         )
         cand = (
-            nbrc.unionByName(own)
+            nbr_rows.unionByName(own)
             .groupBy("id", "cand")
-            .agg(F.max("kin").alias("kin"))
+            .agg(F.sum("kin").alias("kin"))
         )
         scored = (
-            cand.join(nodes, "id")
-            .join(labels, "id")
+            cand.join(labels, "id")
             .join(sig.withColumnRenamed("label", "cand"), "cand")
             .withColumn(
                 "score",
@@ -257,10 +265,11 @@ def _louvain_moves(und_w: DataFrame, rounds: int) -> DataFrame:
                 F.when(mover, F.col("new_label")).otherwise(F.col("label")).alias(
                     "label"
                 ),
+                "k",
             )
             .localCheckpoint(eager=True)
         )
-    return labels
+    return labels.select("id", "label")
 
 
 def _contract(und_w: DataFrame, labels: DataFrame) -> DataFrame:
@@ -279,7 +288,12 @@ def _contract(und_w: DataFrame, labels: DataFrame) -> DataFrame:
     )
 
 
-def louvain(edges: DataFrame, rounds: int = 4, levels: int = 2) -> DataFrame:
+def louvain(
+    edges: DataFrame,
+    rounds: int = 4,
+    levels: int = 2,
+    assume_simple: bool = False,
+) -> DataFrame:
     """Hierarchical Louvain: local moves, coarsen, move again (SURVEY G6).
 
     The reference runs Neo4j GDS Louvain (ref dags/graph_queries.cyp:
@@ -298,13 +312,18 @@ def louvain(edges: DataFrame, rounds: int = 4, levels: int = 2) -> DataFrame:
     fraction of level 1 at scale. Returns (node_id, community) where
     ``community`` is the top-level community id each base node landed
     in.
+
+    ``assume_simple=True`` skips the post-undirect ``distinct()`` —
+    correct whenever the caller guarantees unique directed pairs with
+    no reverse duplicates (e.g. a groupBy-built bipartite projection
+    with namespaced node ids, where fwd/rev orientations cannot
+    collide); the distinct is then a pure no-op shuffle of the edge
+    list.
     """
-    und = (
-        undirect(edges)
-        .distinct()
-        .withColumn("w", F.lit(1).cast("long"))
-        .localCheckpoint(eager=True)
-    )
+    und = undirect(edges)
+    if not assume_simple:
+        und = und.distinct()
+    und = und.withColumn("w", F.lit(1).cast("long")).localCheckpoint(eager=True)
     return _louvain_hierarchy(und, rounds, levels)
 
 
@@ -368,10 +387,14 @@ def louvain_exact(
     # (the _louvain_moves representation)
     w: dict[tuple[str, str], int] = {}
     if weighted:
+        # Accumulate (not assign) both orientations so duplicate /
+        # already-bidirectional rows sum and a self-loop row carries 2w —
+        # mirroring the distributed fwd.unionAll(rev) sum semantics on
+        # multigraph inputs (r5 advisory).
         for row in edges.collect():
             ww = int(row["weight"])
-            w[(row["src"], row["dst"])] = ww
-            w[(row["dst"], row["src"])] = ww
+            w[(row["src"], row["dst"])] = w.get((row["src"], row["dst"]), 0) + ww
+            w[(row["dst"], row["src"])] = w.get((row["dst"], row["src"]), 0) + ww
     else:
         for row in undirect(edges).distinct().collect():
             w[(row["src"], row["dst"])] = 1

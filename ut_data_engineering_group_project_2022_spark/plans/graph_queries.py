@@ -330,7 +330,10 @@ def _louvain_oracle(
 )
 def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = graph.customer_supplier_edges(spark, sf_dir)
-    return graph.louvain(edges, rounds=4)
+    # The projection groupBy emits unique (c*, s*) pairs in disjoint node
+    # namespaces, so the undirected union is duplicate-free by
+    # construction — skip the no-op distinct shuffle.
+    return graph.louvain(edges, rounds=4, assume_simple=True)
 
 
 @register(
