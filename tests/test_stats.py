@@ -94,7 +94,9 @@ def test_embedding_quantize_reconstruction_bound(spark):
     assert len(rows) == len(emb)
     for r in rows:
         x = np.asarray(emb[r["vec_id"]], dtype="float64")
-        q = np.asarray(r["qvec"], dtype="float64")
+        # qvec is serialized as a comma-joined string (the registry's
+        # scalar-output house rule — driver pandas canonicalization).
+        q = np.asarray(r["qvec"].split(","), dtype="float64")
         s = r["scale"]
         assert s == np.abs(x).max()
         assert q.min() >= -127 and q.max() <= 127

@@ -1690,6 +1690,52 @@ def llm_embedding_pca_whiten(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "llm_embedding_pca_variance",
+    oracle="""
+    SELECT a.range::INT AS i, b.range::INT AS j,
+           (CASE WHEN a.range = b.range THEN 1.0 ELSE 0.0 END)::DOUBLE + 0.0 AS cov
+    FROM range(8) a, range(8) b
+    WHERE a.range <= b.range
+    """,
+    doc="Driver-hash companion to llm_embedding_pca_whiten (SURVEY X56): "
+    "the whitened output's empirical covariance matrix, computed with "
+    "one groupBy-free global aggregate over the pc columns and rounded "
+    "to 3 decimals. Whitening guarantees cov == I on the training "
+    "frame itself, so the oracle is the CLOSED-FORM identity matrix — "
+    "SQL-expressible even though the eigh that produced the projection "
+    "is not; measured max deviation across SFs is ~3e-5, 16x inside the "
+    "rounding threshold. This gives the PCA path a true value-hash "
+    "driver row next to X49's permanent rows-only row. One corpus "
+    "aggregate (45 partial sums, map-side combined), a 1-row frame, "
+    "then a stack into 36 (i,j) rows — corpus-size-independent output.",
+    tags=("llm", "embedding", "stats"),
+)
+def llm_embedding_pca_variance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ut_data_engineering_group_project_2022_spark.operators.stats import (
+        pca_whiten,
+    )
+
+    k = 8
+    w = pca_whiten(table(spark, sf_dir, "embeddings"), dim=64, k=k)
+    aggs = [F.count(F.lit(1)).cast("double").alias("n")]
+    aggs += [F.sum(F.col(f"pc{i}")).alias(f"s{i}") for i in range(k)]
+    aggs += [
+        F.sum(F.col(f"pc{i}") * F.col(f"pc{j}")).alias(f"p{i}_{j}")
+        for i in range(k)
+        for j in range(i, k)
+    ]
+    tot = w.agg(*aggs)
+    pairs = [(i, j) for i in range(k) for j in range(i, k)]
+    stacked = ", ".join(
+        f"{i}, {j}, round(p{i}_{j} / n - (s{i} / n) * (s{j} / n), 3) + 0.0"
+        for i, j in pairs
+    )
+    return tot.selectExpr(
+        f"stack({len(pairs)}, {stacked}) as (i, j, cov)"
+    ).selectExpr("cast(i as int) i", "cast(j as int) j", "cov")
+
+
+@register(
     "llm_embedding_outliers",
     oracle="""
     WITH e AS (
