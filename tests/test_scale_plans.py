@@ -323,6 +323,7 @@ _GLOBAL_WINDOW_EXEMPT = {
     "bi_rank_priorities_by_revenue": "5-row priority frame",
     # k-row / distinct-dim frames.
     "llm_kmeans_clusters": "row_number over k centroid seeds",
+    "llm_shuffle_shards": "running-sum offsets over the 8-row shard counts",
     "op_surrogate_keys": "row_number over DISTINCT dim naturals",
 }
 

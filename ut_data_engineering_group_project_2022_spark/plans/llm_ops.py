@@ -1985,3 +1985,135 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "llm_shuffle_shards",
+    oracle="""
+    WITH h AS (
+      SELECT doc_id, md5('shuf42|' || doc_id::VARCHAR) AS okey FROM documents
+    ),
+    s AS (
+      SELECT doc_id, okey,
+             ('0x' || substr(okey, 1, 15))::BIGINT % 8 AS shard
+      FROM h
+    ),
+    p AS (
+      SELECT doc_id, shard,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY okey, doc_id)
+               ::BIGINT AS pos
+      FROM s
+    ),
+    c AS (SELECT shard, COUNT(*) AS n FROM s GROUP BY shard),
+    o AS (
+      SELECT shard,
+             COALESCE(SUM(n) OVER (ORDER BY shard
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+      FROM c
+    )
+    SELECT p.doc_id, p.shard, p.pos, (p.pos + o.off)::BIGINT AS global_pos
+    FROM p JOIN o ON p.shard = o.shard
+    """,
+    doc="Deterministic training-order shuffle into 8 shards: order key = "
+    "salted md5 of the doc id (reproducible under re-runs and appends, "
+    "no RNG state), shard = 60-bit key hash mod 8, pos = rank within "
+    "shard, global_pos = shard-major global order. The global order is "
+    "produced WITHOUT a global sort or global window: the within-shard "
+    "rank is a partitioned window, and the shard offsets come from an "
+    "8-row shard-count aggregate (broadcast back). At 100 TB this is "
+    "exactly the epoch-shuffle layout step before sequence packing: "
+    "each shard is writable independently, and the full corpus order "
+    "is recoverable from (shard, pos) alone.",
+    tags=("llm", "shuffle", "split"),
+)
+def llm_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    okey = F.md5(
+        F.concat_ws("|", F.lit("shuf42"), F.col("doc_id").cast("string"))
+    )
+    s = d.select("doc_id", okey.alias("okey")).withColumn(
+        "shard",
+        F.conv(F.substring("okey", 1, 15), 16, 10).cast("bigint") % 8,
+    )
+    w = W.partitionBy("shard").orderBy("okey", "doc_id")
+    p = s.select(
+        "doc_id", "shard", F.row_number().over(w).cast("bigint").alias("pos")
+    )
+    counts = s.groupBy("shard").agg(F.count(F.lit(1)).alias("n"))
+    wo = W.orderBy("shard").rowsBetween(W.unboundedPreceding, -1)
+    offsets = counts.select(
+        "shard", F.coalesce(F.sum("n").over(wo), F.lit(0)).alias("off")
+    )
+    return p.join(F.broadcast(offsets), "shard").select(
+        "doc_id",
+        "shard",
+        "pos",
+        (F.col("pos") + F.col("off")).cast("bigint").alias("global_pos"),
+    )
+
+
+@register(
+    "llm_chunk_dedup",
+    oracle="""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    s AS (
+      SELECT doc_id, toks, unnest(range(0, len(toks), 24)) AS st FROM t
+    ),
+    ch AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(toks, st + 1, st + 32), ' '))
+               AS chash
+      FROM s
+    ),
+    fr AS (SELECT chash, COUNT(DISTINCT doc_id) AS ndocs FROM ch GROUP BY chash)
+    SELECT c.doc_id,
+           COUNT(*)::BIGINT AS n_chunks,
+           SUM(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END)::BIGINT
+             AS n_dup_chunks,
+           SUM(CASE WHEN f.ndocs >= 2 THEN 1 ELSE 0 END)::DOUBLE
+             / COUNT(*)::DOUBLE AS dup_fraction
+    FROM ch c JOIN fr f ON f.chash = c.chash
+    GROUP BY c.doc_id
+    """,
+    doc="Chunk-level exact-duplication profile — the fixed-window proxy "
+    "for exact-substring dedup (RefinedWeb/MassiveText style): chunk "
+    "each doc with the same 32/24 sliding window as llm_doc_chunks, "
+    "md5 each chunk, count DISTINCT docs per chunk hash, and roll up "
+    "per doc the fraction of its chunks shared with at least one other "
+    "document. Two keyed shuffles (chunk-hash doc-frequency with "
+    "two-phase distinct aggregation, then the per-doc rollup); the "
+    "chunk explode itself is shuffle-free. dup_fraction is a ratio of "
+    "exact integer counts — no rounding pin needed.",
+    tags=("llm", "dedup", "text"),
+)
+def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    starts = F.sequence(F.lit(0), F.size(F.col("toks")) - 1, F.lit(24))
+    chunk = F.slice(F.col("toks"), F.col("st") + 1, 32)
+    ch = (
+        d.select("doc_id", toks.alias("toks"))
+        .select(
+            "doc_id", "toks", F.explode(starts.cast("array<int>")).alias("st")
+        )
+        .select("doc_id", F.md5(F.array_join(chunk, " ")).alias("chash"))
+    )
+    fr = ch.groupBy("chash").agg(
+        F.count_distinct(F.col("doc_id")).alias("ndocs")
+    )
+    dup = F.sum(F.when(F.col("ndocs") >= 2, 1).otherwise(0))
+    return (
+        ch.join(fr, "chash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            dup.cast("bigint").alias("n_dup_chunks"),
+            (dup.cast("double") / F.count(F.lit(1)).cast("double")).alias(
+                "dup_fraction"
+            ),
+        )
+    )
