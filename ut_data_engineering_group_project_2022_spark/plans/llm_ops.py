@@ -74,9 +74,9 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.pairwise_jaccard(dedup.shingle_docs(docs), min_jaccard=0.12)
 
 
-@register(
-    "llm_minhash_lsh",
-    oracle=f"""
+# Verified MinHash-LSH near-dup pairs (doc_a, doc_b, jaccard) — shared
+# by the llm_minhash_lsh oracle and the cross-source matrix built on it.
+_MINHASH_PAIRS_SQL = f"""
     WITH sh AS ({_SHINGLES_SQL}),
     th AS (
       SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h
@@ -109,7 +109,12 @@ def llm_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM cand c
     JOIN sh sa ON sa.doc_id = c.doc_a
     JOIN sh sb ON sb.doc_id = c.doc_b
-    """,
+"""
+
+
+@register(
+    "llm_minhash_lsh",
+    oracle=_MINHASH_PAIRS_SQL,
     doc="MinHash (32 perms) + LSH (8 bands x 4 rows) candidate pairs with "
     "exact-Jaccard verification — sub-quadratic near-dup at scale.",
     tags=("llm", "dedup", "lsh"),
@@ -2115,5 +2120,133 @@ def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (dup.cast("double") / F.count(F.lit(1)).cast("double")).alias(
                 "dup_fraction"
             ),
+        )
+    )
+
+
+@register(
+    "llm_cross_source_dups",
+    oracle=f"""
+    WITH pairs AS ({_MINHASH_PAIRS_SQL})
+    SELECT LEAST(da.source, db.source) AS source_a,
+           GREATEST(da.source, db.source) AS source_b,
+           COUNT(*)::BIGINT AS n_dup_pairs
+    FROM pairs p
+    JOIN documents da ON da.doc_id = p.doc_a
+    JOIN documents db ON db.doc_id = p.doc_b
+    WHERE p.jaccard >= 0.5
+    GROUP BY 1, 2
+    """,
+    doc="Cross-source near-duplication matrix — which sources copy from "
+    "which: the MinHash-LSH verified near-dup pairs (jaccard >= 0.5) "
+    "annotated with each side's source and rolled up per unordered "
+    "(source_a, source_b) cell. The curation diagnostic behind source-"
+    "level dedup decisions: a hot off-diagonal cell means two feeds "
+    "mirror each other. Costs two keyed joins on the near-dup-pair "
+    "set (pair-count-sized, NOT corpus-squared — the LSH band join "
+    "bounds it) plus a grid-sized aggregate.",
+    tags=("llm", "dedup", "stats"),
+)
+def llm_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    pairs = dedup.minhash_lsh_dedup(d).filter(F.col("jaccard") >= 0.5)
+    src = d.select("doc_id", "source")
+    sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
+    sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .groupBy(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+    )
+
+
+@register(
+    "llm_token_entropy",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, t, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+    n AS (SELECT doc_id, SUM(c) AS n FROM tf GROUP BY 1)
+    SELECT tf.doc_id,
+           n.n::BIGINT AS n_tokens,
+           COUNT(*)::BIGINT AS n_distinct,
+           ROUND(SUM(-(tf.c::DOUBLE / n.n) * log2(tf.c::DOUBLE / n.n)), 6)
+             AS entropy_bits
+    FROM tf JOIN n ON n.doc_id = tf.doc_id
+    GROUP BY tf.doc_id, n.n
+    """,
+    doc="Per-document unigram token entropy in bits — the information-"
+    "density quality signal (low entropy flags keyword-stuffed / "
+    "repetitive docs that repetition ratios can miss). Two keyed "
+    "shuffles, both on doc-sized keys with map-side combine: per-doc "
+    "term frequencies, then the entropy rollup (token count rides "
+    "along as a SUM, no extra pass). Rounded to 6 decimals on both "
+    "engines — the only float op is the final log2.",
+    tags=("llm", "quality", "text"),
+)
+def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ut_data_engineering_group_project_2022_spark.functions.text import tokens
+
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(tokens("text")).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    n = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    return (
+        tf.join(n, "doc_id")
+        .groupBy("doc_id", "n")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
+            F.round(F.sum(-p * F.log2(p)), 6).alias("entropy_bits"),
+        )
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            "n_distinct",
+            "entropy_bits",
+        )
+    )
+
+
+@register(
+    "llm_length_histogram",
+    oracle="""
+    SELECT source,
+           FLOOR(log2(n_chars))::BIGINT AS log2_bucket,
+           COUNT(*)::BIGINT AS n_docs,
+           MIN(n_chars)::BIGINT AS min_chars,
+           MAX(n_chars)::BIGINT AS max_chars
+    FROM documents
+    WHERE n_chars > 0
+    GROUP BY 1, 2
+    """,
+    doc="Log2-bucketed document-length histogram per source — the "
+    "one-pass corpus profile consulted before setting length-filter "
+    "thresholds (llm_length_filter) and chunk sizes. Single map-side-"
+    "combined aggregate on a (source x ~40 buckets) key space; at "
+    "100 TB the shuffle carries only the tiny bucket grid.",
+    tags=("llm", "stats"),
+)
+def llm_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    return (
+        d.filter(F.col("n_chars") > 0)
+        .groupBy(
+            "source",
+            F.floor(F.log2("n_chars")).cast("bigint").alias("log2_bucket"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.min("n_chars").cast("bigint").alias("min_chars"),
+            F.max("n_chars").cast("bigint").alias("max_chars"),
         )
     )
