@@ -135,3 +135,64 @@ def stream_csv_source(
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     return reader.csv(directory)
+
+
+# -- Raw media ingestion (binaryFile source) --------------------------------
+
+_EXT_MEDIA = {
+    "png": "image", "jpg": "image", "jpeg": "image", "gif": "image",
+    "wav": "audio", "mp3": "audio", "flac": "audio",
+    "mp4": "video", "avi": "video", "mkv": "video",
+}
+
+
+def read_binary_files(
+    spark: SparkSession,
+    directory: str,
+    pattern: str = "*",
+    recursive: bool = False,
+) -> DataFrame:
+    """Raw-file ingestion via Spark's ``binaryFile`` source: one row per
+    file with (path, modificationTime, length, content). ``pattern``
+    prunes at LISTING time (pathGlobFilter — excluded files are never
+    opened), and the listing itself is distributed, so a 100 TB media
+    drop shards across executors with no driver-side file walk. Content
+    arrives as a columnar binary column — the entry point of the
+    multimodal pipeline (operators/multimodal.py)."""
+    return (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", pattern)
+        .option("recursiveFileLookup", str(recursive).lower())
+        .load(directory)
+    )
+
+
+def ingest_media_files(
+    spark: SparkSession,
+    directory: str,
+    pattern: str = "*",
+    recursive: bool = False,
+) -> DataFrame:
+    """binaryFile listing -> the multimodal media frame: stable doc_id
+    (60-bit md5 of the file path — reproducible across re-runs and
+    listing orders), media_type inferred from the file extension
+    (unknown extensions pass through as 'binary' rather than erroring —
+    dead-letter-style tolerance at the ingest edge), raw bytes, and
+    provenance columns. Output plugs directly into media_features /
+    resize_image / sample_frames."""
+    from ut_data_engineering_group_project_2022_spark.functions.text import (
+        md5_int60,
+    )
+
+    raw = read_binary_files(spark, directory, pattern, recursive)
+    ext = F.lower(F.element_at(F.split(F.col("path"), r"\."), -1))
+    ext_map = F.create_map(
+        *[F.lit(x) for kv in _EXT_MEDIA.items() for x in kv]
+    )
+    return raw.select(
+        md5_int60(F.col("path")).alias("doc_id"),
+        F.coalesce(ext_map.getItem(ext), F.lit("binary")).alias("media_type"),
+        "content",
+        F.col("path").alias("source_path"),
+        F.col("length").cast("long").alias("byte_len"),
+    )
