@@ -2028,7 +2028,11 @@ def llm_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "8-row shard-count aggregate (broadcast back). At 100 TB this is "
     "exactly the epoch-shuffle layout step before sequence packing: "
     "each shard is writable independently, and the full corpus order "
-    "is recoverable from (shard, pos) alone.",
+    "is recoverable from (shard, pos) alone. Shard count is a "
+    "parameter: 8 keeps the oracle compact; at 100 TB you set it to "
+    "O(cluster cores) (e.g. 4096) so each within-shard rank task "
+    "stays bounded — the plan shape is unchanged, only the offset "
+    "frame grows to n_shards rows.",
     tags=("llm", "shuffle", "split"),
 )
 def llm_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2248,5 +2252,133 @@ def llm_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
             F.min("n_chars").cast("bigint").alias("min_chars"),
             F.max("n_chars").cast("bigint").alias("max_chars"),
+        )
+    )
+
+
+@register(
+    "llm_curation_pipeline",
+    oracle=f"""
+    WITH nd_pairs AS ({_MINHASH_PAIRS_SQL}),
+    exact_drop AS (
+      SELECT doc_id FROM (
+        SELECT doc_id,
+               MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+        FROM documents) t
+      WHERE doc_id <> keeper
+    ),
+    near_drop AS (
+      SELECT DISTINCT doc_b AS doc_id FROM nd_pairs WHERE jaccard >= 0.8
+    ),
+    q AS (
+      SELECT doc_id,
+             lower(text) AS low,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+               / length(text) AS alpha_ratio,
+             length(regexp_replace(text, '[^ ]', '', 'g'))::DOUBLE
+               / length(text) AS space_ratio,
+             len(regexp_split_to_array(trim(text), '\\s+')) AS n_tokens
+      FROM documents
+    ),
+    scored AS (
+      SELECT doc_id,
+             ROUND(0.5 * alpha_ratio
+                   + 0.3 * (CASE WHEN n_tokens BETWEEN 20 AND 500
+                            THEN 1 ELSE 0 END)
+                   + 0.2 * (1.0 - space_ratio), 6) AS quality_score,
+             (regexp_extract(low, '\\bthe\\b') <> ''
+              AND len(regexp_extract_all(low, '\\bthe\\b'))
+                  >= len(regexp_extract_all(low, '\\ba\\b'))) AS is_en
+      FROM q
+    )
+    SELECT d.doc_id,
+           CASE WHEN e.doc_id IS NOT NULL THEN 'exact_dup'
+                WHEN n.doc_id IS NOT NULL THEN 'near_dup'
+                WHEN s.quality_score < 0.5 THEN 'low_quality'
+                WHEN NOT s.is_en THEN 'non_english'
+                ELSE 'kept' END AS verdict,
+           (e.doc_id IS NULL AND n.doc_id IS NULL
+            AND s.quality_score >= 0.5 AND s.is_en) AS keep,
+           s.quality_score
+    FROM documents d
+    JOIN scored s ON s.doc_id = d.doc_id
+    LEFT JOIN exact_drop e ON e.doc_id = d.doc_id
+    LEFT JOIN near_drop n ON n.doc_id = d.doc_id
+    """,
+    doc="End-to-end corpus curation pass — the composite gate a real "
+    "training-data pipeline runs before tokenization: (1) exact dedup "
+    "(md5 groups, min-id keeper), (2) near-dup drop (MinHash-LSH "
+    "verified pairs at jaccard >= 0.8, greedy smaller-id-survives), "
+    "(3) quality-score gate at 0.5, (4) language gate (the langid "
+    "heuristic), with first-failing-reason attribution per document. "
+    "Every stage reuses the registry's standalone operator (exact "
+    "groups, LSH band join, quality exprs) — the pipeline is their "
+    "composition, not a re-implementation. Drop lists are "
+    "duplicate-sized, so the final decision is two small left joins "
+    "over a single corpus scan; at 100 TB the LSH stage dominates "
+    "exactly as its standalone row does.",
+    tags=("llm", "dedup", "quality", "pipeline"),
+    bench=True,
+)
+def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    # (1) exact-dup drop list: every doc whose md5 group keeper isn't it.
+    groups = dedup.exact_dup_groups(d)
+    exact_drop = (
+        d.select("doc_id", F.md5("text").alias("text_hash"))
+        .join(groups, "text_hash")
+        .filter(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id")
+    )
+    # (2) near-dup drop list: greedy smaller-id-survives over verified pairs.
+    near_drop = (
+        dedup.minhash_lsh_dedup(d)
+        .filter(F.col("jaccard") >= 0.8)
+        .select(F.col("doc_b").alias("doc_id"))
+        .distinct()
+    )
+    # (3)+(4) quality + language gates, same exprs as the standalone ops.
+    low = F.lower("text")
+    n_chars = F.length("text")
+    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    alpha_ratio = (
+        F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
+        / n_chars
+    )
+    space_ratio = (
+        F.length(F.regexp_replace("text", "[^ ]", "")).cast("double") / n_chars
+    )
+    quality = F.round(
+        F.lit(0.5) * alpha_ratio
+        + F.lit(0.3) * F.when(n_tokens.between(20, 500), 1).otherwise(0)
+        + F.lit(0.2) * (F.lit(1.0) - space_ratio),
+        6,
+    )
+    n_the = F.regexp_count(low, F.lit(r"\bthe\b"))
+    n_a = F.regexp_count(low, F.lit(r"\ba\b"))
+    is_en = (n_the >= n_a) & (n_the > 0)
+    scored = d.select(
+        "doc_id", quality.alias("quality_score"), is_en.alias("is_en")
+    )
+    e = exact_drop.withColumn("is_exact", F.lit(True))
+    n = near_drop.withColumn("is_near", F.lit(True))
+    return (
+        scored.join(e, "doc_id", "left")
+        .join(n, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.when(F.col("is_exact"), "exact_dup")
+            .when(F.col("is_near"), "near_dup")
+            .when(F.col("quality_score") < 0.5, "low_quality")
+            .when(~F.col("is_en"), "non_english")
+            .otherwise("kept")
+            .alias("verdict"),
+            (
+                F.col("is_exact").isNull()
+                & F.col("is_near").isNull()
+                & (F.col("quality_score") >= 0.5)
+                & F.col("is_en")
+            ).alias("keep"),
+            "quality_score",
         )
     )
