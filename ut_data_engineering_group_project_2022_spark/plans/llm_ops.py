@@ -2382,3 +2382,119 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             "quality_score",
         )
     )
+
+
+@register(
+    "llm_semdedup",
+    oracle="""
+    WITH v AS (
+      SELECT vec_id,
+             [floor(embedding[i]::DOUBLE * 1000000)::BIGINT + 1000000
+              for i in range(1, len(embedding) + 1)] AS x
+      FROM embeddings),
+    seed AS (
+      SELECT vec_id, x,
+             ROW_NUMBER() OVER (
+               ORDER BY ('0x' || substr(md5('seed|' || vec_id::VARCHAR), 1, 15))::BIGINT
+             ) - 1 AS cluster
+      FROM v),
+    c0 AS (SELECT cluster, x AS c FROM seed WHERE cluster < 10),
+    a1 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT v.vec_id, c0.cluster,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY list_sum([(v.x[i] - c0.c[i]) * (v.x[i] - c0.c[i])
+                                                     for i in range(1, 65)]), c0.cluster) AS rn
+        FROM v CROSS JOIN c0) t WHERE rn = 1),
+    c1 AS (
+      SELECT cluster, list(s ORDER BY i) AS c FROM (
+        SELECT a1.cluster, t.i, SUM(v.x[t.i]) // COUNT(*) AS s
+        FROM a1 JOIN v USING (vec_id) CROSS JOIN range(1, 65) t(i)
+        GROUP BY 1, 2) u
+      GROUP BY cluster),
+    a2 AS (
+      SELECT vec_id, cluster FROM (
+        SELECT v.vec_id, c1.cluster,
+               ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                                  ORDER BY list_sum([(v.x[i] - c1.c[i]) * (v.x[i] - c1.c[i])
+                                                     for i in range(1, 65)]), c1.cluster) AS rn
+        FROM v CROSS JOIN c1) t WHERE rn = 1),
+    e AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    dups AS (
+      SELECT b.vec_id, MIN(a.vec_id) AS dup_of
+      FROM a2 a JOIN a2 b ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+      JOIN e ea ON ea.vec_id = a.vec_id
+      JOIN e eb ON eb.vec_id = b.vec_id
+      WHERE list_dot_product(ea.e, eb.e)
+              / (sqrt(list_dot_product(ea.e, ea.e))
+                 * sqrt(list_dot_product(eb.e, eb.e))) >= 0.40
+      GROUP BY b.vec_id
+    )
+    SELECT a2.vec_id, a2.cluster,
+           d.dup_of IS NULL AS keep,
+           d.dup_of
+    FROM a2 LEFT JOIN dups d ON d.vec_id = a2.vec_id
+    """,
+    doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic "
+    "deduplication by clustering embeddings (the registry's "
+    "deterministic fixed-point k-means, k=10 x 2 iterations) and "
+    "dropping all but the smallest id among within-cluster pairs with "
+    "cosine >= 0.40. Candidate pairs are WITHIN-CLUSTER only — the "
+    "method's point: k grows with the corpus, so candidates stay "
+    "~n^2/k instead of n^2, and the pair join is an equi-join on the "
+    "cluster id that AQE can skew-split. Exact cosine verify on the "
+    "original float vectors, keeper attribution per dropped vector.",
+    tags=("llm", "dedup", "similarity", "clustering"),
+)
+def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    assign = similarity.kmeans_fixed_point(emb, k=10, iterations=2).select(
+        "vec_id", "cluster"
+    )
+    # Float vectors for the exact cosine verify (same expression as
+    # llm_embedding_neardup); the cluster equi-join bounds candidates.
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    av = assign.join(e, "vec_id")
+    a = av.select(
+        F.col("vec_id").alias("id_a"), "cluster", F.col("e").alias("ea")
+    )
+    b = av.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cluster").alias("cluster_b"),
+        F.col("e").alias("eb"),
+    )
+    dot = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    na = F.sqrt(
+        F.aggregate(
+            F.zip_with("ea", "ea", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    nb = F.sqrt(
+        F.aggregate(
+            F.zip_with("eb", "eb", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("cluster") == F.col("cluster_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(dot / (na * nb) >= 0.40)
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return assign.join(dups, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.col("dup_of").isNull().alias("keep"),
+        "dup_of",
+    )
