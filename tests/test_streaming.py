@@ -309,3 +309,65 @@ def test_incremental_neardup_two_batch_replay(spark):
     # replay batch 2: identical verdicts (deterministic md5 signatures)
     r2b = {r["doc_id"]: r for r in incremental_neardup(batch2, corpus1).collect()}
     assert r2 == r2b
+
+
+def test_bounded_state_dedup_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicates inside the horizon are
+    suppressed (within and across batches); once the watermark passes a
+    hash's first-seen event time its state is evicted and a later copy
+    is re-emitted — the bounded-state trade documented on the builder."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+
+    from ut_data_engineering_group_project_2022_spark.streaming import stateful
+
+    inbox = tmp_path / "wdedup_in"
+    inbox.mkdir()
+    ckpt = str(tmp_path / "wdedup_ckpt")
+    schema = "doc_id bigint, text string, ts timestamp"
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+
+    def run():
+        stream = (
+            spark.readStream.schema(schema)
+            .parquet(str(inbox))
+            .withColumn("text_hash", F.md5("text"))
+        )
+        rows = []
+        q = (
+            stateful.streaming_dedup_bounded_state(stream)
+            .writeStream.foreachBatch(lambda df, _id: rows.extend(df.collect()))
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        return {(r["text"], r["ts"]) for r in rows}
+
+    def feed(*rows):
+        spark.createDataFrame(list(rows), schema).write.mode("append").parquet(
+            str(inbox)
+        )
+
+    # b1: within-batch duplicate inside the horizon -> one alpha out.
+    feed((1, "alpha", t0), (2, "alpha", t0 + dt.timedelta(minutes=1)),
+         (3, "beta", t0))
+    got = run()
+    assert len([r for r in got if r[0] == "alpha"]) == 1
+    assert len([r for r in got if r[0] == "beta"]) == 1
+
+    # b2: cross-batch duplicate still inside the horizon -> suppressed.
+    feed((4, "alpha", t0 + dt.timedelta(minutes=5)),
+         (5, "gamma", t0 + dt.timedelta(minutes=6)))
+    got = run()
+    assert got == {("gamma", t0 + dt.timedelta(minutes=6))}
+
+    # b3+b4: advance event time far beyond the horizon; the evicted hash
+    # is re-emitted as new (the documented bounded-state trade).
+    feed((6, "delta", t0 + dt.timedelta(hours=3)))
+    run()  # advances the watermark past alpha's first-seen time
+    feed((7, "alpha", t0 + dt.timedelta(hours=3, minutes=1)))
+    got = run()
+    assert got == {("alpha", t0 + dt.timedelta(hours=3, minutes=1))}

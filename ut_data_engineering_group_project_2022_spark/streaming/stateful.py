@@ -121,3 +121,25 @@ def streaming_dedup_first_wins(docs_with_hash: DataFrame) -> DataFrame:
         "append",
         GroupStateTimeout.NoTimeout,
     )
+
+
+def streaming_dedup_bounded_state(
+    docs_with_hash: DataFrame,
+    ts_col: str = "ts",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Built-in bounded-state exact dedup:
+    ``dropDuplicatesWithinWatermark`` keeps the first row per
+    ``text_hash`` and suppresses duplicates arriving within the
+    watermark horizon; the hash's state is EVICTED once the watermark
+    passes its first-seen event time. This is the production default at
+    sustained ingest volume — :func:`streaming_dedup_first_wins`'
+    NoTimeout state grows with every distinct document forever, while
+    this one's state is bounded by (arrival rate x watermark). The
+    trade: a duplicate arriving later than the horizon is re-emitted,
+    so exactly-once dedup beyond the horizon needs the batch-side
+    incremental near-dup pass (operators/dedup.incremental_neardup) as
+    the backstop."""
+    return docs_with_hash.withWatermark(
+        ts_col, watermark
+    ).dropDuplicatesWithinWatermark(["text_hash"])
