@@ -2498,3 +2498,97 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("dup_of").isNull().alias("keep"),
         "dup_of",
     )
+
+
+@register(
+    "llm_dsir_weights",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, lang,
+             regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+      FROM documents),
+    bg AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(b), 1, 15))::BIGINT % 4096 AS bucket
+      FROM (SELECT doc_id, lang,
+                   unnest([w[i] || ' ' || w[i + 1] FOR i IN range(1, len(w))]) AS b
+            FROM w WHERE len(w) >= 2) t),
+    cnt AS (
+      SELECT bucket,
+             COUNT(*) AS c_raw,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS c_tgt
+      FROM bg GROUP BY 1),
+    tot AS (
+      SELECT SUM(c_raw)::DOUBLE AS n_raw, SUM(c_tgt)::DOUBLE AS n_tgt
+      FROM cnt),
+    lr AS (
+      SELECT bucket,
+             ROUND(ln((c_tgt + 1.0) / (n_tgt + 4096))
+                   - ln((c_raw + 1.0) / (n_raw + 4096)), 6)
+               ::DECIMAL(18,6) AS lr
+      FROM cnt CROSS JOIN tot)
+    SELECT bg.doc_id,
+           COUNT(*)::BIGINT AS n_features,
+           ROUND(SUM(lr.lr)::DOUBLE, 6) AS dsir_logratio
+    FROM bg JOIN lr USING (bucket)
+    GROUP BY bg.doc_id
+    """,
+    doc="DSIR data-selection importance weights (Xie et al. 2023, "
+    "arXiv:2302.03169): hashed-bigram n-gram features (md5 mod 4096 "
+    "buckets), add-one-smoothed log-likelihood ratio between the "
+    "target distribution (here lang='en' documents) and the raw "
+    "corpus, summed per document — high scores mark documents that "
+    "look like the target domain; sampling proportional to exp(score) "
+    "is the paper's selection rule. One pass builds both count "
+    "tables (c_raw and c_tgt from the same bucket aggregate); the "
+    "4096-row log-ratio table broadcasts; per-bucket ratios are "
+    "rounded to 6 and summed as exact DECIMAL so the per-doc score "
+    "is partition-order-free (the llm_bigram_lm_score determinism "
+    "pattern).",
+    tags=("llm", "quality", "sampling"),
+)
+def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    toks = tokens("text")
+    bigrams = F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bg = d.select(
+        "doc_id", "lang", F.explode(bigrams).alias("b")
+    ).select(
+        "doc_id", "lang", (md5_int60("b") % F.lit(4096)).alias("bucket")
+    )
+    cnt = bg.groupBy("bucket").agg(
+        F.count(F.lit(1)).alias("c_raw"),
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("c_tgt"),
+    )
+    tot = cnt.agg(
+        F.sum("c_raw").cast("double").alias("n_raw"),
+        F.sum("c_tgt").cast("double").alias("n_tgt"),
+    )
+    lr = cnt.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        F.round(
+            F.log((F.col("c_tgt") + F.lit(1.0)) / (F.col("n_tgt") + F.lit(4096)))
+            - F.log(
+                (F.col("c_raw") + F.lit(1.0)) / (F.col("n_raw") + F.lit(4096))
+            ),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lr"),
+    )
+    return (
+        bg.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_features"),
+            F.round(F.sum("lr").cast("double"), 6).alias("dsir_logratio"),
+        )
+    )
