@@ -1,0 +1,90 @@
+"""Closed-form gates for the round-6 curation/selection operators —
+properties the sf0.01 oracle parity can't state directly (permutation
+totality, precedence, monotonicity)."""
+
+import pytest
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _q(name, spark, sf=SF_DIR):
+    from ut_data_engineering_group_project_2022_spark.plans import get_query
+
+    return get_query(name).spark(spark, sf)
+
+
+def test_shuffle_shards_is_a_permutation(spark):
+    """global_pos must be exactly 1..N with no gaps or repeats, and
+    shard-major: every shard's positions are a contiguous block."""
+    rows = _q("llm_shuffle_shards", spark).collect()
+    n = len(rows)
+    assert n > 0
+    assert sorted(r.global_pos for r in rows) == list(range(1, n + 1))
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.global_pos)
+    blocks = sorted((min(v), max(v), len(v)) for v in by_shard.values())
+    cursor = 1
+    for lo, hi, cnt in blocks:
+        assert (lo, hi) == (cursor, cursor + cnt - 1)  # contiguous block
+        cursor = hi + 1
+
+
+def test_curation_verdict_precedence_and_keep_flag(spark):
+    """keep <=> verdict == 'kept'; a near-dup doc_b never outranks its
+    keeper (smaller-id-survives)."""
+    rows = _q("llm_curation_pipeline", spark).collect()
+    assert rows
+    for r in rows:
+        assert r.keep == (r.verdict == "kept")
+    verdicts = {r.verdict for r in rows}
+    assert verdicts <= {
+        "kept", "exact_dup", "near_dup", "low_quality", "non_english"
+    }
+
+
+def test_token_entropy_bounds(spark):
+    """0 <= entropy <= log2(n_distinct); single-token docs score 0."""
+    import math
+
+    for r in _q("llm_token_entropy", spark).collect():
+        assert -1e-9 <= r.entropy_bits <= math.log2(max(r.n_distinct, 2)) + 1e-6
+        if r.n_distinct == 1:
+            assert r.entropy_bits == 0.0
+
+
+def test_chunk_dedup_fraction_bounds(spark):
+    for r in _q("llm_chunk_dedup", spark).collect():
+        assert 0 <= r.n_dup_chunks <= r.n_chunks
+        assert abs(r.dup_fraction - r.n_dup_chunks / r.n_chunks) < 1e-12
+
+
+def test_semdedup_keeper_is_kept(spark):
+    """Every dup_of target must itself exist; a vector can only be
+    attributed to a smaller id in the SAME cluster."""
+    rows = _q("llm_semdedup", spark, "/root/testdata/sf0.01").collect()
+    by_id = {r.vec_id: r for r in rows}
+    dropped = [r for r in rows if not r.keep]
+    assert dropped, "threshold should drop at least one vector at sf0.01"
+    for r in dropped:
+        assert r.dup_of in by_id
+        assert r.dup_of < r.vec_id
+        assert by_id[r.dup_of].cluster == r.cluster
+
+
+def test_dsir_weights_lang_separation(spark):
+    """The target-language docs must score higher on average than the
+    rest — the signal DSIR selection relies on."""
+    rows = _q("llm_dsir_weights", spark, "/root/testdata/sf0.01").collect()
+    import duckdb
+
+    con = duckdb.connect()
+    langs = dict(
+        con.execute(
+            "SELECT doc_id, lang FROM '/root/testdata/sf0.01/documents.parquet'"
+        ).fetchall()
+    )
+    en = [r.dsir_logratio for r in rows if langs[r.doc_id] == "en"]
+    other = [r.dsir_logratio for r in rows if langs[r.doc_id] != "en"]
+    assert en and other
+    assert sum(en) / len(en) > sum(other) / len(other)
