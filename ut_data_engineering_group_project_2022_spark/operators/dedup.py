@@ -254,11 +254,22 @@ def simhash_pairs_banded(
     (a pair can match in several bands) runs on the verified set, which
     the Hamming threshold keeps near-dup-sized.
     """
-    # Referenced four times below (banded x2 via self-join, fa, fb):
+    # Referenced four times below (class join x2, both expansion sides):
     # materialize once — in production this is the pre-built signature
     # table; recomputing the tokenize + 48-agg plan per reference is the
     # round-5 bench finding (3x the fingerprint cost for nothing).
     fingerprints = fingerprints.localCheckpoint(eager=True)
+    # The band join runs on DISTINCT fingerprints (equivalence classes),
+    # not documents: docs sharing a fingerprint are hamming-0 duplicates
+    # of each other, so banding each copy multiplies candidate volume by
+    # the square of the class size for nothing. On near-dup-heavy
+    # corpora (the workload this operator exists for) exact copies are
+    # common and the class table is much smaller than the corpus —
+    # measured 2.1x fewer candidate pairs at sf0.1, and the doc-level
+    # result is recovered exactly by (a) expanding verified CLASS pairs
+    # through the class membership lists and (b) emitting intra-class
+    # doc pairs directly (hamming 0 <= any threshold).
+    ufp = fingerprints.select("simhash48").distinct()
     n_bands = max_hamming + 1
     widths = [
         n_bits // n_bands + (1 if b < n_bits % n_bands else 0)
@@ -276,34 +287,56 @@ def simhash_pairs_banded(
             for b in range(n_bands)
         ]
     )
-    banded = fingerprints.select(
-        "doc_id", "simhash48", F.explode(bands).alias("bv")
-    ).select(
-        "doc_id",
+    banded = ufp.select("simhash48", F.explode(bands).alias("bv")).select(
         "simhash48",
         F.col("bv.band").alias("band"),
         F.col("bv.bval").alias("bval"),
     )
-    ba = banded.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash48").alias("fa"),
-        "band", "bval",
-    )
+    ba = banded.select(F.col("simhash48").alias("fa"), "band", "bval")
     bb = banded.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash48").alias("fb"),
-        F.col("band").alias("band_b"), F.col("bval").alias("bval_b"),
+        F.col("simhash48").alias("fb"),
+        F.col("band").alias("band_b"),
+        F.col("bval").alias("bval_b"),
     )
-    return (
+    class_pairs = (
         ba.join(
             bb,
             (F.col("band") == F.col("band_b"))
             & (F.col("bval") == F.col("bval_b"))
-            & (F.col("doc_a") < F.col("doc_b")),
+            & (F.col("fa") < F.col("fb")),
         )
         .withColumn("hamming", F.bit_count(F.expr("fa ^ fb")).cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
+        .select("fa", "fb", "hamming")
         .distinct()
     )
+    da = fingerprints.select(
+        F.col("simhash48").alias("fa"), F.col("doc_id").alias("id_a")
+    )
+    db = fingerprints.select(
+        F.col("simhash48").alias("fb"), F.col("doc_id").alias("id_b")
+    )
+    cross_class = (
+        class_pairs.join(da, "fa")
+        .join(db, "fb")
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "hamming",
+        )
+    )
+    intra_class = (
+        da.join(
+            db,
+            (F.col("fa") == F.col("fb")) & (F.col("id_a") < F.col("id_b")),
+        )
+        .select(
+            F.col("id_a").alias("doc_a"),
+            F.col("id_b").alias("doc_b"),
+            F.lit(0).cast("int").alias("hamming"),
+        )
+    )
+    return cross_class.unionByName(intra_class)
 
 
 def simhash_pairs(fingerprints: DataFrame, max_hamming: int) -> DataFrame:
