@@ -346,20 +346,43 @@ def simhash_pairs(fingerprints: DataFrame, max_hamming: int) -> DataFrame:
     :func:`simhash_pairs_banded`, and the only complete path for loose
     thresholds (see the banding scale note there)."""
     # Both join sides derive from `fingerprints`; materialize it once or
-    # the whole tokenize + 48-agg fingerprint plan evaluates twice.
+    # the whole tokenize + 48-agg fingerprint plan evaluates twice. The
+    # quadratic join runs on DISTINCT fingerprints (same class-level
+    # restructure as the banded form): the all-pairs comparison count
+    # drops by the squared dedup factor, and doc pairs are recovered
+    # exactly via class expansion + intra-class emission.
     fingerprints = fingerprints.localCheckpoint(eager=True)
-    a = fingerprints.select(
-        F.col("doc_id").alias("doc_a"), F.col("simhash48").alias("fa")
-    )
-    b = fingerprints.select(
-        F.col("doc_id").alias("doc_b"), F.col("simhash48").alias("fb")
-    )
-    return (
-        a.join(b, F.col("doc_a") < F.col("doc_b"))
+    ufp = fingerprints.select("simhash48").distinct()
+    a = ufp.select(F.col("simhash48").alias("fa"))
+    b = ufp.select(F.col("simhash48").alias("fb"))
+    class_pairs = (
+        a.join(b, F.col("fa") < F.col("fb"))
         .withColumn("hamming", F.bit_count(F.expr("fa ^ fb")).cast("int"))
         .filter(F.col("hamming") <= max_hamming)
-        .select("doc_a", "doc_b", "hamming")
     )
+    da = fingerprints.select(
+        F.col("simhash48").alias("fa"), F.col("doc_id").alias("id_a")
+    )
+    db = fingerprints.select(
+        F.col("simhash48").alias("fb"), F.col("doc_id").alias("id_b")
+    )
+    cross_class = (
+        class_pairs.join(da, "fa")
+        .join(db, "fb")
+        .select(
+            F.least("id_a", "id_b").alias("doc_a"),
+            F.greatest("id_a", "id_b").alias("doc_b"),
+            "hamming",
+        )
+    )
+    intra_class = da.join(
+        db, (F.col("fa") == F.col("fb")) & (F.col("id_a") < F.col("id_b"))
+    ).select(
+        F.col("id_a").alias("doc_a"),
+        F.col("id_b").alias("doc_b"),
+        F.lit(0).cast("int").alias("hamming"),
+    )
+    return cross_class.unionByName(intra_class)
 
 
 def incremental_neardup(
