@@ -209,30 +209,46 @@ def _louvain_moves(und_w: DataFrame, rounds: int) -> DataFrame:
         eager=True
     )
     even = F.substring(F.md5(F.col("id")), 1, 1).isin(*_EVEN_HEX)
-    nonself = und_w.filter(F.col("src") != F.col("dst"))
+    # Pre-partition the edge stream by src ONCE: every round's
+    # (id, cand) candidate aggregate and per-id argmax then run
+    # shuffle-free — Project/BroadcastHashJoin preserve the hash(src)
+    # partitioning through the id alias, and HashPartitioning(id)
+    # satisfies the grouping distribution of both groupBy(id, cand) and
+    # groupBy(id). Net per-round plan: two node-sized broadcasts + one
+    # map pass over the edges + the label checkpoint; NO edge-sized
+    # shuffle after this one. Materialized with persist(), NOT
+    # localCheckpoint: LogicalRDD drops outputPartitioning (verified —
+    # the checkpoint form re-adds an ENSURE_REQUIREMENTS exchange),
+    # while InMemoryRelation reports the cached plan's partitioning.
+    nonself = und_w.filter(F.col("src") != F.col("dst")).repartition(
+        "src"
+    ).persist()
+    nonself.count()
 
     for r in range(rounds):
         sig = labels.groupBy("label").agg(F.sum("k").alias("sig"))
-        # Per-node candidate-community scan. The node's OWN community is
-        # guaranteed a candidate (kin=0 when no neighbor shares it) by
-        # unioning a zero row BEFORE the aggregation: SUM over
-        # {edge rows, one zero row} equals the r5 two-shuffle
-        # sum-then-max form exactly, in ONE keyed shuffle per round.
+        # Per-node candidate-community scan over NEIGHBOR communities
+        # only. The node's own community is merged analytically below
+        # (the r5 union of edge-sized zero rows forced an edge-sized
+        # shuffle by erasing the partitioning): a zero-kin own row can
+        # only win when the own community has no incoming edge rows —
+        # when it does, its real-kin score is strictly higher and
+        # already participates — so comparing the aggregate winner with
+        # the zero-kin own score reproduces the unioned argmax exactly.
         nbr_rows = nonself.join(
-            labels.select(F.col("id").alias("dst"), F.col("label").alias("cand")),
+            F.broadcast(
+                labels.select(
+                    F.col("id").alias("dst"), F.col("label").alias("cand")
+                )
+            ),
             "dst",
         ).select(F.col("src").alias("id"), "cand", F.col("w").alias("kin"))
-        own = labels.select(
-            "id", F.col("label").alias("cand"), F.lit(0).cast("long").alias("kin")
-        )
-        cand = (
-            nbr_rows.unionByName(own)
-            .groupBy("id", "cand")
-            .agg(F.sum("kin").alias("kin"))
-        )
+        cand = nbr_rows.groupBy("id", "cand").agg(F.sum("kin").alias("kin"))
         scored = (
-            cand.join(labels, "id")
-            .join(sig.withColumnRenamed("label", "cand"), "cand")
+            cand.join(F.broadcast(labels), "id")
+            .join(
+                F.broadcast(sig.withColumnRenamed("label", "cand")), "cand"
+            )
             .withColumn(
                 "score",
                 F.lit(two_m) * F.col("kin")
@@ -258,24 +274,35 @@ def _louvain_moves(und_w: DataFrame, rounds: int) -> DataFrame:
                     )
                 ).alias("b")
             )
-            .select("id", F.col("b.cand").alias("new_label"))
         )
+        # Zero-kin own-community score: -k * (sigma(own) - k); beat it
+        # strictly (or tie with a smaller community label) to move.
+        own = labels.join(F.broadcast(sig), "label").select(
+            "id", "label", "k", (F.col("k") * (F.col("sig") - F.col("k"))).alias("own_ns")
+        )
+        use_nbr = F.col("b").isNotNull() & (
+            (F.col("b.ns") < F.col("own_ns"))
+            | (
+                (F.col("b.ns") == F.col("own_ns"))
+                & (F.col("b.cand") < F.col("label"))
+            )
+        )
+        new_label = F.when(use_nbr, F.col("b.cand")).otherwise(F.col("label"))
         mover = even if r % 2 == 0 else ~even
         # Checkpoint EVERY round: the label vector is referenced ~5x per
-        # round (sig, own, scored, mover join), so skipping rounds was
+        # round (sig, nbr broadcast, scored, own), so skipping rounds was
         # measured 40% slower — recompute beats materialization only
         # when references are few (pagerank's 2x/iter), not here.
         labels = (
-            labels.join(best, "id")
+            own.join(best, "id", "left")
             .select(
                 "id",
-                F.when(mover, F.col("new_label")).otherwise(F.col("label")).alias(
-                    "label"
-                ),
+                F.when(mover, new_label).otherwise(F.col("label")).alias("label"),
                 "k",
             )
             .localCheckpoint(eager=True)
         )
+    nonself.unpersist()
     return labels.select("id", "label")
 
 
