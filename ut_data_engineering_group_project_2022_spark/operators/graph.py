@@ -98,6 +98,13 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nd.count()
+    # Pre-partition the edges by dst (persist — InMemoryRelation keeps
+    # the partitioning, LogicalRDD would not): with the node-sized share
+    # vector broadcast, every iteration's contribution aggregate then
+    # groups in place on hash(dst) — NO per-iteration edge shuffle, the
+    # same restructure as the louvain moves kernel.
+    edp = ed.repartition("dst").persist()
+    edp.count()
 
     pr = nd.withColumn("pr", F.lit(1.0 / n))
     for i in range(iterations):
@@ -105,7 +112,7 @@ def pagerank(
             F.col("id").alias("sid"), (F.col("pr") / F.col("d")).alias("s")
         )
         contrib = (
-            ed.join(share, ed.src == F.col("sid"))
+            edp.join(F.broadcast(share), edp.src == F.col("sid"))
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("s").alias("contrib"))
         )
@@ -119,9 +126,11 @@ def pagerank(
         )
         if i % 2 == 0 and i != iterations - 1:
             pr = pr.localCheckpoint(eager=True)
-    return pr.select(
+    out = pr.select(
         F.col("id").alias("node_id"), F.round("pr", 6).alias("pagerank")
-    )
+    ).localCheckpoint(eager=True)
+    edp.unpersist()
+    return out
 
 
 def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
