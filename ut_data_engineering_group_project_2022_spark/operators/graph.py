@@ -142,15 +142,20 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
     """
     # Same eager-localCheckpoint iteration discipline as pagerank(): one
     # action per round, truncated plan, stale generations GC-released.
-    und = undirect(edges).localCheckpoint(eager=True)
+    # Edges cached pre-partitioned by src (the louvain/pagerank
+    # restructure): labels broadcast into the join, the per-round
+    # neighbor-min aggregate groups in place on hash(src) — no
+    # edge-sized shuffle per round.
+    und = undirect(edges).repartition("src").persist()
     labels = (
         und.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
     )
     for _ in range(max_iter):
         neighbor_min = (
-            und.join(labels, und.dst == labels.id)
+            und.join(F.broadcast(labels), und.dst == labels.id)
             .groupBy(F.col("src").alias("nid"))
             .agg(F.min("label").alias("nbr_label"))
         )
@@ -164,6 +169,7 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
             )
             .localCheckpoint(eager=True)
         )
+    und.unpersist()
     return labels.select(
         F.col("id").alias("node_id"), F.col("label").alias("community")
     )
