@@ -41,7 +41,11 @@ def shingle_docs(docs: DataFrame, k: int = 3) -> DataFrame:
     Repartitions the scan first: document corpora typically arrive as few
     fat files, and everything downstream (shingle explode, hashing, LSH)
     is CPU-bound per row — without this the whole pipeline runs on one
-    task per input file.
+    task per input file. The repartition key is doc_id (not round-robin):
+    the cache preserves hash(doc_id), the downstream explode keeps it,
+    and the minhash groupBy(doc_id) — whose input, the exploded shingle
+    stream, is the pipeline's largest intermediate — then aggregates in
+    place with NO shuffle.
 
     The result is cached: every consumer (signature build, both sides of
     the exact-Jaccard verify) reuses it, and the cache is also a plan
@@ -50,9 +54,8 @@ def shingle_docs(docs: DataFrame, k: int = 3) -> DataFrame:
     repartition (single-partition, twice per row; observed 5x slowdown).
     At 100 TB this would be persist(DISK_ONLY) or a checkpoint table.
     """
-    n = docs.sparkSession.sparkContext.defaultParallelism
     return (
-        docs.repartition(n)
+        docs.repartition("doc_id")
         .select("doc_id", word_shingles("text", k).alias("shingles"))
         .cache()
     )
@@ -202,9 +205,12 @@ def simhash_fingerprints(docs: DataFrame, n_bits: int = SIMHASH_BITS) -> DataFra
     single expression — no n_bits-way row blowup of the token stream
     (same scale rationale as `minhash_signatures`).
     """
-    n = docs.sparkSession.sparkContext.defaultParallelism
+    # Partition by doc_id up front: explode preserves it, so BOTH the
+    # (doc_id, token) distinct and the 48-aggregate groupBy(doc_id) run
+    # in place — the token stream (the largest intermediate) is never
+    # shuffled (hash(doc_id) satisfies each clustering as a subset).
     tok = (
-        docs.repartition(n)
+        docs.repartition("doc_id")
         .select("doc_id", F.explode(tokens("text")).alias("t"))
         .distinct()
         .withColumn("h", md5_int60("t"))
