@@ -382,3 +382,57 @@ def test_knn_lsh_recall(spark, knn_exact):
         for _, n in sorted(cands, key=lambda t: (-t[0], t[1]))[:5]
     ]
     assert _recall_at_5(knn_exact, top5) >= 0.6
+
+
+# --- Size-gated join strategy (broadcast vs co-partitioned kernels) -------
+
+
+def test_pagerank_large_graph_branch_matches_broadcast_branch(spark):
+    # broadcast_nodes=0 forces the >BROADCAST_NODES code path (edges
+    # cached by src, share vector shuffled instead of broadcast); both
+    # kernels must be numerically identical — the gate picks a physical
+    # strategy, never a different algorithm.
+    pairs = [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a")]
+    small = {
+        r["node_id"]: r["pagerank"]
+        for r in graph.pagerank(_edges(spark, pairs), 3, 0.85).collect()
+    }
+    large = {
+        r["node_id"]: r["pagerank"]
+        for r in graph.pagerank(
+            _edges(spark, pairs), 3, 0.85, broadcast_nodes=0
+        ).collect()
+    }
+    assert small == large
+
+
+def test_louvain_large_graph_branch_matches_broadcast_branch(
+    spark, monkeypatch
+):
+    pairs = _clique(["a1", "a2", "a3", "a4"]) + _clique(
+        ["b1", "b2", "b3", "b4"]
+    ) + [("a1", "b1")]
+    small = {
+        r["node_id"]: r["community"]
+        for r in graph.louvain(_edges(spark, pairs), rounds=4).collect()
+    }
+    monkeypatch.setattr(graph, "BROADCAST_NODES", 0)
+    large = {
+        r["node_id"]: r["community"]
+        for r in graph.louvain(_edges(spark, pairs), rounds=4).collect()
+    }
+    assert small == large
+
+
+def test_label_propagation_large_graph_branch_matches(spark, monkeypatch):
+    pairs = [("a", "b"), ("b", "c"), ("x", "y")]
+    small = {
+        r["node_id"]: r["community"]
+        for r in graph.label_propagation(_edges(spark, pairs), 5).collect()
+    }
+    monkeypatch.setattr(graph, "BROADCAST_NODES", 0)
+    large = {
+        r["node_id"]: r["community"]
+        for r in graph.label_propagation(_edges(spark, pairs), 5).collect()
+    }
+    assert small == large

@@ -41,8 +41,11 @@ def customer_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     append would anti-join on the same key."""
     o = table(spark, sf_dir, "orders")
     li = table(spark, sf_dir, "lineitem")
+    # No broadcast hint: orders is FACT-sized, so the li-orders join must
+    # stay a keyed shuffle join at scale (AQE still picks broadcast at
+    # small SF where orders fits the threshold).
     return (
-        li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey)
+        li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
@@ -58,20 +61,40 @@ def undirect(edges: DataFrame) -> DataFrame:
     return fwd.unionAll(rev)
 
 
+#: Node-count ceiling for the broadcast iteration kernels below. A rank/
+#: label vector at this size is ~hundreds of MB serialized — the upper
+#: edge of what a per-iteration executor broadcast can justify. Above
+#: it the kernels switch to co-partitioned joins: the EDGE list (the
+#: big side) stays cached in place and only the node-sized vector
+#: shuffles per round, which is the classic Pregel-on-Spark shape.
+BROADCAST_NODES = 10_000_000
+
+
 def pagerank(
-    edges: DataFrame, iterations: int = 3, damping: float = 0.85
+    edges: DataFrame,
+    iterations: int = 3,
+    damping: float = 0.85,
+    broadcast_nodes: int = BROADCAST_NODES,
 ) -> DataFrame:
     """PageRank over a directed edge list; returns (node_id, pagerank).
 
     Iterative join-aggregate loop: contrib_i+1(v) = sum over in-edges of
     pr_i(u)/outdeg(u); pr_i+1 = (1-d)/N + d*contrib. Scores rounded to 6
-    decimals at the end. Each iteration is one shuffle on dst; the rank
-    vector is eagerly localCheckpoint'ed every OTHER iteration (each
-    round references pr once, so lineage grows linearly — truncating
-    every second generation bounds plan depth at 2 while halving the
-    blocking materialization jobs), and never on the last iteration:
-    its result flows straight into the output projection, so the final
-    round + rounding run as ONE job instead of checkpoint-then-project.
+    decimals at the end. The rank vector is eagerly localCheckpoint'ed
+    every OTHER iteration (each round references pr once, so lineage
+    grows linearly — truncating every second generation bounds plan
+    depth at 2 while halving the blocking materialization jobs), and
+    never on the last iteration: its result flows straight into the
+    output projection, so the final round + rounding run as ONE job.
+
+    Join strategy is SIZE-GATED on the node count (the only quantity
+    that decides broadcastability — edge count is irrelevant to the
+    share vector's size): up to ``broadcast_nodes`` the edges are cached
+    pre-partitioned by dst and the share vector is broadcast, making
+    every iteration completely shuffle-free; above it the edges are
+    cached pre-partitioned by src and the node-sized share vector
+    shuffles to meet them (edges never re-shuffle), with the
+    contribution aggregate's map-side combine bounding the dst shuffle.
     """
     # localCheckpoint(eager) instead of cache+count everywhere below: one
     # action materializes AND truncates the logical plan (cache keeps it),
@@ -86,9 +109,7 @@ def pagerank(
     # rows contribute 0 to the degree sum, so dst-only nodes appear with
     # d=0), and no degree-annotated |E|-row edge list is ever
     # materialized — the per-iteration join attaches the NODE-sized
-    # share vector pr/d to the raw edges instead (join strategy left to
-    # AQE: broadcast when the rank vector is small, shuffle join at
-    # scale — never a driver-side collect).
+    # share vector pr/d to the raw edges instead.
     ed = edges.localCheckpoint(eager=True)
     nd = (
         ed.select(F.col("src").alias("id"), F.lit(1).alias("c"))
@@ -98,12 +119,14 @@ def pagerank(
         .localCheckpoint(eager=True)
     )
     n = nd.count()
-    # Pre-partition the edges by dst (persist — InMemoryRelation keeps
-    # the partitioning, LogicalRDD would not): with the node-sized share
-    # vector broadcast, every iteration's contribution aggregate then
-    # groups in place on hash(dst) — NO per-iteration edge shuffle, the
-    # same restructure as the louvain moves kernel.
-    edp = ed.repartition("dst").persist()
+    small = n <= broadcast_nodes
+    # Pre-partition the edges ONCE (persist — InMemoryRelation keeps the
+    # partitioning, LogicalRDD would not). Small graphs: partition by
+    # dst so the contribution aggregate groups in place under the
+    # broadcast join — zero shuffles per iteration. Large graphs:
+    # partition by src (the join key) so the per-iteration join moves
+    # only the node-sized share vector, never the edges.
+    edp = ed.repartition("dst" if small else "src").persist()
     edp.count()
 
     pr = nd.withColumn("pr", F.lit(1.0 / n))
@@ -112,7 +135,10 @@ def pagerank(
             F.col("id").alias("sid"), (F.col("pr") / F.col("d")).alias("s")
         )
         contrib = (
-            edp.join(F.broadcast(share), edp.src == F.col("sid"))
+            edp.join(
+                F.broadcast(share) if small else share,
+                edp.src == F.col("sid"),
+            )
             .groupBy(F.col("dst").alias("id"))
             .agg(F.sum("s").alias("contrib"))
         )
@@ -142,20 +168,27 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
     """
     # Same eager-localCheckpoint iteration discipline as pagerank(): one
     # action per round, truncated plan, stale generations GC-released.
-    # Edges cached pre-partitioned by src (the louvain/pagerank
-    # restructure): labels broadcast into the join, the per-round
-    # neighbor-min aggregate groups in place on hash(src) — no
-    # edge-sized shuffle per round.
-    und = undirect(edges).repartition("src").persist()
+    # Same size-gated join strategy too: below BROADCAST_NODES the edges
+    # are cached pre-partitioned by src (labels broadcast into the join,
+    # the per-round neighbor-min aggregate groups in place on hash(src)
+    # — no edge-sized shuffle per round); above it they are cached
+    # pre-partitioned by dst (the join key), so only the node-sized
+    # label vector shuffles per round.
     labels = (
-        und.select(F.col("src").alias("id"))
+        undirect(edges)
+        .select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
+    small = labels.count() <= BROADCAST_NODES
+    und = undirect(edges).repartition("src" if small else "dst").persist()
     for _ in range(max_iter):
         neighbor_min = (
-            und.join(F.broadcast(labels), und.dst == labels.id)
+            und.join(
+                F.broadcast(labels) if small else labels,
+                und.dst == labels.id,
+            )
             .groupBy(F.col("src").alias("nid"))
             .agg(F.min("label").alias("nbr_label"))
         )
@@ -208,14 +241,17 @@ def _louvain_moves(und_w: DataFrame, rounds: int) -> DataFrame:
         is determinism; the fixed round count bounds any residual
         swapping.
 
-    Each round is three keyed shuffles (community sizes, per-node
-    candidate scan, per-node argmax) — no global window, no driver-side
-    graph; the label vector is localCheckpoint'ed per round (it is
-    referenced three times per round, so lineage would otherwise grow
-    geometrically). The weighted degree ``k`` rides INSIDE the label
-    vector (r6: one node-sized column instead of a nodes join in both
-    the sigma aggregate and the score join — two joins fewer per
-    round). Returns (id, label).
+    No global window, no driver-side graph; the label vector is
+    localCheckpoint'ed per round (it is referenced ~5 times per round,
+    so lineage would otherwise grow geometrically). The weighted degree
+    ``k`` rides INSIDE the label vector (r6: one node-sized column
+    instead of a nodes join in both the sigma aggregate and the score
+    join — two joins fewer per round). Join strategy is size-gated as
+    in :func:`pagerank`: below ``BROADCAST_NODES`` the edge stream is
+    cached hash(src)-partitioned and the label/sigma vectors broadcast,
+    making each round's edge pass shuffle-free; above it the edges are
+    cached hash(dst)-partitioned (the label-join key) and only
+    node-sized vectors shuffle per round. Returns (id, label).
     """
     deg = und_w.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("k"))
     two_m = und_w.agg(F.sum("w")).collect()[0][0]
@@ -224,8 +260,9 @@ def _louvain_moves(und_w: DataFrame, rounds: int) -> DataFrame:
         eager=True
     )
     even = F.substring(F.md5(F.col("id")), 1, 1).isin(*_EVEN_HEX)
-    # Pre-partition the edge stream by src ONCE: every round's
-    # (id, cand) candidate aggregate and per-id argmax then run
+    small = labels.count() <= BROADCAST_NODES
+    # Small graphs — pre-partition the edge stream by src ONCE: every
+    # round's (id, cand) candidate aggregate and per-id argmax then run
     # shuffle-free — Project/BroadcastHashJoin preserve the hash(src)
     # partitioning through the id alias, and HashPartitioning(id)
     # satisfies the grouping distribution of both groupBy(id, cand) and
@@ -235,10 +272,17 @@ def _louvain_moves(und_w: DataFrame, rounds: int) -> DataFrame:
     # localCheckpoint: LogicalRDD drops outputPartitioning (verified —
     # the checkpoint form re-adds an ENSURE_REQUIREMENTS exchange),
     # while InMemoryRelation reports the cached plan's partitioning.
+    # Large graphs (> BROADCAST_NODES, where a per-round label broadcast
+    # would not fit an executor): partition by dst — the label join's
+    # key — so each round shuffles only the node-sized label vector and
+    # the partially-aggregated candidate stream, never the raw edges.
     nonself = und_w.filter(F.col("src") != F.col("dst")).repartition(
-        "src"
+        "src" if small else "dst"
     ).persist()
     nonself.count()
+
+    def _bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
 
     for r in range(rounds):
         sig = labels.groupBy("label").agg(F.sum("k").alias("sig"))
@@ -251,7 +295,7 @@ def _louvain_moves(und_w: DataFrame, rounds: int) -> DataFrame:
         # already participates — so comparing the aggregate winner with
         # the zero-kin own score reproduces the unioned argmax exactly.
         nbr_rows = nonself.join(
-            F.broadcast(
+            _bcast(
                 labels.select(
                     F.col("id").alias("dst"), F.col("label").alias("cand")
                 )
@@ -260,9 +304,9 @@ def _louvain_moves(und_w: DataFrame, rounds: int) -> DataFrame:
         ).select(F.col("src").alias("id"), "cand", F.col("w").alias("kin"))
         cand = nbr_rows.groupBy("id", "cand").agg(F.sum("kin").alias("kin"))
         scored = (
-            cand.join(F.broadcast(labels), "id")
+            cand.join(_bcast(labels), "id")
             .join(
-                F.broadcast(sig.withColumnRenamed("label", "cand")), "cand"
+                _bcast(sig.withColumnRenamed("label", "cand")), "cand"
             )
             .withColumn(
                 "score",
@@ -292,7 +336,7 @@ def _louvain_moves(und_w: DataFrame, rounds: int) -> DataFrame:
         )
         # Zero-kin own-community score: -k * (sigma(own) - k); beat it
         # strictly (or tie with a smaller community label) to move.
-        own = labels.join(F.broadcast(sig), "label").select(
+        own = labels.join(_bcast(sig), "label").select(
             "id", "label", "k", (F.col("k") * (F.col("sig") - F.col("k"))).alias("own_ns")
         )
         use_nbr = F.col("b").isNotNull() & (
