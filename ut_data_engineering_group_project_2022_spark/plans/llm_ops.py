@@ -2592,3 +2592,192 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("lr").cast("double"), 6).alias("dsir_logratio"),
         )
     )
+
+
+@register(
+    "llm_ccnet_buckets",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, lang,
+             unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+      FROM documents
+    ),
+    cf AS (SELECT t, COUNT(*)::BIGINT AS c FROM tok GROUP BY 1),
+    tot AS (SELECT COUNT(*)::DOUBLE AS tt FROM tok),
+    lp AS (
+      SELECT tok.doc_id, tok.lang,
+             ROUND(log2(cf.c::DOUBLE / tot.tt), 6)::DECIMAL(18,6) AS logp
+      FROM tok JOIN cf USING (t) CROSS JOIN tot
+    ),
+    doc AS (
+      SELECT doc_id, lang, COUNT(*)::BIGINT AS n_tok, SUM(logp) AS s
+      FROM lp GROUP BY 1, 2
+    ),
+    docq AS (
+      SELECT doc_id, lang,
+             CAST(ROUND(-1000.0 * s::DOUBLE / n_tok, 0) AS BIGINT) AS ppl_milli
+      FROM doc
+    ),
+    cls AS (
+      SELECT lang, ppl_milli, COUNT(*)::BIGINT AS cnt FROM docq GROUP BY 1, 2
+    ),
+    nl AS (SELECT lang, SUM(cnt)::BIGINT AS n_l FROM cls GROUP BY 1),
+    cum AS (
+      SELECT lang, ppl_milli, cnt,
+             (SUM(cnt) OVER (PARTITION BY lang ORDER BY ppl_milli)
+              - cnt)::BIGINT AS c_before
+      FROM cls
+    ),
+    b AS (
+      SELECT cum.lang, cum.ppl_milli,
+             CASE WHEN 3 * c_before < n_l THEN 'head'
+                  WHEN 3 * c_before < 2 * n_l THEN 'middle'
+                  ELSE 'tail' END AS bucket
+      FROM cum JOIN nl USING (lang)
+    )
+    SELECT d.doc_id, d.lang, d.ppl_milli, b.bucket
+    FROM docq d JOIN b USING (lang, ppl_milli)
+    """,
+    doc="CCNet-style head/middle/tail quality buckets per language "
+    "(arXiv:1911.00359 §4.3): each document scored by its perplexity "
+    "under the corpus unigram LM (avg -log2 corpus-frequency of its "
+    "tokens, the KenLM stand-in), then split into per-language terciles. "
+    "Cutoffs are NOT a corpus-grain window: scores quantize to "
+    "milli-bits (ppl_milli <= ~50k distinct values per language, a "
+    "bound set by the quantization grid, NOT the corpus size), the "
+    "cumulative runs over that class-level frame, and docs join their "
+    "class's bucket back via a broadcast — same class-level restructure "
+    "as the simhash band pipeline. Tercile assignment is pure integer "
+    "arithmetic (3*c_before vs n_l), so ties never split a class and "
+    "both engines agree exactly; per-token logp is rounded to "
+    "DECIMAL(18,6) before summation so the per-doc score is "
+    "partition-order-exact (the bigram-LM recipe).",
+    tags=("llm", "quality", "text"),
+)
+def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("doc_id", "lang", F.explode(tokens("text")).alias("t"))
+    cf = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
+    tot = tok.agg(F.count(F.lit(1)).cast("double").alias("tt"))
+    lp = (
+        tok.join(cf, "t")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "doc_id",
+            "lang",
+            F.round(F.log2(F.col("c").cast("double") / F.col("tt")), 6)
+            .cast("decimal(18,6)")
+            .alias("logp"),
+        )
+    )
+    doc = lp.groupBy("doc_id", "lang").agg(
+        F.count(F.lit(1)).alias("n_tok"), F.sum("logp").alias("s")
+    )
+    docq = doc.select(
+        "doc_id",
+        "lang",
+        F.round(F.lit(-1000.0) * F.col("s").cast("double") / F.col("n_tok"), 0)
+        .cast("bigint")
+        .alias("ppl_milli"),
+    )
+    cls = docq.groupBy("lang", "ppl_milli").agg(F.count(F.lit(1)).alias("cnt"))
+    nl = cls.groupBy("lang").agg(F.sum("cnt").alias("n_l"))
+    cum = cls.withColumn(
+        "c_before",
+        F.sum("cnt").over(W.partitionBy("lang").orderBy("ppl_milli"))
+        - F.col("cnt"),
+    )
+    buckets = cum.join(F.broadcast(nl), "lang").select(
+        "lang",
+        "ppl_milli",
+        F.when(3 * F.col("c_before") < F.col("n_l"), "head")
+        .when(3 * F.col("c_before") < 2 * F.col("n_l"), "middle")
+        .otherwise("tail")
+        .alias("bucket"),
+    )
+    return docq.join(F.broadcast(buckets), ["lang", "ppl_milli"]).select(
+        "doc_id", "lang", "ppl_milli", "bucket"
+    )
+
+
+@register(
+    "llm_temperature_sample",
+    oracle="""
+    WITH s AS (SELECT source, COUNT(*)::BIGINT AS n_s FROM documents GROUP BY 1),
+    w AS (
+      SELECT source, n_s,
+             CAST(FLOOR(SQRT(n_s::DOUBLE) * 1000000.0) AS BIGINT) AS w_s
+      FROM s
+    ),
+    tot AS (SELECT SUM(w_s)::BIGINT AS w_tot, SUM(n_s)::BIGINT AS n_tot FROM w),
+    r AS (
+      SELECT source,
+             LEAST(1000000,
+                   CAST(FLOOR((n_tot::DOUBLE / 2.0)
+                              * (w_s::DOUBLE / w_tot::DOUBLE)
+                              / n_s::DOUBLE * 1000000.0) AS BIGINT)) AS thr
+      FROM w CROSS JOIN tot
+    )
+    SELECT d.doc_id, d.source, r.thr AS accept_ppm
+    FROM documents d JOIN r USING (source)
+    WHERE ('0x' || substr(md5('temp|' || d.doc_id::VARCHAR), 1, 15))::BIGINT
+            % 1000000 < r.thr
+    """,
+    doc="Temperature-rebalanced source sampling (the multilingual-"
+    "pretraining mixture trick, arXiv:1901.07291 §3.1): target share of "
+    "source s is proportional to n_s^alpha with alpha=0.5, so "
+    "low-resource sources are up-weighted relative to their raw share; "
+    "the per-source acceptance rate min(1, (N/2)*q_s/n_s) resamples the "
+    "corpus toward that mixture at half the original size in one pass. "
+    "alpha=0.5 is deliberate: sqrt is IEEE-correctly-rounded in every "
+    "engine (a pow(x,0.3) would not be bit-stable cross-engine), the "
+    "weight table is integer micro-units from there, and acceptance "
+    "compares an md5-derived ppm draw against an integer threshold — "
+    "no float boundary can flip a row. Plan: dim-sized source "
+    "aggregate, 1-row total broadcast, threshold table broadcast into "
+    "the corpus scan, stateless filter — one shuffle on the source key "
+    "(map-side combined), everything else map-local at any scale.",
+    tags=("llm", "sampling", "curation"),
+)
+def llm_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    s = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_s"))
+    w = s.select(
+        "source",
+        "n_s",
+        F.floor(F.sqrt(F.col("n_s").cast("double")) * F.lit(1000000.0))
+        .cast("bigint")
+        .alias("w_s"),
+    )
+    tot = w.agg(F.sum("w_s").alias("w_tot"), F.sum("n_s").alias("n_tot"))
+    r = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.least(
+            F.lit(1000000).cast("bigint"),
+            F.floor(
+                (F.col("n_tot").cast("double") / F.lit(2.0))
+                * (F.col("w_s").cast("double") / F.col("w_tot").cast("double"))
+                / F.col("n_s").cast("double")
+                * F.lit(1000000.0)
+            ).cast("bigint"),
+        ).alias("thr"),
+    )
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("temp|"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 1000000
+    )
+    return (
+        d.join(F.broadcast(r), "source")
+        .filter(u < F.col("thr"))
+        .select("doc_id", "source", F.col("thr").alias("accept_ppm"))
+    )
