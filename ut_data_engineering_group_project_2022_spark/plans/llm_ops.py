@@ -2781,3 +2781,91 @@ def llm_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(u < F.col("thr"))
         .select("doc_id", "source", F.col("thr").alias("accept_ppm"))
     )
+
+
+@register(
+    "llm_span_dedup_rebuild",
+    oracle="""
+    WITH w AS (
+      SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS toks
+      FROM documents
+    ),
+    p AS (
+      SELECT doc_id, toks,
+             unnest(generate_series(
+               0, CAST(CEIL(len(toks) / 16.0) AS BIGINT) - 1)) AS pos
+      FROM w
+    ),
+    ch AS (
+      SELECT doc_id, pos,
+             array_to_string(list_slice(toks, pos*16 + 1, pos*16 + 16), ' ')
+               AS chunk
+      FROM p
+    ),
+    keep AS (
+      SELECT doc_id, pos, chunk,
+             ROW_NUMBER() OVER (PARTITION BY chunk ORDER BY doc_id, pos) AS rn
+      FROM ch
+    ),
+    built AS (
+      SELECT doc_id, COUNT(*)::BIGINT AS n_kept,
+             string_agg(chunk, ' ' ORDER BY pos) AS text_dedup
+      FROM keep WHERE rn = 1 GROUP BY 1
+    ),
+    nc AS (
+      SELECT doc_id, CAST(CEIL(len(toks) / 16.0) AS BIGINT) AS n_chunks FROM w
+    )
+    SELECT nc.doc_id, nc.n_chunks, COALESCE(b.n_kept, 0) AS n_kept,
+           COALESCE(b.text_dedup, '') AS text_dedup
+    FROM nc LEFT JOIN built b USING (doc_id)
+    """,
+    doc="Span-level exact dedup with document REBUILD (the remove-and-"
+    "reassemble sibling of X58's profiling pass): the distributed "
+    "approximation of suffix-array exact-substring dedup (arXiv:"
+    "2107.06499 ExactSubstr) at 16-token span granularity. Only the "
+    "globally FIRST occurrence of each span survives (min (doc_id, "
+    "pos), computed as a struct-min aggregate with map-side combine — "
+    "NOT a corpus-grain window); surviving spans reassemble per doc "
+    "via array_sort(collect_list(struct)), docs whose every span is "
+    "seen elsewhere collapse to ''. One span-keyed shuffle + the "
+    "keeper join reusing the same partitioning + a doc-keyed rebuild "
+    "— the exact-dedup plan shape, applied below doc grain. Rebuilt "
+    "text is whitespace-normalized (the span tokenizer's domain).",
+    tags=("llm", "dedup", "restructure"),
+)
+def llm_span_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    w = d.select("doc_id", tokens("text").alias("toks"))
+    n_chunks = F.ceil(F.size("toks") / F.lit(16.0)).cast("bigint")
+    ch = w.select(
+        "doc_id",
+        F.posexplode(
+            F.transform(
+                F.sequence(F.lit(0), n_chunks.cast("int") - 1),
+                lambda i: F.array_join(
+                    F.slice("toks", i * F.lit(16) + 1, F.lit(16)), " "
+                ),
+            )
+        ).alias("pos", "chunk"),
+    )
+    first = ch.groupBy("chunk").agg(F.min(F.struct("doc_id", "pos")).alias("f"))
+    kept = ch.join(first, "chunk").filter(
+        (F.col("doc_id") == F.col("f.doc_id")) & (F.col("pos") == F.col("f.pos"))
+    )
+    built = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "chunk"))),
+                lambda x: x["chunk"],
+            ),
+            " ",
+        ).alias("text_dedup"),
+    )
+    nc = w.select("doc_id", n_chunks.alias("n_chunks"))
+    return nc.join(built, "doc_id", "left").select(
+        "doc_id",
+        "n_chunks",
+        F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
+        F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
+    )
