@@ -436,3 +436,20 @@ def test_label_propagation_large_graph_branch_matches(spark, monkeypatch):
         for r in graph.label_propagation(_edges(spark, pairs), 5).collect()
     }
     assert small == large
+
+
+def test_knn_pq_rerank_recall(spark, knn_exact):
+    # PQ shortlist (compressed 16x4 ADC scan) + exact re-rank of 100
+    # candidates: >= 0.8 recall on the near-orthogonal synthetic
+    # embeddings (PQ's worst-case data; 0.9 measured).
+    emb = table(spark, SF_DIR, "embeddings")
+    approx = similarity.knn_pq_rerank(emb, k=5, shortlist=100, m=16).collect()
+    assert _recall_at_5(knn_exact, approx) >= 0.8
+
+
+def test_knn_pq_adc_beats_random(spark, knn_exact):
+    # The raw ADC scan (no re-rank) must still rank far above chance:
+    # random top-5 over a 490-vector corpus would land ~0.01 recall.
+    emb = table(spark, SF_DIR, "embeddings")
+    approx = similarity.knn_pq(emb, k=5, m=16).collect()
+    assert _recall_at_5(knn_exact, approx) >= 0.2

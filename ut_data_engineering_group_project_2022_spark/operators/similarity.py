@@ -409,3 +409,146 @@ def kmeans_fixed_point(
             )
         )
     return assigned.select("vec_id", "cluster", F.col("d2").alias("dist2"))
+
+
+def knn_pq(
+    emb: DataFrame,
+    k: int = 5,
+    m: int = 8,
+    n_codes: int = 16,
+    n_queries: int = 10,
+    scale: int = 1_000_000,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN with an ADC scan (the Jégou et al. 2011
+    PQ recipe, the standard memory-bounded retrieval path at corpus
+    scale: 64 doubles compress to ``m`` one-byte codes).
+
+    Everything is exact integer arithmetic on the fixed-point grid
+    (floor(x*scale), the :func:`kmeans_fixed_point` convention), so the
+    encoding, the distance tables, and the top-k are deterministic and
+    bit-identical to the DuckDB oracle:
+
+      * subspaces: ``dim`` splits into ``m`` contiguous blocks;
+      * codebook: the first ``n_codes`` vectors' subvectors (the
+        deterministic training stand-in, as in :func:`knn_ivf`; at
+        scale the codebook comes from a sampled per-subspace k-means
+        and the pipeline below is unchanged);
+      * encode: per (vector, subspace), the code with minimal exact
+        integer squared distance, ties to the lower code id — a
+        struct-min aggregate over a broadcast codebook join; the
+        encoded corpus is ``n*m`` narrow rows (the 8-byte compressed
+        representation);
+      * ADC: per query, a (subspace, code) -> distance lookup table
+        (``m*n_codes`` rows, broadcast); the scan joins each code row
+        to its table entry and sums per (query, vector) — never
+        touching the original vectors.
+
+    Top-k by ascending ADC distance, neighbor-id tiebreak. Returns
+    (query_id, neighbor_id, dist2, rn). Recall vs the exact baseline is
+    gated in tests/.
+    """
+    sub_d = dim // m
+    x = emb.select(
+        F.col(id_col).alias("vec_id"),
+        F.transform(
+            as_double(vec_col), lambda e: F.floor(e * scale).cast("bigint")
+        ).alias("x"),
+    )
+    subs = x.select(
+        "vec_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.struct(
+                    s.alias("s"),
+                    F.slice("x", s * sub_d + 1, sub_d).alias("xs"),
+                ),
+            )
+        ).alias("e"),
+    ).select("vec_id", F.col("e.s").alias("s"), F.col("e.xs").alias("xs"))
+    cb = subs.filter(F.col("vec_id") < n_codes).select(
+        F.col("vec_id").alias("code"), "s", F.col("xs").alias("cs")
+    )
+    d2 = F.aggregate(
+        F.zip_with("xs", "cs", lambda a, b: (a - b) * (a - b)),
+        F.lit(0).cast("bigint"),
+        lambda acc, e: acc + e,
+    )
+    enc = (
+        subs.filter(F.col("vec_id") >= n_queries)
+        .join(F.broadcast(cb), "s")
+        .withColumn("d2", d2)
+        .groupBy("vec_id", "s")
+        .agg(F.min(F.struct("d2", "code")).alias("mn"))
+        .select("vec_id", "s", F.col("mn.code").alias("code"))
+    )
+    lut = (
+        subs.filter(F.col("vec_id") < n_queries)
+        .join(F.broadcast(cb), "s")
+        .select(
+            F.col("vec_id").alias("query_id"), "s", "code", d2.alias("d2")
+        )
+    )
+    adc = (
+        enc.join(F.broadcast(lut), ["s", "code"])
+        .groupBy("query_id", F.col("vec_id").alias("neighbor_id"))
+        .agg(F.sum("d2").alias("dist2"))
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("dist2"), F.asc("neighbor_id"))
+    return (
+        adc.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select("query_id", "neighbor_id", "dist2", "rn")
+    )
+
+
+def knn_pq_rerank(
+    emb: DataFrame,
+    k: int = 5,
+    shortlist: int = 100,
+    m: int = 16,
+    n_codes: int = 16,
+    n_queries: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """PQ shortlist + exact re-rank (the production IVFADC recipe): the
+    ADC scan of :func:`knn_pq` yields a ``shortlist``-sized candidate
+    set per query from the COMPRESSED index alone; only those
+    candidates' raw vectors are read back for an exact cosine top-k.
+    At corpus scale the shortlist is a vanishing fraction of n, so the
+    expensive exact math touches shortlist*q vectors, not n*q. The
+    candidate set (q*shortlist rows) broadcasts into a single corpus
+    pass — no shuffle of the vector table. Returns (query_id,
+    neighbor_id, score, rn), ranked by unrounded cosine (the
+    knn_bruteforce convention), rounded to 6 on output.
+    """
+    cand = knn_pq(
+        emb,
+        k=shortlist,
+        m=m,
+        n_codes=n_codes,
+        n_queries=n_queries,
+        id_col=id_col,
+        vec_col=vec_col,
+    ).select("query_id", "neighbor_id")
+    q = emb.filter(F.col(id_col) < n_queries).select(
+        F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
+    )
+    c = emb.select(
+        F.col(id_col).alias("neighbor_id"), as_double(vec_col).alias("cv")
+    )
+    scored = c.join(F.broadcast(cand.join(q, "query_id")), "neighbor_id").select(
+        "query_id", "neighbor_id", cosine(F.col("qv"), F.col("cv")).alias("s")
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("s"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(
+            "query_id", "neighbor_id", F.round("s", 6).alias("score"), "rn"
+        )
+    )

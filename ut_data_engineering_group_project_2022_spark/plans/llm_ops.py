@@ -2869,3 +2869,141 @@ def llm_span_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_kept", F.lit(0).cast("bigint")).alias("n_kept"),
         F.coalesce("text_dedup", F.lit("")).alias("text_dedup"),
     )
+
+
+@register(
+    "llm_knn_pq",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               e -> CAST(FLOOR(e::DOUBLE * 1000000.0) AS BIGINT)) AS x
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, s, list_slice(x, s*8 + 1, s*8 + 8) AS xs
+      FROM x, (SELECT unnest(generate_series(0, 7)) AS s) t
+    ),
+    cb AS (SELECT vec_id AS code, s, xs AS cs FROM sub WHERE vec_id < 16),
+    enc0 AS (
+      SELECT * FROM (
+        SELECT a.vec_id, a.s, cb.code,
+               list_sum(list_transform(generate_series(1, 8),
+                 i -> (a.xs[i] - cb.cs[i]) * (a.xs[i] - cb.cs[i]))) AS d2
+        FROM sub a JOIN cb ON cb.s = a.s
+        WHERE a.vec_id >= 10
+      ) q QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2, code) = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, q.s, cb.code,
+             list_sum(list_transform(generate_series(1, 8),
+               i -> (q.xs[i] - cb.cs[i]) * (q.xs[i] - cb.cs[i]))) AS d2
+      FROM sub q JOIN cb ON cb.s = q.s
+      WHERE q.vec_id < 10
+    ),
+    adc AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id, SUM(l.d2)::BIGINT AS dist2
+      FROM enc0 e JOIN lut l ON l.s = e.s AND l.code = e.code
+      GROUP BY 1, 2
+    )
+    SELECT query_id, neighbor_id, dist2, rn FROM (
+      SELECT query_id, neighbor_id, dist2,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY dist2, neighbor_id) AS rn
+      FROM adc
+    ) WHERE rn <= 5
+    """,
+    doc="Product-quantization ANN (Jegou et al. 2011): 64-dim embeddings "
+    "compress to 8 one-byte codes (16-codeword codebook per contiguous "
+    "8-dim subspace, deterministic first-vectors training stand-in), "
+    "queries scan the ENCODED corpus via asymmetric-distance lookup "
+    "tables — the memory-bounded retrieval path where the raw vectors "
+    "no longer fit. All distances are exact integers on the "
+    "fixed-point grid (the kmeans_fixed_point convention), so encode/"
+    "ADC/top-k match the oracle bit-for-bit. Plan: n*m narrow code "
+    "rows (the compressed index), m*16-row per-query tables broadcast "
+    "into the scan, per-(query,vector) sum with map-side combine; the "
+    "original vectors are touched exactly once, at encode time.",
+    tags=("llm", "similarity", "ann"),
+)
+def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.knn_pq(emb, k=5)
+
+
+@register(
+    "llm_knn_pq_rerank",
+    oracle="""
+    WITH x AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               e -> CAST(FLOOR(e::DOUBLE * 1000000.0) AS BIGINT)) AS x
+      FROM embeddings
+    ),
+    sub AS (
+      SELECT vec_id, s, list_slice(x, s*4 + 1, s*4 + 4) AS xs
+      FROM x, (SELECT unnest(generate_series(0, 15)) AS s) t
+    ),
+    cb AS (SELECT vec_id AS code, s, xs AS cs FROM sub WHERE vec_id < 16),
+    enc0 AS (
+      SELECT * FROM (
+        SELECT a.vec_id, a.s, cb.code,
+               list_sum(list_transform(generate_series(1, 4),
+                 i -> (a.xs[i] - cb.cs[i]) * (a.xs[i] - cb.cs[i]))) AS d2
+        FROM sub a JOIN cb ON cb.s = a.s
+        WHERE a.vec_id >= 10
+      ) q QUALIFY ROW_NUMBER() OVER (PARTITION BY vec_id, s
+                                     ORDER BY d2, code) = 1
+    ),
+    lut AS (
+      SELECT q.vec_id AS query_id, q.s, cb.code,
+             list_sum(list_transform(generate_series(1, 4),
+               i -> (q.xs[i] - cb.cs[i]) * (q.xs[i] - cb.cs[i]))) AS d2
+      FROM sub q JOIN cb ON cb.s = q.s
+      WHERE q.vec_id < 10
+    ),
+    adc AS (
+      SELECT l.query_id, e.vec_id AS neighbor_id, SUM(l.d2)::BIGINT AS dist2
+      FROM enc0 e JOIN lut l ON l.s = e.s AND l.code = e.code
+      GROUP BY 1, 2
+    ),
+    sl AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT query_id, neighbor_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY dist2, neighbor_id) AS rn
+        FROM adc
+      ) WHERE rn <= 100
+    ),
+    scored AS (
+      SELECT sl.query_id, sl.neighbor_id,
+             list_dot_product(qe.embedding::DOUBLE[], ce.embedding::DOUBLE[])
+               / (sqrt(list_dot_product(qe.embedding::DOUBLE[],
+                                        qe.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(ce.embedding::DOUBLE[],
+                                          ce.embedding::DOUBLE[])))
+               AS raw_score
+      FROM sl JOIN embeddings qe ON qe.vec_id = sl.query_id
+              JOIN embeddings ce ON ce.vec_id = sl.neighbor_id
+    )
+    SELECT query_id, neighbor_id, ROUND(raw_score, 6) AS score, rn FROM (
+      SELECT query_id, neighbor_id, raw_score,
+             ROW_NUMBER() OVER (PARTITION BY query_id
+                                ORDER BY raw_score DESC, neighbor_id ASC) AS rn
+      FROM scored
+    ) t WHERE rn <= 5
+    """,
+    doc="PQ shortlist + exact re-rank (the production IVFADC recipe, "
+    "Jegou et al. 2011 §V): the compressed 16x4-dim ADC scan of "
+    "llm_knn_pq picks 100 candidates per query; only those rows' raw "
+    "vectors are read back for the exact cosine top-5. Recall vs the "
+    "brute-force baseline is gated >= 0.8 in tests (0.9 measured on "
+    "the near-orthogonal synthetic embeddings — PQ's worst-case data); "
+    "the candidate set broadcasts into one corpus pass, so the exact "
+    "math touches shortlist*q vectors, not n*q.",
+    tags=("llm", "similarity", "ann"),
+)
+def llm_knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.knn_pq_rerank(emb, k=5, shortlist=100, m=16)
