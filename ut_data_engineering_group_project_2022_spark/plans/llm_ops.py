@@ -2653,6 +2653,7 @@ def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     "DECIMAL(18,6) before summation so the per-doc score is "
     "partition-order-exact (the bigram-LM recipe).",
     tags=("llm", "quality", "text"),
+    bench=True,
 )
 def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
@@ -2832,6 +2833,7 @@ def llm_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "— the exact-dedup plan shape, applied below doc grain. Rebuilt "
     "text is whitespace-normalized (the span tokenizer's domain).",
     tags=("llm", "dedup", "restructure"),
+    bench=True,
 )
 def llm_span_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
@@ -3003,6 +3005,7 @@ def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     "the candidate set broadcasts into one corpus pass, so the exact "
     "math touches shortlist*q vectors, not n*q.",
     tags=("llm", "similarity", "ann"),
+    bench=True,
 )
 def llm_knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
