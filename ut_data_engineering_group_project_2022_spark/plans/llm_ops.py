@@ -3010,3 +3010,95 @@ def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return similarity.knn_pq_rerank(emb, k=5, shortlist=100, m=16)
+
+
+@register(
+    "llm_vocab_growth",
+    oracle=f"""
+    WITH u AS (
+      SELECT doc_id,
+             ('0x' || substr(md5('vg|' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % 100 AS u
+      FROM documents
+    ),
+    sh AS ({_SHINGLES_SQL}),
+    e AS (
+      SELECT un.g, u.u
+      FROM (SELECT doc_id, unnest(shingles) AS g FROM sh) un
+      JOIN u USING (doc_id)
+    ),
+    m AS (SELECT g, MIN(u) AS mu FROM e GROUP BY 1),
+    fr AS (SELECT unnest([25, 50, 75, 100]) AS pct)
+    SELECT fr.pct,
+           (SELECT COUNT(*) FROM u WHERE u.u < fr.pct) AS n_docs,
+           (SELECT COUNT(*) FROM m WHERE m.mu < fr.pct) AS n_shingles
+    FROM fr
+    """,
+    doc="Heap's-law vocabulary growth curve: distinct 3-word shingles in "
+    "NESTED md5-deterministic samples of 25/50/75/100%% of the corpus — "
+    "the sub-linear growth diagnostic that sizes dedup hash tables and "
+    "detects boilerplate saturation before a full run. ONE pass "
+    "computes all four points: nesting means a shingle is present in "
+    "sample f iff the MINIMUM sample rank over its documents is below "
+    "f, so a single per-shingle MIN aggregate (vocab-sized, map-side "
+    "combined) replaces four scans; the four cumulative counts fold "
+    "over a 4-row band frame via a broadcast cross join — no global "
+    "window, no repeated corpus reads.",
+    tags=("llm", "diagnostics", "text"),
+)
+def llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat(F.lit("vg|"), F.col("doc_id").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 100
+    )
+    du = d.select("doc_id", u.alias("u"))
+    band = lambda c: (
+        F.when(c < 25, 25).when(c < 50, 50).when(c < 75, 75).otherwise(100)
+    )
+    m = (
+        d.select("doc_id", F.explode(word_shingles("text", 3)).alias("g"))
+        .join(du, "doc_id")
+        .groupBy("g")
+        .agg(F.min("u").alias("mu"))
+    )
+    mb = m.groupBy(band(F.col("mu")).alias("band")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    db = du.groupBy(band(F.col("u")).alias("band")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    fr = spark.createDataFrame([(25,), (50,), (75,), (100,)], "pct int")
+    n_docs = (
+        fr.crossJoin(F.broadcast(db))
+        .filter(F.col("band") <= F.col("pct"))
+        .groupBy("pct")
+        .agg(F.sum("c").alias("n_docs"))
+    )
+    n_sh = (
+        fr.crossJoin(F.broadcast(mb))
+        .filter(F.col("band") <= F.col("pct"))
+        .groupBy("pct")
+        .agg(F.sum("c").alias("n_shingles"))
+    )
+    # LEFT joins from the 4-row frame: a sample with zero docs/shingles
+    # must still report 0 (the oracle's scalar subqueries do).
+    return (
+        fr.join(n_docs, "pct", "left")
+        .join(n_sh, "pct", "left")
+        .select(
+            "pct",
+            F.coalesce("n_docs", F.lit(0).cast("bigint")).alias("n_docs"),
+            F.coalesce("n_shingles", F.lit(0).cast("bigint")).alias(
+                "n_shingles"
+            ),
+        )
+    )
