@@ -450,6 +450,8 @@ def knn_pq(
     (query_id, neighbor_id, dist2, rn). Recall vs the exact baseline is
     gated in tests/.
     """
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} must divide into m={m} subspaces")
     sub_d = dim // m
     x = emb.select(
         F.col(id_col).alias("vec_id"),

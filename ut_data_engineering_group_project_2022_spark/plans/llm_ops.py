@@ -3102,3 +3102,38 @@ def llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "llm_media_dedup",
+    oracle="""
+    SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+                           ELSE 'video' END AS media_type,
+           md5(text) AS content_hash,
+           MIN(doc_id) AS keep_id,
+           COUNT(*) AS n_copies,
+           SUM(octet_length(encode(text)))::BIGINT AS total_bytes
+    FROM documents
+    GROUP BY 1, 2
+    """,
+    doc="Exact dedup over the multimodal media frame by BINARY content "
+    "hash, grouped per modality — the storage-reclaim pass a media "
+    "corpus runs before any decode (hashing skips the expensive codec "
+    "path entirely; at 100 TB the binary column never leaves the "
+    "executor, only the 16-byte digest shuffles). Runs on "
+    "attach_binary_payload's deterministic media table, whose content "
+    "bytes are the UTF-8 encoding of the text column — which is what "
+    "makes a SQL oracle possible for a binary-column operator: "
+    "md5(binary content) == md5(text). total_bytes measures the "
+    "reclaimable volume per duplicate group.",
+    tags=("llm", "multimodal", "dedup"),
+)
+def llm_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = multimodal.attach_binary_payload(table(spark, sf_dir, "documents"))
+    return media.groupBy(
+        "media_type", F.md5("content").alias("content_hash")
+    ).agg(
+        F.min("doc_id").alias("keep_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.sum(F.length("content")).cast("bigint").alias("total_bytes"),
+    )
