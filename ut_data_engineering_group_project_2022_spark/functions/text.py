@@ -74,3 +74,19 @@ def quality_features(col: Column | str) -> dict[str, Column]:
         "punct_ratio": (n_punct.cast("double") / n_chars),
         "mean_token_len": (n_alpha.cast("double") / n_tokens),
     }
+
+
+def bigrams(col: Column | str) -> Column:
+    """Adjacent word bigrams ("w1 w2") over :func:`tokens`; empty array
+    below two tokens. Shared by the bigram LM score and the DSIR
+    feature hasher — both DuckDB oracles mirror this exact windowing."""
+    toks = tokens(col)
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

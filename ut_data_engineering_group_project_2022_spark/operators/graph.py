@@ -83,9 +83,11 @@ def pagerank(
     decimals at the end. The rank vector is eagerly localCheckpoint'ed
     every OTHER iteration (each round references pr once, so lineage
     grows linearly — truncating every second generation bounds plan
-    depth at 2 while halving the blocking materialization jobs), and
-    never on the last iteration: its result flows straight into the
-    output projection, so the final round + rounding run as ONE job.
+    depth at 2 while halving the blocking materialization jobs). The
+    final round flows into the output projection and materializes once
+    as the result checkpoint (required so the edge cache can be
+    released before returning) — one job for final round + rounding +
+    materialization.
 
     Join strategy is SIZE-GATED on the node count (the only quantity
     that decides broadcastability — edge count is irrelevant to the
@@ -174,15 +176,19 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
     # — no edge-sized shuffle per round); above it they are cached
     # pre-partitioned by dst (the join key), so only the node-sized
     # label vector shuffles per round.
+    # Materialize the undirected projection ONCE (the upstream edge
+    # build can be a fact-table join — evaluating it twice would double
+    # the prologue); labels and the partitioned edge cache both derive
+    # from this checkpoint.
+    base = undirect(edges).localCheckpoint(eager=True)
     labels = (
-        undirect(edges)
-        .select(F.col("src").alias("id"))
+        base.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
     small = labels.count() <= BROADCAST_NODES
-    und = undirect(edges).repartition("src" if small else "dst").persist()
+    und = base.repartition("src" if small else "dst").persist()
     for _ in range(max_iter):
         neighbor_min = (
             und.join(

@@ -14,6 +14,7 @@ from pyspark.sql import functions as F
 
 from ut_data_engineering_group_project_2022_spark.catalog import table
 from ut_data_engineering_group_project_2022_spark.functions.text import (
+    bigrams as text_bigrams,
     md5_int60,
     normalise,
     tokens,
@@ -1382,17 +1383,8 @@ def llm_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_bigram_lm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    tok = d.select("doc_id", F.explode(toks).alias("token"))
+    bigrams = text_bigrams("text")
+    tok = d.select("doc_id", F.explode(tokens("text")).alias("token"))
     bg = d.select("doc_id", F.explode(bigrams).alias("bigram"))
     c2 = bg.groupBy("bigram").agg(F.count(F.lit(1)).alias("c2"))
     c1 = tok.groupBy("token").agg(F.count(F.lit(1)).alias("c1"))
@@ -2180,8 +2172,9 @@ def llm_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT tf.doc_id,
            n.n::BIGINT AS n_tokens,
            COUNT(*)::BIGINT AS n_distinct,
-           ROUND(SUM(-(tf.c::DOUBLE / n.n) * log2(tf.c::DOUBLE / n.n)), 6)
-             AS entropy_bits
+           ROUND(SUM(ROUND(-(tf.c::DOUBLE / n.n)
+                           * log2(tf.c::DOUBLE / n.n), 9)::DECIMAL(18,9)
+                 )::DOUBLE, 6) AS entropy_bits
     FROM tf JOIN n ON n.doc_id = tf.doc_id
     GROUP BY tf.doc_id, n.n
     """,
@@ -2190,8 +2183,10 @@ def llm_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     "repetitive docs that repetition ratios can miss). Two keyed "
     "shuffles, both on doc-sized keys with map-side combine: per-doc "
     "term frequencies, then the entropy rollup (token count rides "
-    "along as a SUM, no extra pass). Rounded to 6 decimals on both "
-    "engines — the only float op is the final log2.",
+    "along as a SUM, no extra pass). Each -p*log2(p) term is rounded "
+    "to DECIMAL(18,9) before summation on BOTH engines, so the sum is "
+    "partition-order-exact (the bigram-LM recipe); only then does the "
+    "final 6-decimal round apply.",
     tags=("llm", "quality", "text"),
 )
 def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2205,12 +2200,18 @@ def llm_token_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n = tf.groupBy("doc_id").agg(F.sum("c").alias("n"))
     p = F.col("c").cast("double") / F.col("n")
+    # Each term is rounded to DECIMAL(18,9) BEFORE the sum (the
+    # llm_ccnet_buckets / bigram-LM recipe): decimal addition is exact,
+    # so the per-doc entropy is partition-order-independent and cannot
+    # flake at the final 6-decimal rounding boundary the way an
+    # unpinned double sum can.
+    term = F.round(-p * F.log2(p), 9).cast("decimal(18,9)")
     return (
         tf.join(n, "doc_id")
         .groupBy("doc_id", "n")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_distinct"),
-            F.round(F.sum(-p * F.log2(p)), 6).alias("entropy_bits"),
+            F.round(F.sum(term).cast("double"), 6).alias("entropy_bits"),
         )
         .select(
             "doc_id",
@@ -2549,16 +2550,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    toks = tokens("text")
-    bigrams = F.when(
-        F.size(toks) >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size(toks) - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(toks, i), F.element_at(toks, i + 1)
-            ),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
+    bigrams = text_bigrams("text")
     bg = d.select(
         "doc_id", "lang", F.explode(bigrams).alias("b")
     ).select(
@@ -2766,15 +2758,7 @@ def llm_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("thr"),
     )
     u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("temp|"), F.col("doc_id").cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
+        md5_int60(F.concat(F.lit("temp|"), F.col("doc_id").cast("string")))
         % 1000000
     )
     return (
@@ -3048,18 +3032,7 @@ def llm_knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    u = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat(F.lit("vg|"), F.col("doc_id").cast("string"))),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 100
-    )
+    u = md5_int60(F.concat(F.lit("vg|"), F.col("doc_id").cast("string"))) % 100
     du = d.select("doc_id", u.alias("u"))
     band = lambda c: (
         F.when(c < 25, 25).when(c < 50, 50).when(c < 75, 75).otherwise(100)
