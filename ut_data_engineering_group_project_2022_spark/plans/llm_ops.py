@@ -3110,3 +3110,125 @@ def llm_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_copies"),
         F.sum(F.length("content")).cast("bigint").alias("total_bytes"),
     )
+
+
+@register(
+    "llm_winsorize_lengths",
+    oracle="""
+    WITH q AS (
+      SELECT source, (quantile_cont(n_chars, 0.01))::DOUBLE AS p01,
+                     (quantile_cont(n_chars, 0.99))::DOUBLE AS p99
+      FROM documents GROUP BY 1
+    )
+    SELECT d.doc_id, d.source, d.n_chars,
+           ROUND(q.p01, 6) AS p01, ROUND(q.p99, 6) AS p99,
+           ROUND(LEAST(GREATEST(d.n_chars::DOUBLE, q.p01), q.p99), 6)
+             AS w_chars,
+           (d.n_chars::DOUBLE < q.p01 OR d.n_chars::DOUBLE > q.p99)
+             AS is_clipped
+    FROM documents d JOIN q USING (source)
+    """,
+    doc="Per-source length winsorization: clamp document lengths to the "
+    "source's exact [p01, p99] band and flag the clipped tail — the "
+    "robust-statistics gate that keeps a handful of pathological docs "
+    "from dominating per-source length budgets. Spark `percentile` == "
+    "DuckDB quantile_cont (probed bit-equal; the op_percentiles "
+    "precedent); the percentile aggregate is per-source sort-bounded "
+    "and the dim-sized band table broadcasts into a stateless pass — "
+    "at 100 TB the swap-in is percentile_approx (mergeable t-digest), "
+    "same plan shape.",
+    tags=("llm", "quality", "robust"),
+)
+def llm_winsorize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    q = d.groupBy("source").agg(
+        F.percentile("n_chars", F.lit(0.01)).alias("p01"),
+        F.percentile("n_chars", F.lit(0.99)).alias("p99"),
+    )
+    return d.join(F.broadcast(q), "source").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.round("p01", 6).alias("p01"),
+        F.round("p99", 6).alias("p99"),
+        F.round(
+            F.least(
+                F.greatest(F.col("n_chars").cast("double"), F.col("p01")),
+                F.col("p99"),
+            ),
+            6,
+        ).alias("w_chars"),
+        (
+            (F.col("n_chars").cast("double") < F.col("p01"))
+            | (F.col("n_chars").cast("double") > F.col("p99"))
+        ).alias("is_clipped"),
+    )
+
+
+@register(
+    "llm_source_overlap",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL}),
+    ss AS (
+      SELECT DISTINCT d.source, un.g
+      FROM (SELECT doc_id, unnest(shingles) AS g FROM sh) un
+      JOIN documents d USING (doc_id)
+    ),
+    per AS (SELECT source, COUNT(*)::BIGINT AS n FROM ss GROUP BY 1),
+    inter AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             COUNT(*)::BIGINT AS n_common
+      FROM ss a JOIN ss b ON a.g = b.g AND a.source < b.source
+      GROUP BY 1, 2
+    )
+    SELECT i.source_a, i.source_b, i.n_common,
+           ROUND(i.n_common::DOUBLE / (pa.n + pb.n - i.n_common), 6)
+             AS jaccard
+    FROM inter i
+    JOIN per pa ON pa.source = i.source_a
+    JOIN per pb ON pb.source = i.source_b
+    """,
+    doc="Source-level VOCABULARY overlap matrix: Jaccard similarity of "
+    "the distinct 3-shingle sets of every source pair — the corpus-"
+    "composition diagnostic that catches two crawls of the same site "
+    "registered as distinct sources (doc-level llm_cross_source_dups "
+    "catches copied documents; this catches shared boilerplate and "
+    "template vocabulary even when no document repeats). The "
+    "(source, shingle) DISTINCT bounds the self-join input at "
+    "vocab x sources; the shingle-keyed pair expansion is k-per-"
+    "shingle (k = sources containing it, <= n_sources), never "
+    "corpus^2; the output is the (n_sources choose 2) grid.",
+    tags=("llm", "diagnostics", "dedup"),
+)
+def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    ss = d.select(
+        "source", F.explode(word_shingles("text", 3)).alias("g")
+    ).distinct()
+    per = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    inter = (
+        ss.alias("a")
+        .join(ss.alias("b"), "g")
+        .filter(F.col("a.source") < F.col("b.source"))
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    pa = per.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    pb = per.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        inter.join(F.broadcast(pa), "source_a")
+        .join(F.broadcast(pb), "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_common",
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
