@@ -3232,3 +3232,57 @@ def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+@register(
+    "llm_dp_release",
+    oracle="""
+    WITH c AS (SELECT source, COUNT(*)::BIGINT AS n FROM documents GROUP BY 1),
+    u AS (
+      SELECT source, n,
+             ((('0x' || substr(md5('dp|' || source), 1, 15))::BIGINT
+               % 1000000) + 0.5) / 1000000.0 AS u
+      FROM c
+    )
+    SELECT source,
+           ROUND(CASE WHEN u < 0.5
+                      THEN  ln(2.0 * u)
+                      ELSE -ln(2.0 * (1.0 - u)) END, 6) AS noise,
+           ROUND(n + (CASE WHEN u < 0.5
+                           THEN  ln(2.0 * u)
+                           ELSE -ln(2.0 * (1.0 - u)) END), 6)
+             AS noisy_count,
+           1.0::DOUBLE AS epsilon
+    FROM u
+    """,
+    doc="Differentially-private count release: per-source document "
+    "counts plus Laplace(1/epsilon) noise (epsilon=1, sensitivity 1 — "
+    "the standard counting-query mechanism), the publishable sibling "
+    "of llm_pseudonymized_activity for sharing corpus composition "
+    "without exposing exact membership. The noise draw is a "
+    "DETERMINISTIC md5-derived uniform (same inverse-CDF transform on "
+    "both engines; +0.5/1e6 keeps u strictly inside (0,1) so ln never "
+    "sees 0) — reproducible releases, no RNG state to ship, and the "
+    "oracle can replay the exact mechanism. NOTE: deterministic noise "
+    "is for pipeline verification; a production release would draw "
+    "fresh randomness per release and track the privacy budget. Plan: "
+    "one dim-sized aggregate, noise applied map-side.",
+    tags=("llm", "privacy", "agg"),
+)
+def llm_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    c = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    u = (
+        (md5_int60(F.concat(F.lit("dp|"), F.col("source"))) % 1000000)
+        .cast("double")
+        + 0.5
+    ) / 1000000.0
+    noise = F.when(u < 0.5, F.log(2.0 * u)).otherwise(
+        -F.log(2.0 * (1.0 - u))
+    )
+    return c.select(
+        "source",
+        F.round(noise, 6).alias("noise"),
+        F.round(F.col("n") + noise, 6).alias("noisy_count"),
+        F.lit(1.0).alias("epsilon"),
+    )
