@@ -3286,3 +3286,59 @@ def llm_dp_release(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("n") + noise, 6).alias("noisy_count"),
         F.lit(1.0).alias("epsilon"),
     )
+
+
+@register(
+    "llm_tokenizer_fertility",
+    oracle="""
+    WITH f AS (
+      SELECT doc_id, lang,
+             len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_words,
+             len(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS n_bpe,
+             octet_length(encode(text))::BIGINT AS n_bytes
+      FROM documents
+    )
+    SELECT lang,
+           COUNT(*)::BIGINT AS n_docs,
+           SUM(n_words)::BIGINT AS n_words,
+           SUM(n_bpe)::BIGINT AS n_bpe,
+           ROUND(SUM(n_bpe)::DOUBLE / SUM(n_words), 6) AS fertility,
+           ROUND(SUM(n_bytes)::DOUBLE / SUM(n_bpe), 6) AS bytes_per_token
+    FROM f GROUP BY 1
+    """,
+    doc="Per-language tokenizer fertility (BPE-ish tokens per whitespace "
+    "word) and bytes-per-token — the compression diagnostics that "
+    "decide per-language token budgets and flag languages a tokenizer "
+    "serves poorly (high fertility = more compute per byte of text; "
+    "the llm_token_count tokenizer regex, aggregated to language "
+    "grain). One language-keyed aggregate with map-side combine; the "
+    "ratios divide exact integer sums, so the result is partition-"
+    "order-free.",
+    tags=("llm", "diagnostics", "text"),
+)
+def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    f = d.select(
+        "lang",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_words"),
+        F.size(
+            F.regexp_extract_all(
+                F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
+            )
+        )
+        .cast("bigint")
+        .alias("n_bpe"),
+        F.length(F.encode("text", "utf-8")).cast("bigint").alias("n_bytes"),
+    )
+    return f.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_bpe").alias("n_bpe"),
+        F.round(
+            F.sum("n_bpe").cast("double") / F.sum("n_words"), 6
+        ).alias("fertility"),
+        F.round(
+            F.sum("n_bytes").cast("double") / F.sum("n_bpe"), 6
+        ).alias("bytes_per_token"),
+    )
