@@ -3342,3 +3342,92 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bytes").cast("double") / F.sum("n_bpe"), 6
         ).alias("bytes_per_token"),
     )
+
+
+@register(
+    "llm_countmin_heavy_hitters",
+    oracle="""
+    WITH tok AS (
+      SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+      FROM documents
+    ),
+    tf AS (SELECT t, COUNT(*)::BIGINT AS c FROM tok GROUP BY 1),
+    seeds AS (SELECT unnest([0, 1, 2, 3]) AS seed),
+    cells AS (
+      SELECT s.seed,
+             ('0x' || substr(md5('cms' || s.seed::VARCHAR || '|' || tf.t),
+                             1, 15))::BIGINT % 1024 AS bucket,
+             SUM(tf.c)::BIGINT AS cnt
+      FROM tf CROSS JOIN seeds s
+      GROUP BY 1, 2
+    ),
+    top AS (
+      SELECT t, c FROM (
+        SELECT t, c, ROW_NUMBER() OVER (ORDER BY c DESC, t) AS rn FROM tf
+      ) WHERE rn <= 20
+    ),
+    est AS (
+      SELECT top.t, top.c, MIN(cells.cnt)::BIGINT AS cms_est
+      FROM top
+      JOIN seeds s ON TRUE
+      JOIN cells ON cells.seed = s.seed
+        AND cells.bucket = ('0x' || substr(md5('cms' || s.seed::VARCHAR
+                                              || '|' || top.t), 1, 15))::BIGINT
+                             % 1024
+      GROUP BY 1, 2
+    )
+    SELECT t AS token, c AS true_count, cms_est,
+           ROUND(cms_est::DOUBLE / c, 6) AS overestimate
+    FROM est
+    """,
+    doc="Count-min sketch accuracy diagnostic over the token stream "
+    "(Cormode & Muthukrishnan 2005): a 4x1024 CMS table — FIXED size "
+    "regardless of vocabulary, built with one map-side-combined "
+    "aggregate, mergeable across partitions/days by cell-wise addition "
+    "(the streaming/distributed heavy-hitter recipe when the exact "
+    "vocab no longer fits) — probed against the exact top-20 tokens: "
+    "cms_est >= true_count always (one-sided error), overestimate "
+    "quantifies collision inflation at this corpus's skew. All md5 "
+    "bucket hashes are the registry's deterministic 60-bit recipe, so "
+    "both engines build the identical sketch.",
+    tags=("llm", "sketch", "diagnostics"),
+)
+def llm_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tf = (
+        d.select(F.explode(tokens("text")).alias("t"))
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    seeds = spark.createDataFrame([(s,) for s in range(4)], "seed int")
+    bucket = (
+        md5_int60(
+            F.concat(
+                F.lit("cms"), F.col("seed").cast("string"), F.lit("|"), F.col("t")
+            )
+        )
+        % 1024
+    )
+    cells = (
+        tf.crossJoin(F.broadcast(seeds))
+        .groupBy("seed", bucket.alias("bucket"))
+        .agg(F.sum("c").alias("cnt"))
+    )
+    # Exact top-20 via TakeOrdered (orderBy+limit, the kmeans-seed
+    # recipe) -- never a corpus-grain window; (c DESC, t) is a total
+    # order, so the cut is deterministic.
+    top = tf.orderBy(F.desc("c"), F.asc("t")).limit(20)
+    probe = top.crossJoin(F.broadcast(seeds)).withColumn("bucket", bucket)
+    est = (
+        probe.join(F.broadcast(cells), ["seed", "bucket"])
+        .groupBy("t", "c")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        F.col("t").alias("token"),
+        F.col("c").alias("true_count"),
+        "cms_est",
+        F.round(F.col("cms_est").cast("double") / F.col("c"), 6).alias(
+            "overestimate"
+        ),
+    )
