@@ -3431,3 +3431,78 @@ def llm_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             "overestimate"
         ),
     )
+
+
+def _zkey_sql() -> str:
+    """DuckDB bit-interleave of (x, y) into a 32-bit Morton key."""
+    # Disjoint bit positions, so + == | — written as + to mirror the
+    # Spark column expression exactly (Column.__or__ is logical OR).
+    terms = []
+    for i in range(16):
+        terms.append(f"(((x >> {i}) & 1) << {2 * i})")
+        terms.append(f"(((y >> {i}) & 1) << {2 * i + 1})")
+    return " + ".join(terms)
+
+
+@register(
+    "op_zorder_layout",
+    oracle=f"""
+    WITH b AS (
+      SELECT o_orderkey,
+             (o_custkey & 65535)::BIGINT AS x,
+             (date_diff('day', TIMESTAMP '1992-01-01', o_orderdate)
+              & 65535)::BIGINT AS y
+      FROM orders
+    ),
+    z AS (SELECT o_orderkey, x, y, ({_zkey_sql()})::BIGINT AS zkey FROM b)
+    SELECT (zkey >> 18)::BIGINT AS zbucket,
+           COUNT(*)::BIGINT AS n_orders,
+           MIN(x)::BIGINT AS min_cust, MAX(x)::BIGINT AS max_cust,
+           MIN(y)::BIGINT AS min_day,  MAX(y)::BIGINT AS max_day
+    FROM z GROUP BY 1
+    """,
+    doc="Z-order (Morton) layout assignment over (custkey, order-day): "
+    "interleaving the bits of both dimensions into one sort/bucket key "
+    "gives every file tight min/max ranges on BOTH columns at once — "
+    "the data-skipping layout for multi-dimensional scans that a "
+    "single-column sort cannot provide (sort by custkey and the "
+    "per-file day ranges span everything). The per-bucket summary IS "
+    "the skipping proof: each zbucket's [min,max] envelope is a tight "
+    "square over BOTH dimensions (side ~2^9 on the 16-bit grid), so a "
+    "range predicate on either column prunes the complementary "
+    "buckets from file statistics alone. The key is pure "
+    "integer bit arithmetic (identical cross-engine), the bucket "
+    "aggregate map-side combines; at 100 TB this key feeds "
+    "repartitionByRange + sortWithinPartitions before the parquet "
+    "write.",
+    tags=("op", "layout", "scale"),
+)
+def op_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = table(spark, sf_dir, "orders")
+    x = (F.col("o_custkey").cast("bigint") % 65536 + 65536) % 65536
+    y = (
+        F.datediff(F.col("o_orderdate"), F.lit("1992-01-01")).cast("bigint")
+        % 65536
+        + 65536
+    ) % 65536
+    # Bit positions are disjoint, so summation IS the interleave
+    # (Column | is logical OR in PySpark, not bitwise).
+    zkey = F.lit(0).cast("bigint")
+    for i in range(16):
+        zkey = (
+            zkey
+            + F.shiftleft(F.shiftright(x, i) % 2, 2 * i).cast("bigint")
+            + F.shiftleft(F.shiftright(y, i) % 2, 2 * i + 1).cast("bigint")
+        )
+    return (
+        o.select(F.shiftright(zkey, 18).cast("bigint").alias("zbucket"),
+                 x.alias("x"), y.alias("y"))
+        .groupBy("zbucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.min("x").alias("min_cust"),
+            F.max("x").alias("max_cust"),
+            F.min("y").alias("min_day"),
+            F.max("y").alias("max_day"),
+        )
+    )
