@@ -3506,3 +3506,70 @@ def op_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("y").alias("max_day"),
         )
     )
+
+
+@register(
+    "op_mutual_information",
+    oracle="""
+    WITH base AS (
+      SELECT event_type AS e, (user_id % 8)::BIGINT AS b FROM events
+    ),
+    joint AS (SELECT e, b, COUNT(*)::BIGINT AS c FROM base GROUP BY 1, 2),
+    me AS (SELECT e, SUM(c)::BIGINT AS ce FROM joint GROUP BY 1),
+    mb AS (SELECT b, SUM(c)::BIGINT AS cb FROM joint GROUP BY 1),
+    n AS (SELECT SUM(c)::BIGINT AS n FROM joint),
+    terms AS (
+      SELECT j.e,
+             ROUND((j.c::DOUBLE / n.n)
+                   * log2((j.c::DOUBLE * n.n) / (me.ce::DOUBLE * mb.cb)),
+                   9)::DECIMAL(18,9) AS t
+      FROM joint j JOIN me USING (e) JOIN mb USING (b) CROSS JOIN n
+    )
+    SELECT terms.e AS event_type, me.ce AS n_events,
+           ROUND(SUM(t)::DOUBLE, 6) AS mi_contrib
+    FROM terms JOIN me ON me.e = terms.e
+    GROUP BY 1, 2
+    """,
+    doc="Mutual information between event type and a user cohort key "
+    "(user_id mod 8), reported as per-event-type contributions — the "
+    "dependence diagnostic that tells a pipeline whether a candidate "
+    "partition/cohort key actually stratifies behavior (MI ~ 0: the "
+    "key is independent and safe to shard on; large contributions "
+    "flag cohort-skewed event types). Contingency + both margins come "
+    "from ONE grid-sized aggregate chain (the grid is |types| x 8, "
+    "never event-sized, after the map-side-combined joint count); "
+    "each p*log2 term is rounded to DECIMAL(18,9) before summation — "
+    "partition-order-exact, the llm_token_entropy recipe.",
+    tags=("op", "stats", "diagnostics"),
+)
+def op_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = table(spark, sf_dir, "events")
+    base = ev.select(
+        F.col("event_type").alias("e"),
+        (F.col("user_id") % 8).cast("bigint").alias("b"),
+    )
+    joint = base.groupBy("e", "b").agg(F.count(F.lit(1)).alias("c"))
+    me = joint.groupBy("e").agg(F.sum("c").alias("ce"))
+    mb = joint.groupBy("b").agg(F.sum("c").alias("cb"))
+    n = joint.agg(F.sum("c").alias("n"))
+    term = F.round(
+        (F.col("c").cast("double") / F.col("n"))
+        * F.log2(
+            (F.col("c").cast("double") * F.col("n"))
+            / (F.col("ce").cast("double") * F.col("cb"))
+        ),
+        9,
+    ).cast("decimal(18,9)")
+    return (
+        joint.join(F.broadcast(me), "e")
+        .join(F.broadcast(mb), "b")
+        .crossJoin(F.broadcast(n))
+        .select("e", "ce", term.alias("t"))
+        .groupBy("e", "ce")
+        .agg(F.round(F.sum("t").cast("double"), 6).alias("mi_contrib"))
+        .select(
+            F.col("e").alias("event_type"),
+            F.col("ce").cast("bigint").alias("n_events"),
+            "mi_contrib",
+        )
+    )
