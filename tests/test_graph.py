@@ -453,3 +453,35 @@ def test_knn_pq_adc_beats_random(spark, knn_exact):
     emb = table(spark, SF_DIR, "embeddings")
     approx = similarity.knn_pq(emb, k=5, m=16).collect()
     assert _recall_at_5(knn_exact, approx) >= 0.2
+
+
+# --- k-core peel ----------------------------------------------------------
+
+
+def test_kcore_cycle_survives_path_dissolves(spark):
+    # A 4-cycle is exactly its own 2-core; a path peels from the
+    # endpoints inward, one hop per round, until nothing remains.
+    cycle = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    got = {
+        r["node_id"]: r["in_core"]
+        for r in graph.kcore(_edges(spark, cycle), k=2, rounds=3).collect()
+    }
+    assert all(got.values()) and len(got) == 4
+    path = [("p1", "p2"), ("p2", "p3"), ("p3", "p4")]
+    got = {
+        r["node_id"]: r["in_core"]
+        for r in graph.kcore(_edges(spark, path), k=2, rounds=3).collect()
+    }
+    assert not any(got.values()) and len(got) == 4
+
+
+def test_kcore_bounded_rounds_cascade(spark):
+    # A 5-node path with k=2 peels one layer per round: after ONE round
+    # only the endpoints are gone (q2..q4 still flagged), showing the
+    # peel is synchronous and bounded by the round count.
+    path = [("q1", "q2"), ("q2", "q3"), ("q3", "q4"), ("q4", "q5")]
+    got = {
+        r["node_id"]: r["in_core"]
+        for r in graph.kcore(_edges(spark, path), k=2, rounds=1).collect()
+    }
+    assert got == {"q1": False, "q2": True, "q3": True, "q4": True, "q5": False}

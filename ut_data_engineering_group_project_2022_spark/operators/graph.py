@@ -772,3 +772,38 @@ def betweenness_exact(edges: DataFrame) -> DataFrame:
     spark = edges.sparkSession
     rows = [(v, round(b / 2.0, 6)) for v, b in sorted(bc.items())]
     return spark.createDataFrame(rows, "node_id string, betweenness double")
+
+
+def kcore(edges: DataFrame, k: int = 30, rounds: int = 5) -> DataFrame:
+    """Bounded k-core peel (SURVEY G-family extension): ``rounds``
+    synchronous rounds of removing nodes whose CURRENT degree (over
+    edges between still-alive nodes) is below ``k``. A fixed round
+    count keeps the program an unrollable join chain — the DuckDB
+    oracle replays the same rounds as CTEs — and bounds plan depth;
+    full convergence is the rounds->diameter limit, with each extra
+    round one more filtered join + aggregate (the same per-round shape
+    as label propagation). Returns every node with an ``in_core``
+    flag. Per round: two semi-join filters of the cached edge list +
+    one map-side-combined degree aggregate — no global structures, no
+    driver-side graph."""
+    und = undirect(edges).localCheckpoint(eager=True)
+    nodes_all = (
+        und.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
+    )
+    alive = nodes_all
+    for _ in range(rounds):
+        e = und.join(
+            alive.select(F.col("id").alias("src")), "src"
+        ).join(alive.select(F.col("id").alias("dst")), "dst")
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        alive = (
+            deg.filter(F.col("d") >= k)
+            .select(F.col("src").alias("id"))
+            .localCheckpoint(eager=True)
+        )
+    return nodes_all.join(
+        alive.withColumn("flag", F.lit(True)), "id", "left"
+    ).select(
+        F.col("id").alias("node_id"),
+        F.coalesce("flag", F.lit(False)).alias("in_core"),
+    )

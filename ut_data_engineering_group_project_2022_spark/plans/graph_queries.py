@@ -749,3 +749,41 @@ def graph_triangle_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(tri.select(F.col("c").alias("node_id")))
     )
     return nodes.groupBy("node_id").agg(F.count(F.lit(1)).alias("triangles"))
+
+
+def _kcore_oracle(k: int, rounds: int) -> str:
+    """Unrolled k-core peel as chained CTEs (the pagerank-oracle style)."""
+    ctes = [
+        f"e0 AS ({_EDGES_SQL})",
+        "e AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)",
+        "a0 AS (SELECT DISTINCT src AS id FROM e)",
+    ]
+    for r in range(1, rounds + 1):
+        ctes.append(
+            f"d{r} AS (SELECT e.src, COUNT(*) AS c FROM e "
+            f"JOIN a{r-1} x ON x.id = e.src "
+            f"JOIN a{r-1} y ON y.id = e.dst GROUP BY 1)"
+        )
+        ctes.append(f"a{r} AS (SELECT src AS id FROM d{r} WHERE c >= {k})")
+    return (
+        "WITH " + ",\n".join(ctes) + f"""
+    SELECT a0.id AS node_id, (a{rounds}.id IS NOT NULL) AS in_core
+    FROM a0 LEFT JOIN a{rounds} ON a{rounds}.id = a0.id
+    """
+    )
+
+
+@register(
+    "graph_kcore",
+    oracle=_kcore_oracle(30, 5),
+    doc="Bounded 30-core membership after five synchronous peel rounds "
+    "(nodes below degree 30 among still-alive nodes drop each round; "
+    "cascades propagate one hop per round). Flags the densely-"
+    "connected trading core of the customer-supplier graph — the "
+    "standard preprocessing cut before community detection or "
+    "influence analysis on hub structure. The oracle replays the "
+    "identical rounds as chained CTEs (the pagerank-unroll style).",
+    tags=("graph",),
+)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return graph.kcore(graph.customer_supplier_edges(spark, sf_dir), k=30, rounds=5)
