@@ -467,3 +467,27 @@ def test_global_dense_rank_null_keys_both_directions(spark):
             ).collect()
         }
         assert got == exp, f"descending={descending}: {got} != {exp}"
+
+
+def test_percentile_approx_tracks_exact(spark):
+    """op_percentiles_approx (the bounded-memory 100 TB path) must land
+    within a tight relative band of the exact percentiles — the gate
+    that makes the 'approx is the swap-in' claim checkable."""
+    from ut_data_engineering_group_project_2022_spark.plans import get_query
+
+    exact = {
+        r["l_returnflag"]: r
+        for r in get_query("op_percentiles").spark(spark, SF_DIR).collect()
+    }
+    approx = {
+        r["l_returnflag"]: r
+        for r in get_query("op_percentiles_approx")
+        .spark(spark, SF_DIR)
+        .collect()
+    }
+    assert exact.keys() == approx.keys()
+    for flag, e in exact.items():
+        a = approx[flag]
+        for col in ("p50", "p90", "price_p99"):
+            assert abs(float(a[col]) - float(e[col])) <= 0.02 * float(e[col]) + 1e-9, (
+                flag, col, a[col], e[col])

@@ -1254,3 +1254,27 @@ def op_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             "cum_share"
         ),
     )
+
+
+@register(
+    "op_percentiles_approx",
+    oracle=None,
+    doc="The 100 TB swap-in for op_percentiles, run for real: "
+    "percentile_approx (t-digest-style sketch, accuracy 10000) per "
+    "group — mergeable map-side, bounded memory regardless of group "
+    "size, where the exact percentile aggregate must buffer/sort each "
+    "group. No SQL oracle by design: DuckDB's approx_quantile is a "
+    "different sketch, so cross-engine hashes cannot match; instead "
+    "tests/test_scale_plans.py gates the approximation against the "
+    "exact form (rank error within the sketch's accuracy contract).",
+    tags=("op", "agg", "approx"),
+)
+def op_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.percentile_approx("l_quantity", 0.5, 10000).alias("p50"),
+        F.percentile_approx("l_quantity", 0.9, 10000).alias("p90"),
+        F.percentile_approx(
+            "l_extendedprice", 0.99, 10000
+        ).alias("price_p99"),
+    )
