@@ -3573,3 +3573,70 @@ def op_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
             "mi_contrib",
         )
     )
+
+
+@register(
+    "llm_ngram_containment",
+    oracle=f"""
+    WITH sh AS ({_SHINGLES_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / len(a.shingles), 6) AS containment,
+           ROUND(len(list_intersect(a.shingles, b.shingles))::DOUBLE
+                 / (len(a.shingles) + len(b.shingles)
+                    - len(list_intersect(a.shingles, b.shingles))), 6)
+             AS jaccard
+    FROM sh a JOIN sh b ON a.doc_id != b.doc_id
+    WHERE len(a.shingles) > 0 AND len(b.shingles) > 0
+      AND len(list_intersect(a.shingles, b.shingles))::DOUBLE
+            / len(a.shingles) >= 0.5
+    """,
+    doc="Directional shingle CONTAINMENT (|A intersect B| / |A| >= 0.5): "
+    "detects documents largely CONTAINED in another — quotations, "
+    "excerpts, and expanded re-posts that symmetric Jaccard under-"
+    "scores whenever the containing document is much longer (the "
+    "asymmetric Broder measure). Emitted alongside the pair's Jaccard "
+    "so downstream policy can separate near-duplicates (both high) "
+    "from true containments (containment high, Jaccard low). The "
+    "Spark side builds candidates from the EXPLODED shingle stream — "
+    "a shingle-keyed self-join whose pair counts ARE the intersection "
+    "sizes (shingles are distinct within a doc), map-side combined; "
+    "never an all-pairs product (the SQL all-pairs form is only the "
+    "oracle's small-corpus formulation).",
+    tags=("llm", "dedup"),
+)
+def llm_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = table(spark, sf_dir, "documents")
+    sh = dedup.shingle_docs(docs)
+    ex = sh.select("doc_id", F.explode("shingles").alias("g"))
+    sizes = sh.select("doc_id", F.size("shingles").alias("n")).filter(
+        F.col("n") > 0
+    )
+    pairs = (
+        ex.alias("a")
+        .join(ex.alias("b"), "g")
+        .filter(F.col("a.doc_id") != F.col("b.doc_id"))
+        .groupBy(
+            F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b")
+        )
+        .agg(F.count(F.lit(1)).alias("common"))
+    )
+    na = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    nb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    return (
+        pairs.join(na, "doc_a")
+        .join(nb, "doc_b")
+        .filter(F.col("common").cast("double") / F.col("na") >= 0.5)
+        .select(
+            "doc_a",
+            "doc_b",
+            F.round(F.col("common").cast("double") / F.col("na"), 6).alias(
+                "containment"
+            ),
+            F.round(
+                F.col("common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
