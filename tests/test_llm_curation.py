@@ -88,3 +88,24 @@ def test_dsir_weights_lang_separation(spark):
     other = [r.dsir_logratio for r in rows if langs[r.doc_id] != "en"]
     assert en and other
     assert sum(en) / len(en) > sum(other) / len(other)
+
+
+def test_langid_trigram_separable_corpus(spark):
+    # Hand-built corpus with genuinely distinct character distributions:
+    # the classifier must recover every label (the synthetic documents
+    # table shares one vocabulary across langs, so the registered query
+    # only proves plumbing; this proves the classifier).
+    from ut_data_engineering_group_project_2022_spark.plans.llm_ops import (
+        langid_trigram,
+    )
+
+    rows = []
+    for i in range(8):
+        rows.append((i, "the quick brown fox jumps over the lazy dog " * 3, "en"))
+        rows.append((100 + i, "der schnelle braune fuchs springt ueber " * 3, "de"))
+        rows.append((200 + i, "le renard brun rapide saute par dessus " * 3, "fr"))
+    d = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = langid_trigram(d).collect()
+    assert all(r["correct"] for r in got), [
+        (r["doc_id"], r["lang"], r["predicted"]) for r in got if not r["correct"]
+    ]

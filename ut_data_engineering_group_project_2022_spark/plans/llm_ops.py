@@ -3640,3 +3640,154 @@ def llm_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("jaccard"),
         )
     )
+
+
+_TRIGRAMS_SQL = """
+  SELECT doc_id, lang,
+         CASE WHEN length(lower(text)) >= 3
+              THEN [substr(lower(text), i, 3)
+                    for i in generate_series(1, length(lower(text)) - 2)]
+              ELSE []::VARCHAR[] END AS tg
+  FROM documents
+"""
+
+
+@register(
+    "llm_langid_trigram",
+    oracle=f"""
+    WITH t0 AS ({_TRIGRAMS_SQL}),
+    occ AS (SELECT doc_id, lang, unnest(tg) AS g FROM t0),
+    model AS (
+      SELECT lang AS m_lang, g, COUNT(*)::BIGINT AS c
+      FROM occ GROUP BY 1, 2
+    ),
+    nl AS (SELECT m_lang, SUM(c)::BIGINT AS n FROM model GROUP BY 1),
+    v AS (SELECT COUNT(DISTINCT g)::BIGINT AS v FROM model),
+    lp AS (
+      SELECT model.m_lang, model.g,
+             ROUND(ln((model.c + 1)::DOUBLE / (nl.n + v.v)),
+                   6)::DECIMAL(18,6) AS logp
+      FROM model JOIN nl USING (m_lang) CROSS JOIN v
+    ),
+    floors AS (
+      SELECT nl.m_lang,
+             ROUND(ln(1.0 / (nl.n + v.v)), 6)::DECIMAL(18,6) AS fl
+      FROM nl CROSS JOIN v
+    ),
+    matched AS (
+      SELECT occ.doc_id, occ.lang, lp.m_lang,
+             SUM(lp.logp) AS sm, COUNT(*)::BIGINT AS m
+      FROM occ JOIN lp ON lp.g = occ.g
+      GROUP BY 1, 2, 3
+    ),
+    dt AS (SELECT doc_id, lang, COUNT(*)::BIGINT AS t FROM occ GROUP BY 1, 2),
+    scored AS (
+      SELECT dt.doc_id, dt.lang, floors.m_lang,
+             COALESCE(matched.sm, 0::DECIMAL(18,6))
+               + (dt.t - COALESCE(matched.m, 0)) * floors.fl AS s
+      FROM dt CROSS JOIN floors
+      LEFT JOIN matched ON matched.doc_id = dt.doc_id
+                       AND matched.m_lang = floors.m_lang
+    ),
+    best AS (
+      SELECT doc_id, lang, m_lang AS predicted,
+             ROW_NUMBER() OVER (PARTITION BY doc_id
+                                ORDER BY s DESC, m_lang) AS rn
+      FROM scored
+    )
+    SELECT doc_id, lang, predicted, (predicted = lang) AS correct
+    FROM best WHERE rn = 1
+    """,
+    doc="Self-trained character-trigram language classifier (the "
+    "fastText/langid.py recipe at its core): per-language trigram "
+    "frequency profiles built FROM the labeled corpus in one pass, "
+    "then every document scored by add-one-smoothed log-likelihood "
+    "under each profile, argmax = prediction (in-corpus fidelity "
+    "check; production would train on held-out labeled text — this "
+    "exercises the full distributed train+score plan). Model-side "
+    "log-probabilities are pinned to DECIMAL(18,6) ONCE in the "
+    "profile table, so per-doc sums are exact; the profile join is "
+    "trigram-keyed with map-side-combined per-(doc,lang) partial "
+    "sums; the argmax is a per-doc window over |langs| rows. Upgrades "
+    "llm_text_langid's two-word heuristic to a real statistical "
+    "classifier on the same surface.",
+    tags=("llm", "text", "ml"),
+)
+def llm_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return langid_trigram(table(spark, sf_dir, "documents"))
+
+
+def langid_trigram(d: DataFrame) -> DataFrame:
+    """Train per-language char-trigram profiles on ``d`` (doc_id, text,
+    lang) and classify every row; see llm_langid_trigram. Exposed
+    separately so closed-form tests can run it on hand-built corpora
+    with real language separation (the synthetic documents table
+    shares one vocabulary across langs, capping in-corpus accuracy)."""
+    from pyspark.sql import Window as W
+
+    low = F.lower("text")
+    tg = F.when(
+        F.length(low) >= 3,
+        F.transform(
+            F.sequence(F.lit(1), F.length(low) - 2),
+            lambda i: F.substr(low, i, F.lit(3)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    occ = d.select("doc_id", "lang", F.explode(tg).alias("g"))
+    model = occ.groupBy(F.col("lang").alias("m_lang"), "g").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    nl = model.groupBy("m_lang").agg(F.sum("c").alias("n"))
+    v = model.agg(F.countDistinct("g").alias("v"))
+    lp = (
+        model.join(F.broadcast(nl), "m_lang")
+        .crossJoin(F.broadcast(v))
+        .select(
+            "m_lang",
+            "g",
+            F.round(
+                F.log((F.col("c") + 1).cast("double") / (F.col("n") + F.col("v"))),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("logp"),
+        )
+    )
+    floors = nl.crossJoin(F.broadcast(v)).select(
+        "m_lang",
+        F.round(F.log(F.lit(1.0) / (F.col("n") + F.col("v"))), 6)
+        .cast("decimal(18,6)")
+        .alias("fl"),
+    )
+    matched = (
+        occ.join(lp, "g")
+        .groupBy("doc_id", "lang", "m_lang")
+        .agg(F.sum("logp").alias("sm"), F.count(F.lit(1)).alias("m"))
+    )
+    dt = occ.groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("t"))
+    # Unseen trigrams score the smoothing FLOOR ln(1/(n_l+V)) — without
+    # this the argmax inverts (fewer matched terms = less negative sum).
+    scored = (
+        dt.crossJoin(F.broadcast(floors))
+        .join(matched, ["doc_id", "m_lang"], "left")
+        .select(
+            "doc_id",
+            dt["lang"].alias("lang"),
+            "m_lang",
+            (
+                F.coalesce("sm", F.lit(0).cast("decimal(18,6)"))
+                + (F.col("t") - F.coalesce("m", F.lit(0))) * F.col("fl")
+            ).alias("s"),
+        )
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("m_lang"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select(
+            "doc_id",
+            "lang",
+            F.col("m_lang").alias("predicted"),
+            (F.col("m_lang") == F.col("lang")).alias("correct"),
+        )
+    )
