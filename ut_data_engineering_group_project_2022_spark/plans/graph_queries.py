@@ -787,3 +787,78 @@ def _kcore_oracle(k: int, rounds: int) -> str:
 )
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     return graph.kcore(graph.customer_supplier_edges(spark, sf_dir), k=30, rounds=5)
+
+
+@register(
+    "graph_link_prediction",
+    oracle=f"""
+    WITH e AS (SELECT src, dst FROM ({_EDGES_SQL})),
+    shared AS (
+      SELECT a.src AS c1, b.src AS c2, COUNT(*)::BIGINT AS shared
+      FROM e a JOIN e b ON a.dst = b.dst AND a.src != b.src
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= 5
+    ),
+    cand AS (
+      SELECT sh.c1 AS c, e.dst AS s, SUM(sh.shared)::BIGINT AS score
+      FROM shared sh JOIN e ON e.src = sh.c2
+      GROUP BY 1, 2
+    ),
+    new_links AS (
+      SELECT cand.c, cand.s, cand.score
+      FROM cand
+      WHERE NOT EXISTS (SELECT 1 FROM e x WHERE x.src = cand.c
+                                            AND x.dst = cand.s)
+    )
+    SELECT c AS customer, s AS supplier, score, rn FROM (
+      SELECT c, s, score,
+             ROW_NUMBER() OVER (PARTITION BY c
+                                ORDER BY score DESC, s) AS rn
+      FROM new_links
+    ) WHERE rn <= 3
+    """,
+    doc="Collaborative-filtering link prediction over the bipartite "
+    "graph: for every customer, the top-3 suppliers they do NOT buy "
+    "from, scored by the shared-supplier-weighted votes of co-"
+    "purchasing customers (score(c,s) = sum over customers c' buying "
+    "s of |N(c) intersect N(c')|, the weighted-common-neighbor CF "
+    "recipe). The >= 5 shared-supplier floor prunes the neighbor-pair "
+    "frame before the path expansion — the knob that bounds the "
+    "3-hop join at scale (production would also cap neighbors per "
+    "customer, same plan); existing edges anti-join out; integer "
+    "scores, deterministic tiebreaks.",
+    tags=("graph", "ml"),
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    e = graph.customer_supplier_edges(spark, sf_dir).select("src", "dst")
+    shared = (
+        e.alias("a")
+        .join(e.alias("b"), "dst")
+        .filter(F.col("a.src") != F.col("b.src"))
+        .groupBy(F.col("a.src").alias("c1"), F.col("b.src").alias("c2"))
+        .agg(F.count(F.lit(1)).alias("shared"))
+        .filter(F.col("shared") >= 5)
+    )
+    cand = (
+        shared.join(e.select(F.col("src").alias("c2"), "dst"), "c2")
+        .groupBy(F.col("c1").alias("c"), F.col("dst").alias("s"))
+        .agg(F.sum("shared").alias("score"))
+    )
+    new_links = cand.join(
+        e.select(F.col("src").alias("c"), F.col("dst").alias("s")),
+        ["c", "s"],
+        "left_anti",
+    )
+    w = W.partitionBy("c").orderBy(F.desc("score"), F.asc("s"))
+    return (
+        new_links.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("c").alias("customer"),
+            F.col("s").alias("supplier"),
+            F.col("score").cast("bigint").alias("score"),
+            "rn",
+        )
+    )
