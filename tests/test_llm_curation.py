@@ -95,7 +95,7 @@ def test_langid_trigram_separable_corpus(spark):
     # the classifier must recover every label (the synthetic documents
     # table shares one vocabulary across langs, so the registered query
     # only proves plumbing; this proves the classifier).
-    from ut_data_engineering_group_project_2022_spark.plans.llm_ops import (
+    from ut_data_engineering_group_project_2022_spark.operators.textml import (
         langid_trigram,
     )
 

@@ -486,8 +486,15 @@ def test_percentile_approx_tracks_exact(spark):
         .collect()
     }
     assert exact.keys() == approx.keys()
+    # Tolerance = 2% relative PLUS one value-grid step: the sketch's
+    # contract is a RANK error (<= N/accuracy), and on discrete columns
+    # a within-contract rank slip returns the adjacent distinct value —
+    # one whole unit on l_quantity — which a purely relative band would
+    # misread as a failure at some scale factors.
+    step = {"p50": 1.0, "p90": 1.0, "price_p99": 0.01}
     for flag, e in exact.items():
         a = approx[flag]
         for col in ("p50", "p90", "price_p99"):
-            assert abs(float(a[col]) - float(e[col])) <= 0.02 * float(e[col]) + 1e-9, (
+            tol = 0.02 * float(e[col]) + step[col] + 1e-9
+            assert abs(float(a[col]) - float(e[col])) <= tol, (
                 flag, col, a[col], e[col])

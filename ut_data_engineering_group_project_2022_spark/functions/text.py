@@ -90,3 +90,21 @@ def bigrams(col: Column | str) -> Column:
             ),
         ),
     ).otherwise(F.array().cast("array<string>"))
+
+
+def word_count(col: Column | str) -> Column:
+    """Whitespace word count of trimmed text (SQL twin:
+    ``len(regexp_split_to_array(trim(text), '\\s+'))``). Shared by the
+    token-count, fertility, and dataset-card diagnostics so the word
+    definition cannot drift between them."""
+    return F.size(F.split(F.trim(col), r"\s+"))
+
+
+_BPE_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
+
+
+def bpe_tokens(col: Column | str) -> Column:
+    """BPE-ish token stream (letter runs / digit runs / single symbols)
+    over lowercased text (SQL twin: ``regexp_extract_all(lower(text),
+    '[a-z]+|[0-9]+|[^a-z0-9\\s]')``)."""
+    return F.regexp_extract_all(F.lower(col), F.lit(_BPE_REGEX), 0)

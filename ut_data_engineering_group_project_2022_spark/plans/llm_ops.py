@@ -15,9 +15,11 @@ from pyspark.sql import functions as F
 from ut_data_engineering_group_project_2022_spark.catalog import table
 from ut_data_engineering_group_project_2022_spark.functions.text import (
     bigrams as text_bigrams,
+    bpe_tokens,
     md5_int60,
     normalise,
     tokens,
+    word_count,
     word_shingles,
 )
 from ut_data_engineering_group_project_2022_spark.operators import (
@@ -387,7 +389,7 @@ def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     n_chars = F.length("text")
-    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    n_tokens = word_count("text")
     n_alpha = F.length(F.regexp_replace("text", "[^A-Za-z]", ""))
     n_space = F.length(F.regexp_replace("text", "[^ ]", ""))
     alpha_ratio = n_alpha.cast("double") / n_chars
@@ -426,10 +428,8 @@ def llm_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     return d.select(
         "doc_id",
-        F.size(F.split(F.trim("text"), r"\s+")).cast("int").alias("n_ws_tokens"),
-        F.regexp_count(F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"))
-        .cast("int")
-        .alias("n_bpe_tokens"),
+        word_count("text").cast("int").alias("n_ws_tokens"),
+        F.size(bpe_tokens("text")).cast("int").alias("n_bpe_tokens"),
         F.length("text").cast("int").alias("n_chars"),
     )
 
@@ -2341,7 +2341,7 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (3)+(4) quality + language gates, same exprs as the standalone ops.
     low = F.lower("text")
     n_chars = F.length("text")
-    n_tokens = F.size(F.split(F.trim("text"), r"\s+"))
+    n_tokens = word_count("text")
     alpha_ratio = (
         F.length(F.regexp_replace("text", "[^A-Za-z]", "")).cast("double")
         / n_chars
@@ -3202,9 +3202,13 @@ def llm_winsorize_lengths(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    ss = d.select(
-        "source", F.explode(word_shingles("text", 3)).alias("g")
-    ).distinct()
+    # cache: ss (the corpus's heaviest intermediate) is consumed three
+    # times — the per-source counts and both sides of the self-join.
+    ss = (
+        d.select("source", F.explode(word_shingles("text", 3)).alias("g"))
+        .distinct()
+        .cache()
+    )
     per = ss.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     inter = (
         ss.alias("a")
@@ -3321,14 +3325,8 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
     f = d.select(
         "lang",
-        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_words"),
-        F.size(
-            F.regexp_extract_all(
-                F.lower("text"), F.lit(r"[a-z]+|[0-9]+|[^a-z0-9\s]"), 0
-            )
-        )
-        .cast("bigint")
-        .alias("n_bpe"),
+        word_count("text").cast("bigint").alias("n_words"),
+        F.size(bpe_tokens("text")).cast("bigint").alias("n_bpe"),
         F.length(F.encode("text", "utf-8")).cast("bigint").alias("n_bytes"),
     )
     return f.groupBy("lang").agg(
@@ -3394,10 +3392,13 @@ def llm_tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
+    # cache: tf feeds both the CMS cell build and the exact top-20 —
+    # without it the corpus tokenizes twice.
     tf = (
         d.select(F.explode(tokens("text")).alias("t"))
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))
+        .cache()
     )
     seeds = spark.createDataFrame([(s,) for s in range(4)], "seed int")
     bucket = (
@@ -3714,83 +3715,11 @@ _TRIGRAMS_SQL = """
     tags=("llm", "text", "ml"),
 )
 def llm_langid_trigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ut_data_engineering_group_project_2022_spark.operators.textml import (
+        langid_trigram,
+    )
+
     return langid_trigram(table(spark, sf_dir, "documents"))
-
-
-def langid_trigram(d: DataFrame) -> DataFrame:
-    """Train per-language char-trigram profiles on ``d`` (doc_id, text,
-    lang) and classify every row; see llm_langid_trigram. Exposed
-    separately so closed-form tests can run it on hand-built corpora
-    with real language separation (the synthetic documents table
-    shares one vocabulary across langs, capping in-corpus accuracy)."""
-    from pyspark.sql import Window as W
-
-    low = F.lower("text")
-    tg = F.when(
-        F.length(low) >= 3,
-        F.transform(
-            F.sequence(F.lit(1), F.length(low) - 2),
-            lambda i: F.substr(low, i, F.lit(3)),
-        ),
-    ).otherwise(F.array().cast("array<string>"))
-    occ = d.select("doc_id", "lang", F.explode(tg).alias("g"))
-    model = occ.groupBy(F.col("lang").alias("m_lang"), "g").agg(
-        F.count(F.lit(1)).alias("c")
-    )
-    nl = model.groupBy("m_lang").agg(F.sum("c").alias("n"))
-    v = model.agg(F.countDistinct("g").alias("v"))
-    lp = (
-        model.join(F.broadcast(nl), "m_lang")
-        .crossJoin(F.broadcast(v))
-        .select(
-            "m_lang",
-            "g",
-            F.round(
-                F.log((F.col("c") + 1).cast("double") / (F.col("n") + F.col("v"))),
-                6,
-            )
-            .cast("decimal(18,6)")
-            .alias("logp"),
-        )
-    )
-    floors = nl.crossJoin(F.broadcast(v)).select(
-        "m_lang",
-        F.round(F.log(F.lit(1.0) / (F.col("n") + F.col("v"))), 6)
-        .cast("decimal(18,6)")
-        .alias("fl"),
-    )
-    matched = (
-        occ.join(lp, "g")
-        .groupBy("doc_id", "lang", "m_lang")
-        .agg(F.sum("logp").alias("sm"), F.count(F.lit(1)).alias("m"))
-    )
-    dt = occ.groupBy("doc_id", "lang").agg(F.count(F.lit(1)).alias("t"))
-    # Unseen trigrams score the smoothing FLOOR ln(1/(n_l+V)) — without
-    # this the argmax inverts (fewer matched terms = less negative sum).
-    scored = (
-        dt.crossJoin(F.broadcast(floors))
-        .join(matched, ["doc_id", "m_lang"], "left")
-        .select(
-            "doc_id",
-            dt["lang"].alias("lang"),
-            "m_lang",
-            (
-                F.coalesce("sm", F.lit(0).cast("decimal(18,6)"))
-                + (F.col("t") - F.coalesce("m", F.lit(0))) * F.col("fl")
-            ).alias("s"),
-        )
-    )
-    w = W.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("m_lang"))
-    return (
-        scored.withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .select(
-            "doc_id",
-            "lang",
-            F.col("m_lang").alias("predicted"),
-            (F.col("m_lang") == F.col("lang")).alias("correct"),
-        )
-    )
 
 
 @register(
@@ -3828,8 +3757,9 @@ def langid_trigram(d: DataFrame) -> DataFrame:
     "2021): corpus size, exact-duplicate fraction, language/source "
     "cardinalities, token/char volume and length envelope — the "
     "summary block a curation run publishes alongside the data. ONE "
-    "corpus scan feeds every statistic (the md5 dedup rides the same "
-    "aggregate chain); all counts are exact integers, the two ratios "
+    "CACHED corpus scan feeds every statistic (the global aggregate "
+    "and the md5 dup chain are two subtrees over the same cached "
+    "frame); all counts are exact integers, the two ratios "
     "divide exact sums. The judge-facing point: a 100 TB datasheet is "
     "this same plan — distinct-counts become approx_count_distinct "
     "and nothing else changes.",
@@ -3842,9 +3772,9 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "source",
         "n_chars",
-        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_words"),
+        word_count("text").cast("bigint").alias("n_words"),
         F.md5("text").alias("h"),
-    )
+    ).cache()
     agg = base.agg(
         F.count(F.lit(1)).alias("n_docs"),
         F.countDistinct("h").alias("n_unique"),
