@@ -650,9 +650,10 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return similarity.knn_ivf(table(spark, sf_dir, "embeddings"), k=5)
 
 
-@register(
-    "llm_neardup_clusters",
-    oracle=f"""
+# Shared CTE chain: shingle -> minhash -> band -> verify -> 5 label rounds
+# (l5 = cluster label per near-dup member). Reused by llm_neardup_clusters
+# and llm_soft_dedup so the pipelines cannot drift.
+_NEARDUP_L5_SQL = f"""
     WITH sh AS ({_SHINGLES_SQL}),
     th AS (
       SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT % 2147483647 AS h
@@ -726,6 +727,13 @@ def llm_knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                  FROM ee JOIN l4 lb ON lb.id = ee.dst GROUP BY ee.src) m
         ON m.id = nn.id
     )
+"""
+
+
+@register(
+    "llm_neardup_clusters",
+    oracle=f"""
+    {_NEARDUP_L5_SQL}
     SELECT d.doc_id,
            coalesce(l5.label, d.doc_id) AS cluster_id,
            (l5.label IS NOT NULL) AS has_neardup
@@ -3809,4 +3817,48 @@ def llm_dataset_card(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.col("n_chars").cast("double") / F.col("n_docs"), 6
         ).alias("mean_chars"),
+    )
+
+
+@register(
+    "llm_soft_dedup",
+    oracle=f"""
+    {_NEARDUP_L5_SQL}
+    , asg AS (
+      SELECT d.doc_id, coalesce(l5.label, d.doc_id) AS cluster_id
+      FROM documents d LEFT JOIN l5 ON l5.id = d.doc_id
+    ),
+    cs AS (SELECT cluster_id, COUNT(*)::BIGINT AS cluster_size
+           FROM asg GROUP BY 1)
+    SELECT asg.doc_id, asg.cluster_id, cs.cluster_size,
+           ROUND(1.0 / cs.cluster_size, 6) AS sample_weight
+    FROM asg JOIN cs USING (cluster_id)
+    """,
+    doc="Soft deduplication: instead of DROPPING near-duplicates, every "
+    "document gets sampling weight 1/cluster_size from its near-dup "
+    "cluster — the total probability mass of each duplicated text is "
+    "one regardless of copy count, preserving content diversity that "
+    "hard keep-one dedup discards (the SoftDeDup alternative; also "
+    "the right shape for mixture-weighted training samplers). Reuses "
+    "llm_neardup_clusters' assignment end-to-end (shared CTE chain in "
+    "the oracle, shared builder on the Spark side) + one cluster-"
+    "keyed size aggregate; weights divide exact integer counts.",
+    tags=("llm", "dedup", "sampling"),
+)
+def llm_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ut_data_engineering_group_project_2022_spark.plans.registry import (
+        get_query,
+    )
+
+    asg = get_query("llm_neardup_clusters").spark(spark, sf_dir).select(
+        "doc_id", "cluster_id"
+    )
+    cs = asg.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("cluster_size")
+    )
+    return asg.join(cs, "cluster_id").select(
+        "doc_id",
+        "cluster_id",
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("sample_weight"),
     )
