@@ -2509,9 +2509,10 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "llm_dsir_weights",
-    oracle="""
+# Shared DSIR scoring CTE chain (hashed-bigram features -> dual count
+# table -> log-ratio table), reused by llm_dsir_weights and the
+# Gumbel-top-k selection step llm_dsir_select.
+_DSIR_SCORE_SQL = """
     WITH w AS (
       SELECT doc_id, lang,
              regexp_split_to_array(trim(lower(text)), '\\s+') AS w
@@ -2536,6 +2537,13 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                    - ln((c_raw + 1.0) / (n_raw + 4096)), 6)
                ::DECIMAL(18,6) AS lr
       FROM cnt CROSS JOIN tot)
+"""
+
+
+@register(
+    "llm_dsir_weights",
+    oracle=f"""
+    {_DSIR_SCORE_SQL}
     SELECT bg.doc_id,
            COUNT(*)::BIGINT AS n_features,
            ROUND(SUM(lr.lr)::DOUBLE, 6) AS dsir_logratio
@@ -3861,4 +3869,61 @@ def llm_soft_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         F.col("cluster_size").cast("bigint").alias("cluster_size"),
         F.round(F.lit(1.0) / F.col("cluster_size"), 6).alias("sample_weight"),
+    )
+
+
+@register(
+    "llm_dsir_select",
+    oracle=f"""
+    {_DSIR_SCORE_SQL}
+    , sc AS (
+      SELECT bg.doc_id, ROUND(SUM(lr.lr)::DOUBLE, 6) AS s
+      FROM bg JOIN lr USING (bucket) GROUP BY 1
+    ),
+    u AS (
+      SELECT doc_id, s,
+             ((('0x' || substr(md5('gum|' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % 1000000) + 0.5) / 1000000.0 AS u
+      FROM sc
+    )
+    SELECT doc_id, s AS dsir_logratio,
+           ROUND(s - ln(-ln(u)), 6) AS gkey
+    FROM u
+    ORDER BY ROUND(s - ln(-ln(u)), 6) DESC, doc_id
+    LIMIT 100
+    """,
+    doc="The DSIR SELECTION step (Xie et al. 2023 §3: sample without "
+    "replacement proportionally to exp(score)) realized as Gumbel-"
+    "top-k: key = score + Gumbel noise, take the k largest — "
+    "mathematically identical to the paper's softmax sampling, but "
+    "expressible as a single deterministic ORDER BY ... LIMIT "
+    "(TakeOrdered on the Spark side, never a corpus-grain window). "
+    "The Gumbel draw -ln(-ln(u)) uses the registry's md5-uniform "
+    "recipe (u strictly inside (0,1)), so both engines select the "
+    "same 100 documents; scoring reuses llm_dsir_weights' shared CTE "
+    "chain end-to-end.",
+    tags=("llm", "sampling", "curation"),
+)
+def llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ut_data_engineering_group_project_2022_spark.plans.registry import (
+        get_query,
+    )
+
+    sc = (
+        get_query("llm_dsir_weights")
+        .spark(spark, sf_dir)
+        .select("doc_id", F.col("dsir_logratio").alias("s"))
+    )
+    u = (
+        (
+            md5_int60(F.concat(F.lit("gum|"), F.col("doc_id").cast("string")))
+            % 1000000
+        ).cast("double")
+        + 0.5
+    ) / 1000000.0
+    gkey = F.round(F.col("s") - F.log(-F.log(u)), 6)
+    return (
+        sc.select("doc_id", F.col("s").alias("dsir_logratio"), gkey.alias("gkey"))
+        .orderBy(F.desc("gkey"), F.asc("doc_id"))
+        .limit(100)
     )
