@@ -1165,9 +1165,11 @@ def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "llm_bm25_search",
-    oracle="""
+# Shared BM25 CTE chain ending in `lexrank` = the top-20 lexical ranking
+# for the fixed query {spark, join, window}. Reused by llm_bm25_search and
+# the hybrid-retrieval fusion llm_hybrid_rrf so the lexical arm cannot
+# drift between the two queries.
+_BM25_LEXRANK_SQL = """
     WITH tok AS (
       SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
       FROM documents),
@@ -1188,10 +1190,19 @@ def llm_tfidf_topterms(spark: SparkSession, sf_dir: str) -> DataFrame:
              COALESCE(MAX(CASE WHEN token = 'spark' THEN c END), 0.0)
              + COALESCE(MAX(CASE WHEN token = 'join' THEN c END), 0.0)
              + COALESCE(MAX(CASE WHEN token = 'window' THEN c END), 0.0) AS s
-      FROM contrib GROUP BY doc_id)
-    SELECT doc_id, ROUND(s, 6) AS bm25,
-           ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank
-    FROM scored ORDER BY s DESC, doc_id LIMIT 20
+      FROM contrib GROUP BY doc_id),
+    lexrank AS (
+      SELECT doc_id, ROUND(s, 6) AS bm25,
+             ROW_NUMBER() OVER (ORDER BY s DESC, doc_id) AS rank
+      FROM scored ORDER BY s DESC, doc_id LIMIT 20)
+"""
+
+
+@register(
+    "llm_bm25_search",
+    oracle=f"""
+    {_BM25_LEXRANK_SQL}
+    SELECT doc_id, bm25, rank FROM lexrank
     """,
     doc="BM25 top-20 retrieval for the fixed query {spark, join, window} "
     "(k1=1.2, b=0.75, Lucene's +1-inside-the-log idf so scores stay "
@@ -3926,4 +3937,76 @@ def llm_dsir_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         sc.select("doc_id", F.col("s").alias("dsir_logratio"), gkey.alias("gkey"))
         .orderBy(F.desc("gkey"), F.asc("doc_id"))
         .limit(100)
+    )
+
+
+@register(
+    "llm_hybrid_rrf",
+    oracle=f"""
+    {_BM25_LEXRANK_SQL}
+    , v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    qv AS (SELECT e AS q FROM v WHERE vec_id = 0),
+    vscore AS (
+      SELECT v.vec_id AS doc_id,
+             list_dot_product(v.e, qv.q)
+               / (sqrt(list_dot_product(qv.q, qv.q))
+                  * sqrt(list_dot_product(v.e, v.e))) AS cs
+      FROM v CROSS JOIN qv WHERE v.vec_id > 0),
+    vecrank AS (
+      SELECT doc_id, ROW_NUMBER() OVER (ORDER BY cs DESC, doc_id) AS rank
+      FROM vscore ORDER BY cs DESC, doc_id LIMIT 20),
+    fused AS (
+      SELECT COALESCE(l.doc_id, vr.doc_id) AS doc_id,
+             COALESCE(l.rank, 0)::BIGINT AS lex_rank,
+             COALESCE(vr.rank, 0)::BIGINT AS vec_rank,
+             COALESCE(1.0::DOUBLE / (60 + l.rank), 0.0)
+               + COALESCE(1.0::DOUBLE / (60 + vr.rank), 0.0) AS rrf
+      FROM lexrank l FULL OUTER JOIN vecrank vr ON vr.doc_id = l.doc_id)
+    SELECT doc_id, lex_rank, vec_rank, ROUND(rrf, 6) AS rrf
+    FROM fused ORDER BY rrf DESC, doc_id LIMIT 10
+    """,
+    doc="Hybrid retrieval with reciprocal-rank fusion (Cormack et al. "
+    "2009, the standard lexical+vector RAG recipe): the BM25 top-20 "
+    "(shared `lexrank` CTE chain with llm_bm25_search, so the lexical "
+    "arm cannot drift) is fused with the cosine top-20 against the "
+    "vec_id=0 query embedding via rrf = 1/(60+lex_rank) + "
+    "1/(60+vec_rank), missing arms contributing 0. Both arms are "
+    "TakeOrdered top-k (never a corpus-grain window: the vector arm's "
+    "row_number is partitioned by query id inside knn_bruteforce, the "
+    "fused top-10 is orderBy+limit); the fusion join runs over two "
+    "20-row frames, so AQE broadcasts it regardless of corpus size. "
+    "Rank reciprocals are added in fixed lex+vec order on both "
+    "engines, keeping the double bit-deterministic before ROUND.",
+    tags=("llm", "text", "search", "similarity"),
+)
+def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ut_data_engineering_group_project_2022_spark.plans.registry import (
+        get_query,
+    )
+
+    lex = (
+        get_query("llm_bm25_search")
+        .spark(spark, sf_dir)
+        .select("doc_id", F.col("rank").alias("lex_rank"))
+    )
+    emb = table(spark, sf_dir, "embeddings")
+    vec = similarity.knn_bruteforce(
+        emb.filter(F.col("vec_id") == 0), emb.filter(F.col("vec_id") > 0), k=20
+    ).select(F.col("neighbor_id").alias("doc_id"), F.col("rn").alias("vec_rank"))
+    fused = lex.join(vec, "doc_id", "full_outer")
+    rrf = F.coalesce(
+        F.lit(1.0) / (F.lit(60) + F.col("lex_rank")), F.lit(0.0)
+    ) + F.coalesce(F.lit(1.0) / (F.lit(60) + F.col("vec_rank")), F.lit(0.0))
+    return (
+        fused.select(
+            "doc_id",
+            F.coalesce("lex_rank", F.lit(0)).cast("bigint").alias("lex_rank"),
+            F.coalesce("vec_rank", F.lit(0)).cast("bigint").alias("vec_rank"),
+            rrf.alias("rrf_raw"),
+        )
+        .orderBy(F.desc("rrf_raw"), F.asc("doc_id"))
+        .limit(10)
+        .select(
+            "doc_id", "lex_rank", "vec_rank", F.round("rrf_raw", 6).alias("rrf")
+        )
     )
