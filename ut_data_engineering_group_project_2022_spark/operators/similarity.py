@@ -554,3 +554,67 @@ def knn_pq_rerank(
             "query_id", "neighbor_id", F.round("s", 6).alias("score"), "rn"
         )
     )
+
+
+def kcenter_greedy(
+    emb: DataFrame,
+    k: int = 8,
+    scale: int = 1_000_000,
+    offset: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Greedy k-center coreset selection (farthest-point traversal);
+    returns the k selected rows as (sel_order, vec_id, radius2).
+
+    The classic coreset / data-pruning recipe (Gonzalez 1985; Sener &
+    Savarese 2018 for training-set selection): start from a seed, then
+    repeatedly pick the point FARTHEST from the selected set — the
+    resulting radius2 sequence is the (squared) covering radius after
+    each pick, and the selected points are a 2-approximation of the
+    optimal k-center cover.
+
+    Cross-engine determinism follows `kmeans_fixed_point`'s recipe:
+    fixed-point integer coordinates (floor(v*scale)+offset) so every
+    distance is an exact BIGINT; seed = smallest salted md5; all
+    argmax ties break on vec_id.
+
+    Scale shape: k rounds, each one corpus scan with a pure
+    column-expression distance chain (the <=k selected centers are
+    embedded as dim-length array LITERALS — k*dim constants, no join,
+    no shuffle) reduced by orderBy+limit(1) = TakeOrdered. No
+    corpus-grain window, no corpus-sized collect — the driver holds
+    only the k selected vectors. Total cost: k scans; at 100 TB the
+    incremental min-distance would be persisted between rounds instead
+    of recomputed, leaving one scan per round either way.
+    """
+    x = F.transform(
+        F.col(vec_col),
+        lambda v: F.floor(v.cast("double") * scale).cast("bigint") + offset,
+    )
+    v = emb.select(F.col(id_col).cast("bigint").alias("vec_id"), x.alias("x"))
+
+    def d2_to(center: list) -> Column:
+        arr = F.array(*[F.lit(int(c)) for c in center])
+        return F.aggregate(
+            F.zip_with("x", arr, lambda a, b: (a - b) * (a - b)),
+            F.lit(0).cast("bigint"),
+            lambda acc, e: acc + e,
+        )
+
+    h = md5_int60(F.concat(F.lit("kc|"), F.col("vec_id").cast("string")))
+    seed = v.withColumn("h", h).orderBy("h", "vec_id").limit(1).collect()[0]
+    picked = [(0, int(seed.vec_id), 0)]
+    mind = d2_to(list(seed.x))
+    for r in range(1, k):
+        far = (
+            v.select("vec_id", "x", mind.alias("mind"))
+            .orderBy(F.desc("mind"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        picked.append((r, int(far.vec_id), int(far.mind)))
+        mind = F.least(mind, d2_to(list(far.x)))
+    return emb.sparkSession.createDataFrame(
+        picked, "sel_order INT, vec_id BIGINT, radius2 BIGINT"
+    )

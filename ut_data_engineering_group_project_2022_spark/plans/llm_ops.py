@@ -4010,3 +4010,65 @@ def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id", "lex_rank", "vec_rank", F.round("rrf_raw", 6).alias("rrf")
         )
     )
+
+
+def _kcenter_oracle(k: int = 8) -> str:
+    """Unroll the k-center greedy rounds as DuckDB CTEs (the kcore /
+    kmeans unrolled-rounds pattern): c{r} = farthest point after r picks,
+    m{r} = per-point min distance to the first r+1 centers."""
+    parts = [
+        """
+    WITH v AS (
+      SELECT vec_id,
+             [floor(embedding[i]::DOUBLE * 1000000)::BIGINT + 1000000
+              for i in range(1, len(embedding) + 1)] AS x
+      FROM embeddings),
+    c0 AS (
+      SELECT vec_id, x FROM v
+      ORDER BY ('0x' || substr(md5('kc|' || vec_id::VARCHAR), 1, 15))::BIGINT, vec_id
+      LIMIT 1),
+    m0 AS (
+      SELECT v.vec_id, v.x,
+             list_sum([(v.x[i] - c.x[i]) * (v.x[i] - c.x[i])
+                       for i in range(1, 65)])::BIGINT AS mind
+      FROM v CROSS JOIN c0 c)"""
+    ]
+    for r in range(1, k):
+        parts.append(
+            f""",
+    c{r} AS (SELECT vec_id, x, mind FROM m{r - 1} ORDER BY mind DESC, vec_id LIMIT 1),
+    m{r} AS (
+      SELECT m.vec_id, m.x,
+             LEAST(m.mind,
+                   list_sum([(m.x[i] - c.x[i]) * (m.x[i] - c.x[i])
+                             for i in range(1, 65)])::BIGINT) AS mind
+      FROM m{r - 1} m CROSS JOIN c{r} c)"""
+        )
+    sel = ["SELECT 0::INT AS sel_order, vec_id, 0::BIGINT AS radius2 FROM c0"]
+    for r in range(1, k):
+        sel.append(
+            f"SELECT {r}::INT AS sel_order, vec_id, mind AS radius2 FROM c{r}"
+        )
+    return "".join(parts) + "\n    " + "\n    UNION ALL\n    ".join(sel)
+
+
+@register(
+    "llm_coreset_kcenter",
+    oracle=_kcenter_oracle(8),
+    doc="Greedy k-center coreset selection (k=8) over the embedding "
+    "corpus — the farthest-point-traversal data-pruning recipe "
+    "(Gonzalez 1985; Sener & Savarese 2018): each round picks the "
+    "point farthest from the selected set, yielding a diversity-"
+    "maximizing training subset and the squared covering radius after "
+    "each pick. Fixed-point integer coordinates make every distance "
+    "an exact BIGINT (kmeans_fixed_point's recipe), so the argmax is "
+    "bit-deterministic cross-engine with vec_id tiebreaks. Per round: "
+    "one corpus scan with the selected centers embedded as array "
+    "literals (no join, no shuffle) + TakeOrdered(1); the driver "
+    "holds only k vectors. The oracle unrolls the same rounds as "
+    "CTEs.",
+    tags=("llm", "similarity", "sampling", "curation"),
+)
+def llm_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.kcenter_greedy(emb, k=8)
