@@ -359,9 +359,10 @@ def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "llm_text_quality",
-    oracle="""
+# Shared quality-score SQL (a complete SELECT, no WITH — embeddable as a
+# CTE). Reused by llm_text_quality and the GPT-3-style Pareto acceptance
+# sampler llm_pareto_quality_sample so the score cannot drift.
+_TEXT_QUALITY_SQL = """
     SELECT doc_id, n_chars, n_tokens,
            ROUND(alpha_ratio, 6) AS alpha_ratio,
            ROUND(space_ratio, 6) AS space_ratio,
@@ -381,7 +382,12 @@ def llm_text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
                / len(regexp_split_to_array(trim(text), '\\s+')) AS mean_token_len
       FROM documents
     ) t
-    """,
+"""
+
+
+@register(
+    "llm_text_quality",
+    oracle=_TEXT_QUALITY_SQL,
     doc="Quality scoring: length / character-class / token-shape ratios "
     "combined into a deterministic score.",
     tags=("llm", "text"),
@@ -4072,3 +4078,56 @@ def _kcenter_oracle(k: int = 8) -> str:
 def llm_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return similarity.kcenter_greedy(emb, k=8)
+
+
+@register(
+    "llm_pareto_quality_sample",
+    oracle=f"""
+    WITH tq AS ({_TEXT_QUALITY_SQL}),
+    u AS (
+      SELECT doc_id, quality_score,
+             ((('0x' || substr(md5('pareto|' || doc_id::VARCHAR), 1, 15))::BIGINT
+               % 1000000) + 0.5) / 1000000.0 AS u
+      FROM tq)
+    SELECT doc_id, quality_score,
+           ROUND(exp(-ln(u) / 9.0) - 1.0, 6) AS pareto_x,
+           (exp(-ln(u) / 9.0) - 1.0) > (1.0 - quality_score) AS kept
+    FROM u
+    """,
+    doc="GPT-3-style Pareto quality acceptance sampling (Brown et al. "
+    "2020 Appendix A): a document is KEPT iff X > 1 - quality_score "
+    "with X ~ Pareto(alpha=9) — high-quality docs are kept almost "
+    "surely, low-quality docs survive with small probability, so the "
+    "tail of the distribution is sampled rather than cliff-filtered. "
+    "X is drawn via the registry's md5-uniform recipe through the "
+    "inverse CDF written as exp(-ln(u)/9) (identical expression shape "
+    "on both engines — the ln/exp parity class llm_dsir_select "
+    "already proves out); the comparison uses the 6dp-rounded shared "
+    "quality score so the kept flag is bit-deterministic. Stateless "
+    "map-side filter over one corpus scan — no shuffle at any scale.",
+    tags=("llm", "text", "sampling", "curation"),
+)
+def llm_pareto_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ut_data_engineering_group_project_2022_spark.plans.registry import (
+        get_query,
+    )
+
+    tq = (
+        get_query("llm_text_quality")
+        .spark(spark, sf_dir)
+        .select("doc_id", "quality_score")
+    )
+    u = (
+        (
+            md5_int60(F.concat(F.lit("pareto|"), F.col("doc_id").cast("string")))
+            % 1000000
+        ).cast("double")
+        + 0.5
+    ) / 1000000.0
+    x = F.exp(-F.log(u) / F.lit(9.0)) - F.lit(1.0)
+    return tq.select(
+        "doc_id",
+        "quality_score",
+        F.round(x, 6).alias("pareto_x"),
+        (x > (F.lit(1.0) - F.col("quality_score"))).alias("kept"),
+    )
