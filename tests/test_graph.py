@@ -485,3 +485,56 @@ def test_kcore_bounded_rounds_cascade(spark):
         for r in graph.kcore(_edges(spark, path), k=2, rounds=1).collect()
     }
     assert got == {"q1": False, "q2": True, "q3": True, "q4": True, "q5": False}
+
+
+# --- Connected components (large-star/small-star) -------------------------
+
+
+def _py_components(pairs):
+    """Independent union-find reference (no Spark code shared)."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in pairs:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {x: find(x) for x in list(parent)}
+
+
+def test_connected_components_tiny_graphs(spark):
+    # two components: a path and a triangle, plus a reversed/duplicate edge
+    pairs = [
+        ("n1", "n2"), ("n2", "n3"), ("n3", "n4"),
+        ("x1", "x2"), ("x2", "x3"), ("x3", "x1"), ("x2", "x1"),
+    ]
+    got = {
+        r.node_id: r.component
+        for r in graph.connected_components(_edges(spark, pairs), rounds=3).collect()
+    }
+    assert got == _py_components(pairs)
+
+
+def test_connected_components_matches_union_find_and_converges(spark):
+    edges = graph.customer_supplier_edges(spark, SF_DIR).filter(
+        F.col("weight") >= 4
+    )
+    pairs = [(r.src, r.dst) for r in edges.select("src", "dst").collect()]
+    expect = _py_components(pairs)
+    got3 = {
+        r.node_id: r.component
+        for r in graph.connected_components(edges, rounds=3).collect()
+    }
+    assert got3 == expect
+    # fixed point: one extra large-star/small-star pair changes nothing
+    got4 = {
+        r.node_id: r.component
+        for r in graph.connected_components(edges, rounds=4).collect()
+    }
+    assert got4 == got3

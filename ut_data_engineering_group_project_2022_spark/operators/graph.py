@@ -807,3 +807,77 @@ def kcore(edges: DataFrame, k: int = 30, rounds: int = 5) -> DataFrame:
         F.col("id").alias("node_id"),
         F.coalesce("flag", F.lit(False)).alias("in_core"),
     )
+
+
+def connected_components(edges: DataFrame, rounds: int = 3) -> DataFrame:
+    """Connected components via alternating large-star / small-star
+    (Kiveris et al. 2014, "Connected Components in MapReduce and
+    Beyond"); returns (node_id, component) with component = the
+    lexicographically smallest node id in the component.
+
+    Unlike min-label propagation (O(diameter) rounds), the star
+    operations converge in O(log^2 n) rounds by rewiring edges toward
+    component minima:
+
+      * large-star: every node u links its LARGER neighbors to
+        m = min(neighborhood(u) + {u});
+      * small-star: edges directed large->small; every node u links its
+        smaller neighbors AND ITSELF to m = min(smaller nbrs + {u}).
+
+    Both are one keyed aggregate + one join per application — no
+    windows, no driver state; each pair of rounds is localCheckpoint'ed
+    to cut the lineage (the pagerank recipe). `rounds` is FIXED (not
+    run-to-convergence) so the unrolled SQL oracle replays identical
+    rounds; extra rounds past the fixed point are no-ops (the star
+    fixed point is idempotent), and tests/test_graph.py pins
+    convergence by asserting one extra pair changes nothing.
+
+    Nodes are taken from the INPUT edge list, so isolated-by-thinning
+    nodes never vanish mid-rounds: final component = coalesce(star
+    root, own id).
+    """
+    base = (
+        edges.select(
+            F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")
+        )
+        .filter(F.col("a") != F.col("b"))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    e = base
+    for _ in range(rounds):
+        # large-star over both edge directions
+        d = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
+            e.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        )
+        mins = d.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        ls = (
+            d.join(mins, "u")
+            .filter(F.col("v") > F.col("u"))
+            .select(F.col("m").alias("a"), F.col("v").alias("b"))
+            .distinct()
+        )
+        # small-star over large->small directed edges
+        sd = ls.select(F.col("b").alias("u"), F.col("a").alias("v"))
+        smins = sd.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+        cand = sd.select("u", F.col("v").alias("x")).unionAll(
+            sd.select("u", F.col("u").alias("x"))
+        )
+        e = (
+            cand.join(smins, "u")
+            .filter(F.col("x") != F.col("m"))
+            .select(F.col("m").alias("a"), F.col("x").alias("b"))
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+    nodes = (
+        base.select(F.col("a").alias("node_id"))
+        .unionAll(base.select(F.col("b").alias("node_id")))
+        .distinct()
+    )
+    # MIN-aggregate rather than a bare projection so a not-yet-converged
+    # node (multiple star edges) still yields one row with the best root.
+    roots = e.groupBy(F.col("b").alias("node_id")).agg(F.min("a").alias("root"))
+    return nodes.join(roots, "node_id", "left").select(
+        "node_id", F.coalesce("root", F.col("node_id")).alias("component")
+    )

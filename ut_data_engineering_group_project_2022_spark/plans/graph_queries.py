@@ -862,3 +862,59 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
             "rn",
         )
     )
+
+
+def _cc_oracle(rounds: int = 3) -> str:
+    """Unroll the alternating large-star/small-star rounds as CTEs
+    (the _louvain_oracle technique), mirroring
+    operators/graph.py:connected_components exactly."""
+    parts = [
+        f"""
+    WITH ef AS (SELECT src, dst FROM ({_EDGES_SQL}) WHERE weight >= 4),
+    e0 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+           FROM ef WHERE src != dst)"""
+    ]
+    for r in range(rounds):
+        parts.append(
+            f""",
+    d{r} AS (SELECT a AS u, b AS v FROM e{r} UNION ALL SELECT b, a FROM e{r}),
+    mn{r} AS (SELECT u, LEAST(MIN(v), u) AS m FROM d{r} GROUP BY u),
+    ls{r} AS (SELECT DISTINCT mn.m AS a, d.v AS b
+              FROM d{r} d JOIN mn{r} mn ON mn.u = d.u WHERE d.v > d.u),
+    sd{r} AS (SELECT b AS u, a AS v FROM ls{r}),
+    sm{r} AS (SELECT u, LEAST(MIN(v), u) AS m FROM sd{r} GROUP BY u),
+    e{r + 1} AS (SELECT DISTINCT sm.m AS a, t.x AS b
+                 FROM (SELECT u, v AS x FROM sd{r}
+                       UNION ALL SELECT u, u FROM sd{r}) t
+                 JOIN sm{r} sm ON sm.u = t.u WHERE t.x != sm.m)"""
+        )
+    return (
+        "".join(parts)
+        + f""",
+    n AS (SELECT a AS node_id FROM e0 UNION SELECT b FROM e0),
+    rt AS (SELECT b AS node_id, MIN(a) AS root FROM e{rounds} GROUP BY b)
+    SELECT n.node_id, COALESCE(rt.root, n.node_id) AS component
+    FROM n LEFT JOIN rt ON rt.node_id = n.node_id
+    """
+    )
+
+
+@register(
+    "graph_connected_components",
+    oracle=_cc_oracle(3),
+    doc="Connected components of the thinned (weight >= 4) co-purchase "
+    "graph via alternating large-star/small-star (Kiveris et al. 2014) "
+    "— the O(log^2 n)-round distributed CC algorithm, vs min-label "
+    "propagation's O(diameter). Each star application is one keyed "
+    "aggregate + one join (no windows, no driver graph); rounds are "
+    "FIXED at 3 pairs so the oracle unrolls identical rounds, with "
+    "convergence pinned by tests/test_graph.py (an extra pair is a "
+    "no-op at this scale; at 100 TB you would iterate to an empty "
+    "edge-diff instead, same per-round plan).",
+    tags=("graph", "community"),
+)
+def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = graph.customer_supplier_edges(spark, sf_dir).filter(
+        F.col("weight") >= 4
+    )
+    return graph.connected_components(edges, rounds=3)
