@@ -4131,3 +4131,71 @@ def llm_pareto_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(x, 6).alias("pareto_x"),
         (x > (F.lit(1.0) - F.col("quality_score"))).alias("kept"),
     )
+
+
+@register(
+    "llm_pmi_collocations",
+    oracle="""
+    WITH w AS (
+      SELECT regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents),
+    uni AS (SELECT unnest(w) AS t FROM w),
+    u AS (SELECT t, COUNT(*)::BIGINT AS n FROM uni GROUP BY 1),
+    ut AS (SELECT SUM(n)::BIGINT AS t_tot FROM u),
+    bgx AS (
+      SELECT unnest([w[i] || ' ' || w[i + 1] for i in range(1, len(w))]) AS b
+      FROM w WHERE len(w) >= 2),
+    bt AS (SELECT COUNT(*)::BIGINT AS btot FROM bgx),
+    b AS (SELECT b, COUNT(*)::BIGINT AS nb FROM bgx GROUP BY 1 HAVING COUNT(*) >= 5),
+    j AS (
+      SELECT b.b, b.nb,
+             ln((b.nb * ut.t_tot * ut.t_tot)::DOUBLE
+                / (bt.btot * ua.n * ub.n)::DOUBLE) AS pmi
+      FROM b CROSS JOIN ut CROSS JOIN bt
+      JOIN u ua ON ua.t = split_part(b.b, ' ', 1)
+      JOIN u ub ON ub.t = split_part(b.b, ' ', 2))
+    SELECT b AS bigram, nb AS n_ab, ROUND(pmi, 6) AS pmi
+    FROM j ORDER BY pmi DESC, b LIMIT 20
+    """,
+    doc="Pointwise-mutual-information collocation mining (the "
+    "word2phrase / phrase-detection primitive, Mikolov et al. 2013): "
+    "top-20 adjacent bigrams by PMI = ln(p(ab) / (p(a) p(b))) with a "
+    "min-count-5 support floor. Counts are exact integers from two "
+    "map-side-combined keyed aggregates (unigram, bigram); PMI is one "
+    "ln over a ratio of integer products (identical expression shape "
+    "cross-engine; at 100 TB the products would move to log-space "
+    "sums, the counts pipeline unchanged). The unigram-count joins "
+    "are vocabulary-keyed with no broadcast hint — AQE broadcasts "
+    "while the vocabulary fits and falls back to a shuffle join when "
+    "it does not. Top-20 via orderBy+limit = TakeOrdered.",
+    tags=("llm", "text"),
+)
+def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    uni = d.select(F.explode(tokens("text")).alias("t"))
+    u = uni.groupBy("t").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    ut = u.agg(F.sum("n").cast("bigint").alias("t_tot"))
+    bgx = d.select(F.explode(text_bigrams("text")).alias("b"))
+    bt = bgx.agg(F.count(F.lit(1)).cast("bigint").alias("btot"))
+    b = (
+        bgx.groupBy("b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("nb"))
+        .filter(F.col("nb") >= 5)
+    )
+    j = (
+        b.withColumn("w1", F.split_part(F.col("b"), F.lit(" "), F.lit(1)))
+        .withColumn("w2", F.split_part(F.col("b"), F.lit(" "), F.lit(2)))
+        .join(u.select(F.col("t").alias("w1"), F.col("n").alias("na")), "w1")
+        .join(u.select(F.col("t").alias("w2"), F.col("n").alias("n2")), "w2")
+        .crossJoin(F.broadcast(ut))
+        .crossJoin(F.broadcast(bt))
+    )
+    pmi = F.log(
+        (F.col("nb") * F.col("t_tot") * F.col("t_tot")).cast("double")
+        / (F.col("btot") * F.col("na") * F.col("n2")).cast("double")
+    )
+    return (
+        j.select(F.col("b").alias("bigram"), F.col("nb").alias("n_ab"), pmi.alias("p"))
+        .orderBy(F.desc("p"), F.asc("bigram"))
+        .limit(20)
+        .select("bigram", "n_ab", F.round("p", 6).alias("pmi"))
+    )
