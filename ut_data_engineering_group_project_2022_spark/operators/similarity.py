@@ -618,3 +618,66 @@ def kcenter_greedy(
     return emb.sparkSession.createDataFrame(
         picked, "sel_order INT, vec_id BIGINT, radius2 BIGINT"
     )
+
+
+def mmr_rerank(
+    emb: DataFrame,
+    query_vec_id: int = 0,
+    k: int = 5,
+    pool: int = 20,
+    lam: float = 0.5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily select k of the top-`pool` relevance candidates,
+    each round maximizing lam*relevance - (1-lam)*max_sim_to_selected.
+    Returns (sel_order, vec_id, relevance, mmr).
+
+    The distributed stage is candidate generation — `knn_bruteforce`
+    over the full corpus (one scan, per-query top-k window). The
+    re-rank then runs over the pool-sized frame only: it is
+    localCheckpoint'ed once (pool rows), and each of the k rounds is a
+    TakeOrdered(1) over <= pool rows with the selected vectors embedded
+    as array literals — O(k*pool) work regardless of corpus size.
+
+    Determinism: relevance is the 6dp-rounded knn score; every
+    similarity-to-selected is 6dp-rounded before the max-fold, so the
+    mmr expression consumes only rounded inputs and both engines pick
+    identical argmaxes (vec_id tiebreaks). The oracle chains the same
+    rounds as CTEs with a cumulative exclusion per round.
+    """
+    q = emb.filter(F.col(id_col) == query_vec_id)
+    c = emb.filter(F.col(id_col) > query_vec_id)
+    cand = knn_bruteforce(q, c, k=pool, id_col=id_col, vec_col=vec_col)
+    px = emb.select(F.col(id_col).alias("vec_id"), as_double(vec_col).alias("x"))
+    pool_df = (
+        cand.select(F.col("neighbor_id").alias("vec_id"), F.col("score").alias("rel"))
+        .join(px, "vec_id")
+        .localCheckpoint(eager=True)
+    )
+
+    def lit_vec(vals: list) -> Column:
+        return F.array(*[F.lit(float(v)) for v in vals])
+
+    rows = []
+    sel_ids: list = []
+    maxs = None
+    for r in range(k):
+        if r == 0:
+            scored = pool_df.select("vec_id", "rel", "x", F.col("rel").alias("mmr"))
+        else:
+            scored = pool_df.filter(~F.col("vec_id").isin(sel_ids)).select(
+                "vec_id",
+                "rel",
+                "x",
+                (F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * maxs).alias("mmr"),
+            )
+        top = scored.orderBy(F.desc("mmr"), F.asc("vec_id")).limit(1).collect()[0]
+        rows.append((r, int(top.vec_id), float(top.rel), float(top.mmr)))
+        sel_ids.append(int(top.vec_id))
+        simr = F.round(cosine(lit_vec(list(top.x)), F.col("x")), 6)
+        maxs = simr if maxs is None else F.greatest(maxs, simr)
+    return emb.sparkSession.createDataFrame(
+        rows, "sel_order INT, vec_id BIGINT, relevance DOUBLE, mmr DOUBLE"
+    )

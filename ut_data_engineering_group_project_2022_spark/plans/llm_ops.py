@@ -4199,3 +4199,72 @@ def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .select("bigram", "n_ab", F.round("p", 6).alias("pmi"))
     )
+
+
+def _mmr_oracle(k: int = 5) -> str:
+    """Unroll the MMR greedy rounds as CTEs mirroring
+    operators/similarity.py:mmr_rerank — c{r} = the round-r pick,
+    ms{r} = the surviving pool with the cumulative rounded
+    max-similarity fold."""
+    sim = (
+        "ROUND(list_dot_product({c}.e, {m}.e)"
+        " / (sqrt(list_dot_product({c}.e, {c}.e))"
+        " * sqrt(list_dot_product({m}.e, {m}.e))), 6)"
+    )
+    parts = [
+        """
+    WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+    q AS (SELECT e AS qe FROM v WHERE vec_id = 0),
+    cand AS (
+      SELECT vec_id, e, ROUND(cs, 6) AS rel FROM (
+        SELECT v.vec_id, v.e,
+               list_dot_product(q.qe, v.e)
+                 / (sqrt(list_dot_product(q.qe, q.qe))
+                    * sqrt(list_dot_product(v.e, v.e))) AS cs
+        FROM v CROSS JOIN q WHERE v.vec_id > 0) t
+      ORDER BY cs DESC, vec_id LIMIT 20),
+    c0 AS (SELECT vec_id, e, rel, rel AS mmr FROM cand
+           ORDER BY rel DESC, vec_id LIMIT 1),
+    ms0 AS (
+      SELECT m.vec_id, m.e, m.rel, """
+        + sim.format(c="c0", m="m")
+        + """ AS maxs
+      FROM cand m CROSS JOIN c0 WHERE m.vec_id != c0.vec_id)"""
+    ]
+    for r in range(1, k):
+        parts.append(
+            f""",
+    c{r} AS (SELECT vec_id, e, rel, 0.5 * rel - 0.5 * maxs AS mmr
+             FROM ms{r - 1} ORDER BY mmr DESC, vec_id LIMIT 1),
+    ms{r} AS (
+      SELECT m.vec_id, m.e, m.rel,
+             GREATEST(m.maxs, {sim.format(c=f"c{r}", m="m")}) AS maxs
+      FROM ms{r - 1} m CROSS JOIN c{r} WHERE m.vec_id != c{r}.vec_id)"""
+        )
+    sel = [
+        f"SELECT {r}::INT AS sel_order, vec_id, rel AS relevance, mmr FROM c{r}"
+        for r in range(k)
+    ]
+    return "".join(parts) + "\n    " + "\n    UNION ALL\n    ".join(sel)
+
+
+@register(
+    "llm_mmr_rerank",
+    oracle=_mmr_oracle(5),
+    doc="Maximal Marginal Relevance re-ranking (Carbonell & Goldstein "
+    "1998, lambda=0.5): greedily pick 5 of the cosine top-20 for the "
+    "vec_id=0 query, each round maximizing 0.5*relevance - "
+    "0.5*max_similarity_to_already_selected — the diversity-aware "
+    "retrieval step that plain top-k lacks (near-duplicate hits "
+    "crowd out coverage). Candidate generation is the distributed "
+    "stage (knn_bruteforce's one corpus scan); the greedy rounds run "
+    "on the checkpointed 20-row pool with selected vectors as array "
+    "literals, O(k*pool) regardless of corpus size. All similarity "
+    "inputs are 6dp-rounded before the max-fold so both engines pick "
+    "identical argmaxes; the oracle unrolls the same rounds with "
+    "cumulative exclusions.",
+    tags=("llm", "similarity", "search"),
+)
+def llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    return similarity.mmr_rerank(emb, query_vec_id=0, k=5, pool=20, lam=0.5)
