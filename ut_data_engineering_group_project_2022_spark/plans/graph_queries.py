@@ -910,7 +910,10 @@ def _cc_oracle(rounds: int = 3) -> str:
     "FIXED at 3 pairs so the oracle unrolls identical rounds, with "
     "convergence pinned by tests/test_graph.py (an extra pair is a "
     "no-op at this scale; at 100 TB you would iterate to an empty "
-    "edge-diff instead, same per-round plan).",
+    "edge-diff instead, same per-round plan). Not bench-flagged: the "
+    "weight >= 4 thinning that yields an interesting 73-component "
+    "graph at sf0.01 degenerates to a single edge at sf0.1, so a "
+    "bench row would time only fixed overhead.",
     tags=("graph", "community"),
 )
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:

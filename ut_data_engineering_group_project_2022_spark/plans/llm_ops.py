@@ -4074,6 +4074,7 @@ def _kcenter_oracle(k: int = 8) -> str:
     "holds only k vectors. The oracle unrolls the same rounds as "
     "CTEs.",
     tags=("llm", "similarity", "sampling", "curation"),
+    bench=True,
 )
 def llm_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
