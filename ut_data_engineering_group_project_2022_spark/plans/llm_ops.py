@@ -4269,3 +4269,72 @@ def _mmr_oracle(k: int = 5) -> str:
 def llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     return similarity.mmr_rerank(emb, query_vec_id=0, k=5, pool=20, lam=0.5)
+
+
+@register(
+    "llm_source_kl_divergence",
+    oracle="""
+    WITH tok AS (
+      SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS t
+      FROM documents),
+    u AS (SELECT source, t, COUNT(*)::BIGINT AS c FROM tok GROUP BY 1, 2),
+    ns AS (SELECT source, SUM(c)::BIGINT AS n FROM u GROUP BY 1),
+    vt AS (SELECT t, SUM(c)::BIGINT AS ct FROM u GROUP BY 1),
+    g AS (SELECT SUM(ct)::BIGINT AS nn, COUNT(*)::BIGINT AS vv FROM vt),
+    grid AS (
+      SELECT ns.source, ns.n, vt.t, vt.ct, COALESCE(u.c, 0)::BIGINT AS c
+      FROM ns CROSS JOIN vt
+      LEFT JOIN u ON u.source = ns.source AND u.t = vt.t),
+    terms AS (
+      SELECT source, n,
+             ROUND(((c + 1)::DOUBLE / (n + g.vv))
+                   * ln(((c + 1)::DOUBLE / (n + g.vv))
+                        / ((ct + 1)::DOUBLE / (g.nn + g.vv))),
+                   9)::DECIMAL(18,9) AS term
+      FROM grid CROSS JOIN g)
+    SELECT source, n AS n_tokens, ROUND(SUM(term)::DOUBLE, 6) AS kl_divergence
+    FROM terms GROUP BY 1, 2
+    """,
+    doc="Per-source KL divergence of the add-one-smoothed unigram "
+    "distribution against the whole-corpus distribution — the "
+    "data-mixing drift diagnostic (which sources are lexically "
+    "off-distribution, the signal behind mixture reweighting and "
+    "domain upsampling decisions). KL is summed over the FULL corpus "
+    "vocabulary, so absent tokens contribute their smoothed mass; "
+    "the source x vocab grid comes from a broadcast of the dim-sized "
+    "per-source totals onto the vocabulary aggregate, and each "
+    "p*ln(p/q) term is rounded to DECIMAL(18,9) before the sum — "
+    "partition-order-exact, the op_mutual_information recipe. "
+    "Shuffles carry only (source x vocab)-sized frames, never the "
+    "token stream twice.",
+    tags=("llm", "text", "stats", "diagnostics"),
+)
+def llm_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = table(spark, sf_dir, "documents")
+    tok = d.select("source", F.explode(tokens("text")).alias("t"))
+    u = tok.groupBy("source", "t").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    ns = u.groupBy("source").agg(F.sum("c").cast("bigint").alias("n"))
+    vt = u.groupBy("t").agg(F.sum("c").cast("bigint").alias("ct"))
+    g = vt.agg(
+        F.sum("ct").cast("bigint").alias("nn"),
+        F.count(F.lit(1)).cast("bigint").alias("vv"),
+    )
+    grid = (
+        vt.crossJoin(F.broadcast(ns))
+        .join(u, ["source", "t"], "left")
+        .select(
+            "source", "n", "t", "ct", F.coalesce("c", F.lit(0)).cast("bigint").alias("c")
+        )
+        .crossJoin(F.broadcast(g))
+    )
+    p = (F.col("c") + F.lit(1)).cast("double") / (F.col("n") + F.col("vv"))
+    q = (F.col("ct") + F.lit(1)).cast("double") / (F.col("nn") + F.col("vv"))
+    term = F.round(p * F.log(p / q), 9).cast("decimal(18,9)")
+    return (
+        grid.select("source", "n", term.alias("term"))
+        .groupBy("source", "n")
+        .agg(F.round(F.sum("term").cast("double"), 6).alias("kl_divergence"))
+        .select(
+            "source", F.col("n").alias("n_tokens"), "kl_divergence"
+        )
+    )
