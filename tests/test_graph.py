@@ -538,3 +538,50 @@ def test_connected_components_matches_union_find_and_converges(spark):
         for r in graph.connected_components(edges, rounds=4).collect()
     }
     assert got4 == got3
+
+
+# --- k-center coreset & MMR (closed-form semantics on synthetic inputs) ---
+
+
+def _vecs(spark, rows, dim=4):
+    data = [(int(i), [float(x) for x in v] + [0.0] * (dim - len(v))) for i, v in rows]
+    return spark.createDataFrame(data, "vec_id bigint, embedding array<float>")
+
+
+def test_kcenter_greedy_picks_one_point_per_cluster(spark):
+    # three tight, well-separated clusters; k=3 must pick one point from
+    # each (farthest-point traversal property), regardless of seed.
+    clusters = {
+        "a": [(0, [0.0, 0.0]), (1, [0.01, 0.0]), (2, [0.0, 0.01])],
+        "b": [(10, [100.0, 0.0]), (11, [100.01, 0.0])],
+        "c": [(20, [0.0, 100.0]), (21, [0.0, 100.01])],
+    }
+    emb = _vecs(spark, [r for rs in clusters.values() for r in rs])
+    got = similarity.kcenter_greedy(emb, k=3).collect()
+    picked = {r.vec_id for r in got}
+    for rs in clusters.values():
+        assert len(picked & {i for i, _ in rs}) == 1
+    # covering radius sequence is non-increasing after the seed
+    radii = [r.radius2 for r in sorted(got, key=lambda r: r.sel_order)][1:]
+    assert radii == sorted(radii, reverse=True)
+
+
+def test_mmr_rerank_skips_near_duplicate_of_first_pick(spark):
+    # query = vec 0; vec 1 and vec 2 are near-identical top hits; vec 3
+    # is less relevant but diverse. Plain top-2 is {1, 2}; MMR's second
+    # pick must be the diverse 3, not the duplicate.
+    emb = _vecs(
+        spark,
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.01, 0.0]),
+            (2, [1.0, 0.011, 0.0]),
+            (3, [0.7, 0.0, 0.7]),
+        ],
+    )
+    got = sorted(
+        similarity.mmr_rerank(emb, query_vec_id=0, k=2, pool=3).collect(),
+        key=lambda r: r.sel_order,
+    )
+    assert got[0].vec_id == 1
+    assert got[1].vec_id == 3
