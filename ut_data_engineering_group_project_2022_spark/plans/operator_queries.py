@@ -1278,3 +1278,79 @@ def op_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
             "l_extendedprice", 0.99, 10000
         ).alias("price_p99"),
     )
+
+
+@register(
+    "op_user_burstiness",
+    oracle="""
+    WITH g AS (
+      SELECT user_id,
+             (epoch_us(ts) - LAG(epoch_us(ts))
+                OVER (PARTITION BY user_id ORDER BY ts, event_id))
+               // 1000000 AS gap_s
+      FROM events),
+    m AS (
+      SELECT user_id,
+             COUNT(gap_s)::BIGINT AS n,
+             SUM(gap_s)::BIGINT AS s1,
+             SUM(gap_s * gap_s)::BIGINT AS s2
+      FROM g WHERE gap_s IS NOT NULL GROUP BY 1),
+    s AS (
+      SELECT user_id, n,
+             s1::DOUBLE / n AS mean_s,
+             sqrt((n * s2 - s1 * s1)::DOUBLE / (n * n)::DOUBLE) AS std_s
+      FROM m WHERE n >= 2)
+    SELECT user_id, n AS n_gaps,
+           ROUND(mean_s, 6) AS mean_gap_s,
+           ROUND((std_s - mean_s) / (std_s + mean_s), 6) AS burstiness
+    FROM s WHERE (std_s + mean_s) > 0
+    """,
+    doc="Per-user burstiness coefficient B = (sigma - mu)/(sigma + mu) "
+    "of inter-event gaps (Goh & Barabasi 2008) — the automation/bot "
+    "signal a training-data pipeline uses to down-weight machine "
+    "traffic before behavioral data enters a corpus: B -> -1 is "
+    "metronomic (scripted), B ~ 0 Poisson-random, B -> 1 heavy-tailed "
+    "human bursts. Gaps are exact integer seconds (epoch-microsecond "
+    "difference, floor `div` — both engines floor non-negatives "
+    "identically); mean/variance come from exact integer (n, sum, "
+    "sum-of-squares) moments per user, so the only float ops are the "
+    "final division/sqrt with identical expression shapes. One "
+    "user-partitioned lag window + one keyed aggregate — no "
+    "corpus-grain window, shuffle carries (user x 3) moments.",
+    tags=("op", "events", "stats", "diagnostics"),
+)
+def op_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    us = F.unix_micros("ts")
+    gap = F.expr("(__us - __prev) div 1000000")
+    g = (
+        e.select(
+            "user_id",
+            us.alias("__us"),
+            F.lag(us).over(w).alias("__prev"),
+        )
+        .filter(F.col("__prev").isNotNull())
+        .select("user_id", gap.alias("gap_s"))
+    )
+    m = g.groupBy("user_id").agg(
+        F.count("gap_s").cast("bigint").alias("n"),
+        F.sum("gap_s").cast("bigint").alias("s1"),
+        F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias("s2"),
+    )
+    mean_s = F.col("s1").cast("double") / F.col("n")
+    std_s = F.sqrt(
+        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
+        / (F.col("n") * F.col("n")).cast("double")
+    )
+    s = m.filter(F.col("n") >= 2).select(
+        "user_id", F.col("n").alias("n_gaps"), mean_s.alias("mean_s"), std_s.alias("std_s")
+    )
+    return s.filter((F.col("std_s") + F.col("mean_s")) > 0).select(
+        "user_id",
+        "n_gaps",
+        F.round("mean_s", 6).alias("mean_gap_s"),
+        F.round(
+            (F.col("std_s") - F.col("mean_s")) / (F.col("std_s") + F.col("mean_s")), 6
+        ).alias("burstiness"),
+    )
