@@ -1005,9 +1005,11 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "llm_kmeans_clusters",
-    oracle="""
+# Shared fixed-point k-means CTE chain ending in a2 = (vec_id, cluster,
+# d2) after 2 Lloyd iterations. Reused by llm_kmeans_clusters and the
+# prototype-selection query llm_cluster_prototypes so the assignment
+# cannot drift.
+_KMEANS_A2_SQL = """
     WITH v AS (
       SELECT vec_id,
              [floor(embedding[i]::DOUBLE * 1000000)::BIGINT + 1000000
@@ -1044,6 +1046,13 @@ def llm_contamination(spark: SparkSession, sf_dir: str) -> DataFrame:
                                   ORDER BY list_sum([(v.x[i] - c1.c[i]) * (v.x[i] - c1.c[i])
                                                      for i in range(1, 65)]), c1.cluster) AS rn
         FROM v CROSS JOIN c1) t WHERE rn = 1)
+"""
+
+
+@register(
+    "llm_kmeans_clusters",
+    oracle=f"""
+    {_KMEANS_A2_SQL}
     SELECT vec_id, cluster, d2::BIGINT AS dist2 FROM a2
     """,
     doc="Lloyd k-means (k=10, 2 iterations) over the embedding corpus in "
@@ -4336,5 +4345,39 @@ def llm_source_kl_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum("term").cast("double"), 6).alias("kl_divergence"))
         .select(
             "source", F.col("n").alias("n_tokens"), "kl_divergence"
+        )
+    )
+
+
+@register(
+    "llm_cluster_prototypes",
+    oracle=f"""
+    {_KMEANS_A2_SQL}
+    SELECT cluster, vec_id, d2::BIGINT AS dist2 FROM (
+      SELECT cluster, vec_id, d2,
+             ROW_NUMBER() OVER (PARTITION BY cluster
+                                ORDER BY d2, vec_id) AS rn
+      FROM a2) t WHERE rn = 1
+    """,
+    doc="Prototype selection: the document vector closest to each "
+    "k-means centroid (min exact integer distance, vec_id tiebreak) — "
+    "the cluster-representative primitive behind corpus inspection, "
+    "topic labeling, and prototype-based data pruning. Reuses "
+    "llm_kmeans_clusters' fixed-point assignment end-to-end (shared "
+    "CTE chain in the oracle, shared operator on the Spark side); the "
+    "argmin is one min(struct(d2, vec_id)) aggregate over the "
+    "assignment — k rows out, no window over the corpus.",
+    tags=("llm", "similarity", "clustering"),
+)
+def llm_cluster_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = table(spark, sf_dir, "embeddings")
+    asg = similarity.kmeans_fixed_point(emb, k=10, iterations=2)
+    return (
+        asg.groupBy("cluster")
+        .agg(F.min(F.struct("dist2", "vec_id")).alias("m"))
+        .select(
+            "cluster",
+            F.col("m.vec_id").alias("vec_id"),
+            F.col("m.dist2").cast("bigint").alias("dist2"),
         )
     )
