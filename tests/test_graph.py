@@ -422,6 +422,40 @@ def test_louvain_large_graph_branch_matches_broadcast_branch(
         for r in graph.louvain(_edges(spark, pairs), rounds=4).collect()
     }
     assert small == large
+    # and both equal the driver-side simulation — the large branch is
+    # pinned to the semantics, not merely to the other branch
+    exact = {
+        r["node_id"]: r["community"]
+        for r in graph.louvain_exact(_edges(spark, pairs), rounds=4).collect()
+    }
+    assert large == exact
+
+
+def test_louvain_distributed_contracted_level_matches_local_kernel(
+    spark, monkeypatch
+):
+    """The contracted (level-2+) rounds normally run as one single-task
+    executor kernel (LOCAL_MOVE_EDGES gate); force the distributed
+    round loop on the contracted graph and pin both paths equal, and
+    equal to the driver simulation."""
+    pairs = _clique(["a1", "a2", "a3", "a4"]) + _clique(
+        ["b1", "b2", "b3", "b4"]
+    ) + _clique(["c1", "c2", "c3"]) + [("a1", "b1"), ("b2", "c1")]
+    local = {
+        r["node_id"]: r["community"]
+        for r in graph.louvain(_edges(spark, pairs), rounds=4).collect()
+    }
+    monkeypatch.setattr(graph, "LOCAL_MOVE_EDGES", 0)
+    dist = {
+        r["node_id"]: r["community"]
+        for r in graph.louvain(_edges(spark, pairs), rounds=4).collect()
+    }
+    assert local == dist
+    exact = {
+        r["node_id"]: r["community"]
+        for r in graph.louvain_exact(_edges(spark, pairs), rounds=4).collect()
+    }
+    assert dist == exact
 
 
 def test_label_propagation_large_graph_branch_matches(spark, monkeypatch):

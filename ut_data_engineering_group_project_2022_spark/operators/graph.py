@@ -216,6 +216,93 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
 
 _EVEN_HEX = ("0", "2", "4", "6", "8", "a", "c", "e")
 
+#: Edge-row ceiling under which a (contracted) graph's local-moving
+#: rounds run as ONE single-task executor kernel instead of the
+#: distributed round loop. After Louvain's first contraction the graph
+#: is community-sized — orders of magnitude smaller than the input — so
+#: processing it in memory on one executor is the classic hierarchical-
+#: Louvain design (GDS and GraphX coarsening do the same); 2M weighted
+#: edge rows is a few hundred MB of Python dicts, comfortably inside an
+#: executor. Level 1 (the full graph) never takes this path.
+LOCAL_MOVE_EDGES = 2_000_000
+
+
+def _moves_py(
+    wmap: dict[tuple[str, str], int], n_rounds: int
+) -> dict[str, str]:
+    """Pure-Python Louvain local-moving kernel over an in-memory
+    weighted directed-row map (both orientations present; self-loop
+    rows carry 2x internal weight — the :func:`_louvain_moves`
+    representation). Shared verbatim by :func:`louvain_exact` (the
+    driver-side test oracle) and :func:`_louvain_moves_local` (the
+    single-task executor kernel for contracted levels), so the two are
+    equal by construction — same singleton seed, integer gain score,
+    min-label tiebreak, and md5-parity half-sweeps as the distributed
+    round loop."""
+    import hashlib
+
+    k: dict[str, int] = {}
+    for (u, _), ww in wmap.items():
+        k[u] = k.get(u, 0) + ww
+    two_m = sum(wmap.values())
+    label = {v: v for v in k}
+    parity = {
+        v: hashlib.md5(v.encode()).hexdigest()[0] in _EVEN_HEX for v in k
+    }
+    nonself: dict[str, dict[str, int]] = {v: {} for v in k}
+    for (u, v), ww in wmap.items():
+        if u != v:
+            nonself[u][v] = ww
+    for r in range(n_rounds):
+        sig: dict[str, int] = {}
+        for v, lb in label.items():
+            sig[lb] = sig.get(lb, 0) + k[v]
+        new_label = dict(label)
+        for v in k:
+            if parity[v] != (r % 2 == 0):
+                continue
+            kin: dict[str, int] = {label[v]: 0}
+            for u, ww in nonself[v].items():
+                kin[label[u]] = kin.get(label[u], 0) + ww
+
+            def score(c: str) -> int:
+                return two_m * kin[c] - k[v] * (
+                    sig[c] - (k[v] if c == label[v] else 0)
+                )
+
+            best_score = max(score(c) for c in kin)
+            new_label[v] = min(c for c in kin if score(c) == best_score)
+        label = new_label
+    return label
+
+
+def _louvain_moves_local(und_w: DataFrame, rounds: int) -> DataFrame:
+    """Single-task execution of the local-moving rounds for a graph
+    known to fit one executor (``<= LOCAL_MOVE_EDGES`` rows — the
+    contracted levels of :func:`louvain`). ``coalesce(1)`` funnels the
+    community-sized edge list into one ``mapInPandas`` task that runs
+    :func:`_moves_py` in memory: one Spark job for the whole level
+    instead of ``rounds`` checkpoint jobs of sub-second stages. Returns
+    (id, label) like :func:`_louvain_moves`; equality with the
+    distributed loop is pinned by tests/test_graph.py (both against
+    ``louvain_exact``, which shares the same kernel)."""
+
+    def kernel(batches):
+        import pandas as pd
+
+        wmap: dict[tuple[str, str], int] = {}
+        for pdf in batches:
+            for u, v, ww in zip(pdf["src"], pdf["dst"], pdf["w"]):
+                # accumulate (not assign): duplicate (src, dst) rows sum,
+                # mirroring the distributed SUM(w) semantics
+                wmap[(u, v)] = wmap.get((u, v), 0) + int(ww)
+        label = _moves_py(wmap, rounds)
+        yield pd.DataFrame(
+            {"id": list(label.keys()), "label": list(label.values())}
+        )
+
+    return und_w.coalesce(1).mapInPandas(kernel, "id string, label string")
+
 
 def _louvain_moves(und_w: DataFrame, rounds: int) -> DataFrame:
     """Weighted modularity-gain local-moving rounds (the Louvain phase-1
@@ -254,38 +341,51 @@ def _louvain_moves(und_w: DataFrame, rounds: int) -> DataFrame:
     instead of a nodes join in both the sigma aggregate and the score
     join — two joins fewer per round). Join strategy is size-gated as
     in :func:`pagerank`: below ``BROADCAST_NODES`` the edge stream is
-    cached hash(src)-partitioned and the label/sigma vectors broadcast,
-    making each round's edge pass shuffle-free; above it the edges are
-    cached hash(dst)-partitioned (the label-join key) and only
-    node-sized vectors shuffle per round. Returns (id, label).
+    read in place hash(src)-partitioned and the label/sigma vectors
+    broadcast, making each round's edge pass shuffle-free; above it the
+    edges are re-cached hash(dst)-partitioned (the label-join key) and
+    only node-sized vectors shuffle per round. Returns (id, label).
+
+    CALLER CONTRACT (r7): ``und_w`` must arrive hash(src)-partitioned
+    and persisted — :func:`_louvain_hierarchy` materializes exactly one
+    such frame per level and reuses it for the contraction, so the edge
+    list is shuffled+cached once per level instead of checkpointed and
+    then re-shuffled (the r6 shape paid two full edge materializations
+    at level 1). The weighted-degree aggregate and every round's
+    candidate/argmax aggregates all run shuffle-free off that one
+    cached frame: Project/BroadcastHashJoin preserve the hash(src)
+    partitioning through the id alias, and HashPartitioning(id)
+    satisfies the grouping distribution of both groupBy(id, cand) and
+    groupBy(id). persist(), NOT localCheckpoint, is required:
+    LogicalRDD drops outputPartitioning (verified — the checkpoint form
+    re-adds an ENSURE_REQUIREMENTS exchange), while InMemoryRelation
+    reports the cached plan's partitioning.
     """
+    # deg is shuffle-free: und_w is hash(src)-partitioned (see contract).
     deg = und_w.groupBy(F.col("src").alias("id")).agg(F.sum("w").alias("k"))
-    two_m = und_w.agg(F.sum("w")).collect()[0][0]
     # labels carries (id, label, k) throughout — k is immutable.
     labels = deg.select("id", F.col("id").alias("label"), "k").localCheckpoint(
         eager=True
     )
+    # 2m = sum of all edge weights = sum of weighted degrees: read it
+    # off the node-sized label vector in the same action as the node
+    # count instead of a second pass over the edge list (r7).
+    n_nodes, two_m = labels.agg(F.count(F.lit(1)), F.sum("k")).first()
     even = F.substring(F.md5(F.col("id")), 1, 1).isin(*_EVEN_HEX)
-    small = labels.count() <= BROADCAST_NODES
-    # Small graphs — pre-partition the edge stream by src ONCE: every
-    # round's (id, cand) candidate aggregate and per-id argmax then run
-    # shuffle-free — Project/BroadcastHashJoin preserve the hash(src)
-    # partitioning through the id alias, and HashPartitioning(id)
-    # satisfies the grouping distribution of both groupBy(id, cand) and
-    # groupBy(id). Net per-round plan: two node-sized broadcasts + one
-    # map pass over the edges + the label checkpoint; NO edge-sized
-    # shuffle after this one. Materialized with persist(), NOT
-    # localCheckpoint: LogicalRDD drops outputPartitioning (verified —
-    # the checkpoint form re-adds an ENSURE_REQUIREMENTS exchange),
-    # while InMemoryRelation reports the cached plan's partitioning.
+    small = n_nodes <= BROADCAST_NODES
     # Large graphs (> BROADCAST_NODES, where a per-round label broadcast
-    # would not fit an executor): partition by dst — the label join's
+    # would not fit an executor): re-partition by dst — the label join's
     # key — so each round shuffles only the node-sized label vector and
     # the partially-aggregated candidate stream, never the raw edges.
-    nonself = und_w.filter(F.col("src") != F.col("dst")).repartition(
-        "src" if small else "dst"
-    ).persist()
-    nonself.count()
+    if small:
+        nonself = und_w.filter(F.col("src") != F.col("dst"))
+    else:
+        nonself = (
+            und_w.filter(F.col("src") != F.col("dst"))
+            .repartition("dst")
+            .persist()
+        )
+        nonself.count()
 
     def _bcast(df: DataFrame) -> DataFrame:
         return F.broadcast(df) if small else df
@@ -357,7 +457,11 @@ def _louvain_moves(und_w: DataFrame, rounds: int) -> DataFrame:
         # Checkpoint EVERY round: the label vector is referenced ~5x per
         # round (sig, nbr broadcast, scored, own), so skipping rounds was
         # measured 40% slower — recompute beats materialization only
-        # when references are few (pagerank's 2x/iter), not here.
+        # when references are few (pagerank's 2x/iter), not here. LAZY
+        # (eager=False, r7): the next round's first referencing job
+        # computes-and-caches it, removing one driver sync point per
+        # round; all later references (including the checkpoint-backed
+        # lineage truncation) read the cached copy.
         labels = (
             own.join(best, "id", "left")
             .select(
@@ -365,9 +469,10 @@ def _louvain_moves(und_w: DataFrame, rounds: int) -> DataFrame:
                 F.when(mover, new_label).otherwise(F.col("label")).alias("label"),
                 "k",
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-    nonself.unpersist()
+    if not small:
+        nonself.unpersist()
     return labels.select("id", "label")
 
 
@@ -422,7 +527,7 @@ def louvain(
     und = undirect(edges)
     if not assume_simple:
         und = und.distinct()
-    und = und.withColumn("w", F.lit(1).cast("long")).localCheckpoint(eager=True)
+    und = und.withColumn("w", F.lit(1).cast("long"))
     return _louvain_hierarchy(und, rounds, levels)
 
 
@@ -443,15 +548,30 @@ def louvain_weighted(
         F.col("src").alias("dst"),
         F.col("weight").cast("long").alias("w"),
     )
-    und = fwd.unionAll(rev).localCheckpoint(eager=True)
+    und = fwd.unionAll(rev)
     return _louvain_hierarchy(und, rounds, levels)
 
 
 def _louvain_hierarchy(und: DataFrame, rounds: int, levels: int) -> DataFrame:
-    labels = _louvain_moves(und, rounds)
+    """Level loop: materialize ONE hash(src)-partitioned cached edge
+    frame per level (feeding both the move rounds and the contraction —
+    see the :func:`_louvain_moves` caller contract), then local-move,
+    contract, and recurse. Contracted levels are community-sized; below
+    ``LOCAL_MOVE_EDGES`` their rounds run as a single executor task
+    (:func:`_louvain_moves_local`) instead of the distributed loop —
+    the r6 plan spent 2+ s of pure job-scheduling latency moving a
+    326-community graph through 4 checkpointed rounds."""
+    parts = und.repartition("src").persist()
+    labels = _louvain_moves(parts, rounds)
     for _ in range(levels - 1):
-        sup = _contract(und, labels).localCheckpoint(eager=True)
-        upper = _louvain_moves(sup, rounds)
+        sup = _contract(parts, labels).localCheckpoint(eager=True)
+        parts.unpersist()
+        parts = sup
+        if sup.count() <= LOCAL_MOVE_EDGES:
+            upper = _louvain_moves_local(sup, rounds)
+        else:
+            parts = sup.repartition("src").persist()
+            upper = _louvain_moves(parts, rounds)
         labels = (
             labels.join(
                 upper.select(
@@ -462,7 +582,7 @@ def _louvain_hierarchy(und: DataFrame, rounds: int, levels: int) -> DataFrame:
             .select("id", F.col("upper").alias("label"))
             .localCheckpoint(eager=True)
         )
-        und = sup
+    parts.unpersist()
     return labels.select(
         F.col("id").alias("node_id"), F.col("label").alias("community")
     )
@@ -479,9 +599,8 @@ def louvain_exact(
     TEST ORACLE (same role as :func:`betweenness_exact`): identical
     singleton seed, integer gain score, min-label tiebreak, md5-parity
     half-sweeps, contraction, and level count, executed in plain Python
-    over the collected edge list."""
-    import hashlib
-
+    over the collected edge list via the shared :func:`_moves_py`
+    kernel (also the executor-side contracted-level kernel)."""
     # weighted directed-row map, self-loop rows carry 2x internal weight
     # (the _louvain_moves representation)
     w: dict[tuple[str, str], int] = {}
@@ -498,48 +617,13 @@ def louvain_exact(
         for row in undirect(edges).distinct().collect():
             w[(row["src"], row["dst"])] = 1
 
-    def moves(wmap: dict[tuple[str, str], int], n_rounds: int) -> dict[str, str]:
-        k: dict[str, int] = {}
-        for (u, _), ww in wmap.items():
-            k[u] = k.get(u, 0) + ww
-        two_m = sum(wmap.values())
-        label = {v: v for v in k}
-        parity = {
-            v: hashlib.md5(v.encode()).hexdigest()[0] in _EVEN_HEX for v in k
-        }
-        nonself: dict[str, dict[str, int]] = {v: {} for v in k}
-        for (u, v), ww in wmap.items():
-            if u != v:
-                nonself[u][v] = ww
-        for r in range(n_rounds):
-            sig: dict[str, int] = {}
-            for v, lb in label.items():
-                sig[lb] = sig.get(lb, 0) + k[v]
-            new_label = dict(label)
-            for v in k:
-                if parity[v] != (r % 2 == 0):
-                    continue
-                kin: dict[str, int] = {label[v]: 0}
-                for u, ww in nonself[v].items():
-                    kin[label[u]] = kin.get(label[u], 0) + ww
-
-                def score(c: str) -> int:
-                    return two_m * kin[c] - k[v] * (
-                        sig[c] - (k[v] if c == label[v] else 0)
-                    )
-
-                best_score = max(score(c) for c in kin)
-                new_label[v] = min(c for c in kin if score(c) == best_score)
-            label = new_label
-        return label
-
-    label = moves(w, rounds)
+    label = _moves_py(w, rounds)
     for _ in range(levels - 1):
         sup: dict[tuple[str, str], int] = {}
         for (u, v), ww in w.items():
             key = (label[u], label[v])
             sup[key] = sup.get(key, 0) + ww
-        upper = moves(sup, rounds)
+        upper = _moves_py(sup, rounds)
         label = {v: upper[c] for v, c in label.items()}
         w = sup
 
