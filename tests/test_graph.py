@@ -619,3 +619,29 @@ def test_mmr_rerank_skips_near_duplicate_of_first_pick(spark):
     )
     assert got[0].vec_id == 1
     assert got[1].vec_id == 3
+
+
+def test_mmr_rerank_pool_smaller_than_k_returns_short_selection(spark):
+    # only 2 candidates exist above the query id; k=5 must return the
+    # 2-row selection, not IndexError (r6 advisory)
+    emb = _vecs(
+        spark, [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0])]
+    )
+    got = similarity.mmr_rerank(emb, query_vec_id=0, k=5, pool=10).collect()
+    assert len(got) == 2
+    assert [r.sel_order for r in sorted(got, key=lambda r: r.sel_order)] == [0, 1]
+
+
+def test_kcenter_greedy_k_exceeding_vectors_returns_distinct_ids(spark):
+    # k=6 over 3 vectors: every vector picked exactly once, no duplicate
+    # re-picks of exhausted centers (r6 advisory)
+    emb = _vecs(spark, [(0, [0.0, 0.0]), (1, [1.0, 0.0]), (2, [0.0, 1.0])])
+    got = similarity.kcenter_greedy(emb, k=6).collect()
+    assert len(got) == 3
+    assert len({r.vec_id for r in got}) == 3
+
+
+def test_knn_pq_rejects_mismatched_dim(spark):
+    emb = _vecs(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0])], dim=4)
+    with pytest.raises(ValueError, match="does not match the embedding length"):
+        similarity.knn_pq(emb, k=1, m=8, dim=64)

@@ -452,6 +452,16 @@ def knn_pq(
     """
     if dim % m != 0:
         raise ValueError(f"dim={dim} must divide into m={m} subspaces")
+    # Validate dim against the DATA, not just the parameter: a shorter
+    # real embedding would make F.slice silently emit short/empty
+    # subvectors and zero distances, degrading recall with no
+    # diagnostic (r6 advisory). One sampled row — metadata-cheap.
+    probe = emb.select(F.size(vec_col).alias("n")).first()
+    if probe is not None and probe["n"] != dim:
+        raise ValueError(
+            f"dim={dim} does not match the embedding length {probe['n']} "
+            f"observed in {vec_col!r}"
+        )
     sub_d = dim // m
     x = emb.select(
         F.col(id_col).alias("vec_id"),
@@ -603,18 +613,29 @@ def kcenter_greedy(
         )
 
     h = md5_int60(F.concat(F.lit("kc|"), F.col("vec_id").cast("string")))
-    seed = v.withColumn("h", h).orderBy("h", "vec_id").limit(1).collect()[0]
-    picked = [(0, int(seed.vec_id), 0)]
-    mind = d2_to(list(seed.x))
-    for r in range(1, k):
-        far = (
-            v.select("vec_id", "x", mind.alias("mind"))
-            .orderBy(F.desc("mind"), F.asc("vec_id"))
-            .limit(1)
-            .collect()[0]
-        )
-        picked.append((r, int(far.vec_id), int(far.mind)))
-        mind = F.least(mind, d2_to(list(far.x)))
+    seed_rows = v.withColumn("h", h).orderBy("h", "vec_id").limit(1).collect()
+    picked: list[tuple[int, int, int]] = []
+    if seed_rows:
+        seed = seed_rows[0]
+        picked.append((0, int(seed.vec_id), 0))
+        mind = d2_to(list(seed.x))
+        for r in range(1, k):
+            # Exclude already-picked ids and stop when the pool runs dry
+            # (k > number of vectors) — the unguarded argmax re-picked
+            # centers with mind=0 forever (r6 advisory). The exclusion
+            # list is <= k ids, a plan literal like the centers.
+            far_rows = (
+                v.filter(~F.col("vec_id").isin([p[1] for p in picked]))
+                .select("vec_id", "x", mind.alias("mind"))
+                .orderBy(F.desc("mind"), F.asc("vec_id"))
+                .limit(1)
+                .collect()
+            )
+            if not far_rows:
+                break
+            far = far_rows[0]
+            picked.append((r, int(far.vec_id), int(far.mind)))
+            mind = F.least(mind, d2_to(list(far.x)))
     return emb.sparkSession.createDataFrame(
         picked, "sel_order INT, vec_id BIGINT, radius2 BIGINT"
     )
@@ -673,7 +694,12 @@ def mmr_rerank(
                 "x",
                 (F.lit(lam) * F.col("rel") - F.lit(1.0 - lam) * maxs).alias("mmr"),
             )
-        top = scored.orderBy(F.desc("mmr"), F.asc("vec_id")).limit(1).collect()[0]
+        top_rows = scored.orderBy(F.desc("mmr"), F.asc("vec_id")).limit(1).collect()
+        if not top_rows:
+            # pool exhausted (fewer candidates than k) — return the
+            # shorter selection instead of IndexError (r6 advisory)
+            break
+        top = top_rows[0]
         rows.append((r, int(top.vec_id), float(top.rel), float(top.mmr)))
         sel_ids.append(int(top.vec_id))
         simr = F.round(cosine(lit_vec(list(top.x)), F.col("x")), 6)

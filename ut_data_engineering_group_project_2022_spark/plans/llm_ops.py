@@ -4158,8 +4158,8 @@ def llm_pareto_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     b AS (SELECT b, COUNT(*)::BIGINT AS nb FROM bgx GROUP BY 1 HAVING COUNT(*) >= 5),
     j AS (
       SELECT b.b, b.nb,
-             ln((b.nb * ut.t_tot * ut.t_tot)::DOUBLE
-                / (bt.btot * ua.n * ub.n)::DOUBLE) AS pmi
+             ln((b.nb::DOUBLE * ut.t_tot::DOUBLE * ut.t_tot::DOUBLE)
+                / (bt.btot::DOUBLE * ua.n::DOUBLE * ub.n::DOUBLE)) AS pmi
       FROM b CROSS JOIN ut CROSS JOIN bt
       JOIN u ua ON ua.t = split_part(b.b, ' ', 1)
       JOIN u ub ON ub.t = split_part(b.b, ' ', 2))
@@ -4171,9 +4171,9 @@ def llm_pareto_quality_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     "top-20 adjacent bigrams by PMI = ln(p(ab) / (p(a) p(b))) with a "
     "min-count-5 support floor. Counts are exact integers from two "
     "map-side-combined keyed aggregates (unigram, bigram); PMI is one "
-    "ln over a ratio of integer products (identical expression shape "
-    "cross-engine; at 100 TB the products would move to log-space "
-    "sums, the counts pipeline unchanged). The unigram-count joins "
+    "ln over a ratio whose factors are cast to double BEFORE "
+    "multiplying (identical expression shape cross-engine, and no "
+    "BIGINT wrap at any corpus size). The unigram-count joins "
     "are vocabulary-keyed with no broadcast hint — AQE broadcasts "
     "while the vocabulary fits and falls back to a shuffle join when "
     "it does not. Top-20 via orderBy+limit = TakeOrdered.",
@@ -4199,9 +4199,23 @@ def llm_pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(ut))
         .crossJoin(F.broadcast(bt))
     )
+    # Factors cast to double BEFORE multiplying (r6 advisory): a BIGINT
+    # product wraps silently in Spark (non-ANSI) around t_tot ~ 3e6 with
+    # a frequent bigram, exactly where DuckDB would raise — per-factor
+    # double casts make both engines compute the same IEEE product at
+    # any corpus size (ln of a ratio, so the <2^-52 relative rounding is
+    # invisible at round(...,6)).
     pmi = F.log(
-        (F.col("nb") * F.col("t_tot") * F.col("t_tot")).cast("double")
-        / (F.col("btot") * F.col("na") * F.col("n2")).cast("double")
+        (
+            F.col("nb").cast("double")
+            * F.col("t_tot").cast("double")
+            * F.col("t_tot").cast("double")
+        )
+        / (
+            F.col("btot").cast("double")
+            * F.col("na").cast("double")
+            * F.col("n2").cast("double")
+        )
     )
     return (
         j.select(F.col("b").alias("bigram"), F.col("nb").alias("n_ab"), pmi.alias("p"))
