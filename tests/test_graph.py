@@ -556,22 +556,24 @@ def test_connected_components_tiny_graphs(spark):
 
 
 def test_connected_components_matches_union_find_and_converges(spark):
+    # weight >= 2 and rounds = 5 mirror the registered
+    # graph_connected_components configuration
     edges = graph.customer_supplier_edges(spark, SF_DIR).filter(
-        F.col("weight") >= 4
+        F.col("weight") >= 2
     )
     pairs = [(r.src, r.dst) for r in edges.select("src", "dst").collect()]
     expect = _py_components(pairs)
-    got3 = {
+    got5 = {
         r.node_id: r.component
-        for r in graph.connected_components(edges, rounds=3).collect()
+        for r in graph.connected_components(edges, rounds=5).collect()
     }
-    assert got3 == expect
+    assert got5 == expect
     # fixed point: one extra large-star/small-star pair changes nothing
-    got4 = {
+    got6 = {
         r.node_id: r.component
-        for r in graph.connected_components(edges, rounds=4).collect()
+        for r in graph.connected_components(edges, rounds=6).collect()
     }
-    assert got4 == got3
+    assert got6 == got5
 
 
 # --- k-center coreset & MMR (closed-form semantics on synthetic inputs) ---

@@ -952,7 +952,9 @@ def connected_components(edges: DataFrame, rounds: int = 3) -> DataFrame:
             .filter(F.col("x") != F.col("m"))
             .select(F.col("m").alias("a"), F.col("x").alias("b"))
             .distinct()
-            .localCheckpoint(eager=True)
+            # lazy: the next round's first referencing job computes and
+            # caches this generation — one less driver sync per round
+            .localCheckpoint(eager=False)
         )
     nodes = (
         base.select(F.col("a").alias("node_id"))

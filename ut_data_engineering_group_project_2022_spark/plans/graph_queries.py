@@ -864,29 +864,39 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _cc_oracle(rounds: int = 3) -> str:
+def _cc_oracle(rounds: int = 3, min_weight: int = 4) -> str:
     """Unroll the alternating large-star/small-star rounds as CTEs
     (the _louvain_oracle technique), mirroring
     operators/graph.py:connected_components exactly."""
     parts = [
         f"""
-    WITH ef AS (SELECT src, dst FROM ({_EDGES_SQL}) WHERE weight >= 4),
-    e0 AS (SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
+    WITH ef AS (SELECT src, dst FROM ({_EDGES_SQL}) WHERE weight >= {min_weight}),
+    e0 AS MATERIALIZED (
+           SELECT DISTINCT LEAST(src, dst) AS a, GREATEST(src, dst) AS b
            FROM ef WHERE src != dst)"""
     ]
+    # MATERIALIZED everywhere: each round references its predecessors
+    # 2-3x, so plain (inlined) CTEs blow up exponentially over the
+    # unroll — at 5 rounds DuckDB re-opens the parquet files thousands
+    # of times ("Too many open files").
     for r in range(rounds):
         parts.append(
             f""",
-    d{r} AS (SELECT a AS u, b AS v FROM e{r} UNION ALL SELECT b, a FROM e{r}),
-    mn{r} AS (SELECT u, LEAST(MIN(v), u) AS m FROM d{r} GROUP BY u),
-    ls{r} AS (SELECT DISTINCT mn.m AS a, d.v AS b
-              FROM d{r} d JOIN mn{r} mn ON mn.u = d.u WHERE d.v > d.u),
-    sd{r} AS (SELECT b AS u, a AS v FROM ls{r}),
-    sm{r} AS (SELECT u, LEAST(MIN(v), u) AS m FROM sd{r} GROUP BY u),
-    e{r + 1} AS (SELECT DISTINCT sm.m AS a, t.x AS b
-                 FROM (SELECT u, v AS x FROM sd{r}
-                       UNION ALL SELECT u, u FROM sd{r}) t
-                 JOIN sm{r} sm ON sm.u = t.u WHERE t.x != sm.m)"""
+    d{r} AS MATERIALIZED (
+        SELECT a AS u, b AS v FROM e{r} UNION ALL SELECT b, a FROM e{r}),
+    mn{r} AS MATERIALIZED (
+        SELECT u, LEAST(MIN(v), u) AS m FROM d{r} GROUP BY u),
+    ls{r} AS MATERIALIZED (
+        SELECT DISTINCT mn.m AS a, d.v AS b
+        FROM d{r} d JOIN mn{r} mn ON mn.u = d.u WHERE d.v > d.u),
+    sd{r} AS MATERIALIZED (SELECT b AS u, a AS v FROM ls{r}),
+    sm{r} AS MATERIALIZED (
+        SELECT u, LEAST(MIN(v), u) AS m FROM sd{r} GROUP BY u),
+    e{r + 1} AS MATERIALIZED (
+        SELECT DISTINCT sm.m AS a, t.x AS b
+        FROM (SELECT u, v AS x FROM sd{r}
+              UNION ALL SELECT u, u FROM sd{r}) t
+        JOIN sm{r} sm ON sm.u = t.u WHERE t.x != sm.m)"""
         )
     return (
         "".join(parts)
@@ -901,23 +911,24 @@ def _cc_oracle(rounds: int = 3) -> str:
 
 @register(
     "graph_connected_components",
-    oracle=_cc_oracle(3),
-    doc="Connected components of the thinned (weight >= 4) co-purchase "
+    oracle=_cc_oracle(5, min_weight=2),
+    doc="Connected components of the thinned (weight >= 2) co-purchase "
     "graph via alternating large-star/small-star (Kiveris et al. 2014) "
     "— the O(log^2 n)-round distributed CC algorithm, vs min-label "
     "propagation's O(diameter). Each star application is one keyed "
     "aggregate + one join (no windows, no driver graph); rounds are "
-    "FIXED at 3 pairs so the oracle unrolls identical rounds, with "
-    "convergence pinned by tests/test_graph.py (an extra pair is a "
-    "no-op at this scale; at 100 TB you would iterate to an empty "
-    "edge-diff instead, same per-round plan). Not bench-flagged: the "
-    "weight >= 4 thinning that yields an interesting 73-component "
-    "graph at sf0.01 degenerates to a single edge at sf0.1, so a "
-    "bench row would time only fixed overhead.",
+    "FIXED at 5 pairs so the oracle unrolls identical rounds — 5 is "
+    "the measured fixed point of the sf0.1 giant component (12.9k "
+    "edges; round 6 is a no-op, pinned by tests/test_graph.py; at "
+    "100 TB you would iterate to an empty edge-diff instead, same "
+    "per-round plan). r7: thinning lowered 4 -> 2 and bench-flagged — "
+    "weight >= 4 left ONE edge at sf0.1, so the bench row timed only "
+    "fixed overhead.",
     tags=("graph", "community"),
+    bench=True,
 )
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = graph.customer_supplier_edges(spark, sf_dir).filter(
-        F.col("weight") >= 4
+        F.col("weight") >= 2
     )
-    return graph.connected_components(edges, rounds=3)
+    return graph.connected_components(edges, rounds=5)

@@ -2480,42 +2480,48 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cluster id that AQE can skew-split. Exact cosine verify on the "
     "original float vectors, keeper attribution per dropped vector.",
     tags=("llm", "dedup", "similarity", "clustering"),
+    bench=True,
 )
 def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    assign = similarity.kmeans_fixed_point(emb, k=10, iterations=2).select(
-        "vec_id", "cluster"
+    # The assignment plan is iterative k-means — referenced by BOTH pair
+    # sides and the final attribution join, so checkpoint it once (n
+    # narrow rows) instead of recomputing the clustering three times.
+    assign = (
+        similarity.kmeans_fixed_point(emb, k=10, iterations=2)
+        .select("vec_id", "cluster")
+        .localCheckpoint(eager=False)
     )
     # Float vectors for the exact cosine verify (same expression as
     # llm_embedding_neardup); the cluster equi-join bounds candidates.
     e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    av = assign.join(e, "vec_id")
+    # Per-VECTOR norm computed once before the pair join — inside the
+    # join filter it would be re-evaluated per PAIR (~n^2/k times), 2/3
+    # of the cosine's array work for no reason.
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with("e", "e", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    av = assign.join(e, "vec_id").withColumn("nrm", norm)
     a = av.select(
-        F.col("vec_id").alias("id_a"), "cluster", F.col("e").alias("ea")
+        F.col("vec_id").alias("id_a"),
+        "cluster",
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
     )
     b = av.select(
         F.col("vec_id").alias("id_b"),
         F.col("cluster").alias("cluster_b"),
         F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
     )
     dot = F.aggregate(
         F.zip_with("ea", "eb", lambda x, y: x * y),
         F.lit(0.0),
         lambda acc, x: acc + x,
-    )
-    na = F.sqrt(
-        F.aggregate(
-            F.zip_with("ea", "ea", lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    nb = F.sqrt(
-        F.aggregate(
-            F.zip_with("eb", "eb", lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
     )
     dups = (
         a.join(
@@ -2523,7 +2529,7 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cluster") == F.col("cluster_b"))
             & (F.col("id_a") < F.col("id_b")),
         )
-        .filter(dot / (na * nb) >= 0.40)
+        .filter(dot / (F.col("na") * F.col("nb")) >= 0.40)
         .groupBy(F.col("id_b").alias("vec_id"))
         .agg(F.min("id_a").alias("dup_of"))
     )
