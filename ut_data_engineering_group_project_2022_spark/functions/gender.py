@@ -6,17 +6,28 @@ token and folds its 6 labels to 3 (mostly_male->male, mostly_female->
 female, andy/unknown->unknown; errors->unknown, ref README.md:186).
 
 `gender_guesser` is not installed in this image, so the lookup is gated
-behind an import-try with a deterministic fallback table (a small
-explicit dict — NOT a heuristic — so tests are hermetic and results
-reproducible). The UDF is a pandas_udf: Arrow-batched, one python call
-per batch, not per row.
+behind an import-try with a deterministic fallback: the vendored
+public-knowledge table in ``name_gender_data.py`` (a few hundred
+curated names using the same six-label vocabulary — NOT a heuristic —
+so tests are hermetic and results reproducible). The UDF is a
+pandas_udf: Arrow-batched, one python call per batch, not per row.
+
+The SCALE path is :func:`gender_table_df` + :func:`fold_gender_label`:
+the same table as a broadcast lookup DataFrame joined on the lowercased
+first name token, with the 6->3 fold as a JVM-side CASE — no Python in
+the hot path at all. tests/test_enrich.py pins the join path equal to
+the UDF path name-for-name.
 """
 
 from __future__ import annotations
 
 import pandas as pd
-from pyspark.sql import Column
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+
+from ut_data_engineering_group_project_2022_spark.functions.name_gender_data import (
+    NAME_GENDER,
+)
 
 try:  # pragma: no cover - exercised only where the package exists
     import gender_guesser.detector as _gg
@@ -26,23 +37,10 @@ try:  # pragma: no cover - exercised only where the package exists
     def _lookup(name: str) -> str:
         return _DETECTOR.get_gender(name)
 
-except ImportError:  # deterministic fallback table
-    _FALLBACK = {
-        "john": "male",
-        "james": "male",
-        "robert": "male",
-        "michael": "male",
-        "david": "male",
-        "andrea": "mostly_female",
-        "mary": "female",
-        "anna": "female",
-        "maria": "female",
-        "elena": "female",
-        "kim": "andy",
-    }
+except ImportError:  # deterministic vendored table (same label space)
 
     def _lookup(name: str) -> str:
-        return _FALLBACK.get(name.lower(), "unknown")
+        return NAME_GENDER.get(name.lower(), "unknown")
 
 
 _FOLD = {
@@ -86,3 +84,49 @@ def infer_gender(given: Column) -> Column:
 def with_gender(given_col: Column | str) -> Column:
     """Column expression applying the gender UDF."""
     return infer_gender(F.col(given_col) if isinstance(given_col, str) else given_col)
+
+
+# --------------------------------------------------------------------------
+# table-backed broadcast-join path (the scale path; zero Python per row)
+# --------------------------------------------------------------------------
+
+
+def gender_table_df(spark: SparkSession) -> DataFrame:
+    """The vendored name->label table as a broadcastable DataFrame
+    (few hundred rows; columns ``name`` lowercase, ``label`` in the
+    six-label vocabulary)."""
+    return spark.createDataFrame(
+        sorted(NAME_GENDER.items()), "name string, label string"
+    )
+
+
+def first_token_key(given: Column) -> Column:
+    """Join key mirroring :func:`infer_gender_py`'s token handling:
+    lowercase first space-delimited token (NULL/empty -> no match ->
+    'unknown' after the fold)."""
+    return F.lower(F.element_at(F.split(given, " "), 1))
+
+
+def fold_gender_label(label: Column) -> Column:
+    """The 6->3 fold (ref README.md:186) as a JVM-side CASE — identical
+    to the ``_FOLD`` dict the UDF applies."""
+    return (
+        F.when(label.isin("male", "mostly_male"), F.lit("male"))
+        .when(label.isin("female", "mostly_female"), F.lit("female"))
+        .otherwise(F.lit("unknown"))
+    )
+
+
+def join_gender(
+    df: DataFrame, given_col: str, out_col: str = "gender"
+) -> DataFrame:
+    """Attach the folded gender via a broadcast lookup join — the
+    100 TB path (the UDF above stays as the documented Python
+    extension point)."""
+    tbl = F.broadcast(gender_table_df(df.sparkSession))
+    return (
+        df.withColumn("__gk", first_token_key(F.col(given_col)))
+        .join(tbl, F.col("__gk") == tbl.name, "left")
+        .withColumn(out_col, fold_gender_label(F.col("label")))
+        .drop("__gk", "name", "label")
+    )
