@@ -498,3 +498,84 @@ def test_percentile_approx_tracks_exact(spark):
             tol = 0.02 * float(e[col]) + step[col] + 1e-9
             assert abs(float(a[col]) - float(e[col])) <= tol, (
                 flag, col, a[col], e[col])
+
+
+def test_dense_ids_null_keys_empty_partitions_and_tiny_inputs(spark):
+    """The offset-based two-phase id helpers must survive the
+    global_dense_rank NULL-group lesson (VERDICT r6 'Next round' #7):
+    NULL order keys form a real rank group and inputs far smaller than
+    the partition count (guaranteed empty range partitions) still yield
+    a gapless 1..n sequence."""
+    from pyspark.sql import Window
+
+    cases = [
+        # NULL keys mixed in (sort NULLS FIRST on asc, the Spark default)
+        [(0, None), (1, "b"), (2, None), (3, "a"), (4, "a")],
+        # fewer rows than defaultParallelism -> most partitions empty
+        [(0, "x"), (1, "w")],
+        # single row
+        [(7, "only")],
+        # all-equal keys (row_number tiebreak inside one partition)
+        [(0, "k"), (1, "k"), (2, "k")],
+        # all-NULL keys
+        [(0, None), (1, None)],
+    ]
+    for case in cases:
+        df = spark.createDataFrame(case, "id long, v string")
+        got = {
+            r["id"]: r["seq"]
+            for r in star.dense_ids(df, ["v", "id"], "seq").collect()
+        }
+        exp = {
+            r["id"]: r["seq"]
+            for r in df.withColumn(
+                "seq",
+                F.row_number().over(Window.orderBy("v", "id")).cast("long"),
+            ).collect()
+        }
+        assert got == exp, f"case {case}: {got} != {exp}"
+    # empty input -> empty output, no crash
+    empty = spark.createDataFrame([], "id long, v string")
+    assert star.dense_ids(empty, ["v"], "seq").count() == 0
+    assert star.global_dense_rank(empty, "v").count() == 0
+
+
+def test_global_dense_rank_tiny_inputs_leave_empty_partitions(spark):
+    """n_rows << defaultParallelism: the per-partition offset aggregate
+    sees only non-empty partitions and must still produce dense 1..k
+    ranks in both directions."""
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(0, 5.0), (1, None), (2, 5.0)], "id long, v double"
+    )
+    for descending in (True, False):
+        order = F.desc("v") if descending else F.asc("v")
+        got = {
+            r["id"]: r["rnk"]
+            for r in star.global_dense_rank(
+                df, "v", descending=descending
+            ).collect()
+        }
+        exp = {
+            r["id"]: r["rnk"]
+            for r in df.withColumn(
+                "rnk", F.dense_rank().over(Window.orderBy(order))
+            ).collect()
+        }
+        assert got == exp, f"descending={descending}"
+
+
+def test_shuffle_shards_global_pos_is_shard_major_permutation(spark):
+    """llm_shuffle_shards' offset recovery (within-shard rank + shard
+    count prefix sums) must produce global_pos = an exact 1..n
+    permutation in (shard, pos) lexicographic order — the invariant
+    that holds even when some shard comes up empty."""
+    from ut_data_engineering_group_project_2022_spark.plans import get_query
+
+    rows = get_query("llm_shuffle_shards").spark(spark, SF_DIR).collect()
+    n = len(rows)
+    assert n > 0
+    assert sorted(r["global_pos"] for r in rows) == list(range(1, n + 1))
+    by_order = sorted(rows, key=lambda r: (r["shard"], r["pos"]))
+    assert [r["global_pos"] for r in by_order] == list(range(1, n + 1))
