@@ -44,6 +44,28 @@ def main() -> None:
     spark.range(1_000_000).groupBy((F.col("id") % 16).alias("k")).count().write.format(
         "noop"
     ).mode("overwrite").save()
+    # Warm the Arrow Python-worker path too (fork + Arrow IPC setup is
+    # ~2-3 s on first use and would otherwise land on whichever
+    # mapInPandas-using query runs first in the cold pass).
+    spark.range(1_000).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    # Pre-build the star warehouse and report its load time as its own
+    # metric: star.load_batch (dims/bridges/facts with surrogate keys) is
+    # the session's one-time ETL shared by all star_q*/bi_* queries via a
+    # state cache — timing it inside star_q01's cold run made that row
+    # read ~12 s of loader, ~0.4 s of query (r6 cold/warm-gap analysis).
+    # A real warehouse amortizes the load exactly like this; the bench
+    # now measures it separately instead of hiding it in one query row.
+    from ut_data_engineering_group_project_2022_spark.plans.star_queries import (
+        _star_views,
+    )
+
+    t0 = time.monotonic()
+    _star_views(spark, sf_dir)
+    star_load = round(time.monotonic() - t0, 3)
+    print(f"[bench] star warehouse load: {star_load:.3f}s", file=sys.stderr)
 
     specs = {n: s for n, s in all_queries().items() if s.bench}
     timings: dict[str, float] = {}
@@ -91,6 +113,7 @@ def main() -> None:
                 "queries": timings,
                 "queries_runs": raw,
                 "cold_total": cold_total,
+                "star_load_seconds": star_load,
                 "r1_suite_total": r1_total,
                 "sf": sf,
             }
