@@ -644,6 +644,11 @@ def test_kcenter_greedy_k_exceeding_vectors_returns_distinct_ids(spark):
 
 
 def test_knn_pq_rejects_mismatched_dim(spark):
+    # the in-plan assert fires on execution (no extra driver job at
+    # build time), naming the mismatch instead of silently slicing
+    # short subvectors
     emb = _vecs(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0])], dim=4)
-    with pytest.raises(ValueError, match="does not match the embedding length"):
-        similarity.knn_pq(emb, k=1, m=8, dim=64)
+    with pytest.raises(Exception, match="does not match embedding length"):
+        similarity.knn_pq(emb, k=1, m=8, dim=64).collect()
+    with pytest.raises(ValueError, match="must divide"):
+        similarity.knn_pq(emb, k=1, m=7, dim=64)

@@ -455,18 +455,24 @@ def knn_pq(
     # Validate dim against the DATA, not just the parameter: a shorter
     # real embedding would make F.slice silently emit short/empty
     # subvectors and zero distances, degrading recall with no
-    # diagnostic (r6 advisory). One sampled row — metadata-cheap.
-    probe = emb.select(F.size(vec_col).alias("n")).first()
-    if probe is not None and probe["n"] != dim:
-        raise ValueError(
-            f"dim={dim} does not match the embedding length {probe['n']} "
-            f"observed in {vec_col!r}"
-        )
+    # diagnostic (r6 advisory). In-plan assert_true — evaluated on
+    # every row during the encode pass at array-length-read cost, no
+    # extra driver job (a .first() probe cost ~0.3 s per call).
+    dim_ok = F.assert_true(
+        F.size(vec_col) == dim,
+        F.concat(
+            F.lit(f"knn_pq: dim={dim} does not match embedding length "),
+            F.size(vec_col).cast("string"),
+        ),
+    )
     sub_d = dim // m
     x = emb.select(
         F.col(id_col).alias("vec_id"),
-        F.transform(
-            as_double(vec_col), lambda e: F.floor(e * scale).cast("bigint")
+        F.when(
+            dim_ok.isNull(),
+            F.transform(
+                as_double(vec_col), lambda e: F.floor(e * scale).cast("bigint")
+            ),
         ).alias("x"),
     )
     subs = x.select(
