@@ -1298,7 +1298,8 @@ def op_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT user_id, n,
              s1::DOUBLE / n AS mean_s,
-             sqrt((n * s2 - s1 * s1)::DOUBLE / (n * n)::DOUBLE) AS std_s
+             sqrt((n::DOUBLE * s2::DOUBLE - s1::DOUBLE * s1::DOUBLE)
+                  / (n::DOUBLE * n::DOUBLE)) AS std_s
       FROM m WHERE n >= 2)
     SELECT user_id, n AS n_gaps,
            ROUND(mean_s, 6) AS mean_gap_s,
@@ -1339,10 +1340,13 @@ def op_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("gap_s") * F.col("gap_s")).cast("bigint").alias("s2"),
     )
     mean_s = F.col("s1").cast("double") / F.col("n")
-    std_s = F.sqrt(
-        (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")
-        / (F.col("n") * F.col("n")).cast("double")
-    )
+    # Factors cast to double BEFORE multiplying (the PMI advisory's bug
+    # class): s1*s1 in BIGINT wraps silently in Spark around per-user
+    # second-sums of ~3e9 where DuckDB would raise instead.
+    nd = F.col("n").cast("double")
+    s1d = F.col("s1").cast("double")
+    s2d = F.col("s2").cast("double")
+    std_s = F.sqrt((nd * s2d - s1d * s1d) / (nd * nd))
     s = m.filter(F.col("n") >= 2).select(
         "user_id", F.col("n").alias("n_gaps"), mean_s.alias("mean_s"), std_s.alias("std_s")
     )
