@@ -869,28 +869,42 @@ def kcore(edges: DataFrame, k: int = 30, rounds: int = 5) -> DataFrame:
     as label propagation). Returns every node with an ``in_core``
     flag. Per round: two semi-join filters of the cached edge list +
     one map-side-combined degree aggregate — no global structures, no
-    driver-side graph."""
-    und = undirect(edges).localCheckpoint(eager=True)
+    driver-side graph.
+
+    r7: the edge list is persisted hash(src)-partitioned ONCE (the
+    louvain recipe) so the per-round degree aggregate runs shuffle-free
+    under the size-gated broadcast of the node-sized alive vector —
+    below ``BROADCAST_NODES`` a round shuffles nothing edge-sized; above
+    it the joins fall back to shuffles of the alive vector only."""
+    und = undirect(edges).repartition("src").persist()
     nodes_all = (
         und.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
     )
+    small = nodes_all.count() <= BROADCAST_NODES
+
+    def _bcast(df: DataFrame) -> DataFrame:
+        return F.broadcast(df) if small else df
+
     alive = nodes_all
     for _ in range(rounds):
         e = und.join(
-            alive.select(F.col("id").alias("src")), "src"
-        ).join(alive.select(F.col("id").alias("dst")), "dst")
+            _bcast(alive.select(F.col("id").alias("src"))), "src"
+        ).join(_bcast(alive.select(F.col("id").alias("dst"))), "dst")
         deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+        # lazy: the next round's first referencing job computes+caches
         alive = (
             deg.filter(F.col("d") >= k)
             .select(F.col("src").alias("id"))
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
-    return nodes_all.join(
+    out = nodes_all.join(
         alive.withColumn("flag", F.lit(True)), "id", "left"
     ).select(
         F.col("id").alias("node_id"),
         F.coalesce("flag", F.lit(False)).alias("in_core"),
-    )
+    ).localCheckpoint(eager=True)
+    und.unpersist()
+    return out
 
 
 def connected_components(edges: DataFrame, rounds: int = 3) -> DataFrame:

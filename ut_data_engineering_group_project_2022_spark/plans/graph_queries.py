@@ -782,7 +782,11 @@ def _kcore_oracle(k: int, rounds: int) -> str:
     "connected trading core of the customer-supplier graph — the "
     "standard preprocessing cut before community detection or "
     "influence analysis on hub structure. The oracle replays the "
-    "identical rounds as chained CTEs (the pagerank-unroll style).",
+    "identical rounds as chained CTEs (the pagerank-unroll style). "
+    "Unbenched by choice: the per-round machinery (src-partitioned "
+    "cached edges, broadcast alive vector, shuffle-free degree "
+    "aggregate) is the same family the benched "
+    "graph_connected_components row makes visible.",
     tags=("graph",),
 )
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
