@@ -105,31 +105,36 @@ def pagerank(
     # (materialization is eager); the node-sized checkpoint blocks of
     # stale generations are released by the ContextCleaner once their
     # DataFrames go out of scope.
-    # Materialize the edge projection ONCE; everything else derives from
-    # it. The prologue is TWO blocking jobs (was four in r5): the node
-    # inventory and the out-degree fuse into one union-aggregate (dst
-    # rows contribute 0 to the degree sum, so dst-only nodes appear with
-    # d=0), and no degree-annotated |E|-row edge list is ever
-    # materialized — the per-iteration join attaches the NODE-sized
-    # share vector pr/d to the raw edges instead.
-    ed = edges.localCheckpoint(eager=True)
+    # Materialize the edge projection ONCE, already hash(dst)-partitioned
+    # (r7, the louvain recipe — the r6 shape checkpointed the edges and
+    # then re-shuffled them into the partitioned cache, paying two full
+    # edge materializations). dst is the small-graph choice: the
+    # contribution aggregate then groups in place under the broadcast
+    # join — zero shuffles per iteration. The node inventory + out-degree
+    # fuse into one union-aggregate off the cached frame (dst rows
+    # contribute 0 to the degree sum, so dst-only nodes appear with d=0);
+    # no degree-annotated |E|-row edge list is ever materialized — the
+    # per-iteration join attaches the NODE-sized share vector pr/d to the
+    # raw edges instead.
+    edp = edges.repartition("dst").persist()
     nd = (
-        ed.select(F.col("src").alias("id"), F.lit(1).alias("c"))
-        .unionAll(ed.select(F.col("dst").alias("id"), F.lit(0).alias("c")))
+        edp.select(F.col("src").alias("id"), F.lit(1).alias("c"))
+        .unionAll(edp.select(F.col("dst").alias("id"), F.lit(0).alias("c")))
         .groupBy("id")
         .agg(F.sum("c").alias("d"))
         .localCheckpoint(eager=True)
     )
     n = nd.count()
     small = n <= broadcast_nodes
-    # Pre-partition the edges ONCE (persist — InMemoryRelation keeps the
-    # partitioning, LogicalRDD would not). Small graphs: partition by
-    # dst so the contribution aggregate groups in place under the
-    # broadcast join — zero shuffles per iteration. Large graphs:
-    # partition by src (the join key) so the per-iteration join moves
-    # only the node-sized share vector, never the edges.
-    edp = ed.repartition("dst" if small else "src").persist()
-    edp.count()
+    if not small:
+        # Large graphs (> broadcast_nodes): re-cache partitioned by src
+        # (the join key) so each iteration moves only the node-sized
+        # share vector, never the edges. Rare path; costs one extra edge
+        # shuffle exactly when a per-iteration broadcast would not fit.
+        old = edp
+        edp = edp.repartition("src").persist()
+        edp.count()
+        old.unpersist()
 
     pr = nd.withColumn("pr", F.lit(1.0 / n))
     for i in range(iterations):
