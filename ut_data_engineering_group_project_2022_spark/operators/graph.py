@@ -181,19 +181,25 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
     # — no edge-sized shuffle per round); above it they are cached
     # pre-partitioned by dst (the join key), so only the node-sized
     # label vector shuffles per round.
-    # Materialize the undirected projection ONCE (the upstream edge
-    # build can be a fact-table join — evaluating it twice would double
-    # the prologue); labels and the partitioned edge cache both derive
-    # from this checkpoint.
-    base = undirect(edges).localCheckpoint(eager=True)
+    # Materialize the undirected projection ONCE, straight into the
+    # hash(src)-partitioned cache (r7, the louvain/pagerank recipe —
+    # checkpoint-then-repartition paid two full edge passes); the label
+    # seed derives from the cache. The rare above-threshold path
+    # re-caches by dst (the join key) exactly when a per-round label
+    # broadcast would not fit.
+    und = undirect(edges).repartition("src").persist()
     labels = (
-        base.select(F.col("src").alias("id"))
+        und.select(F.col("src").alias("id"))
         .distinct()
         .withColumn("label", F.col("id"))
         .localCheckpoint(eager=True)
     )
     small = labels.count() <= BROADCAST_NODES
-    und = base.repartition("src" if small else "dst").persist()
+    if not small:
+        old = und
+        und = und.repartition("dst").persist()
+        und.count()
+        old.unpersist()
     for _ in range(max_iter):
         neighbor_min = (
             und.join(
