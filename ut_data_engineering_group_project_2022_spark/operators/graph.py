@@ -55,10 +55,24 @@ def customer_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def undirect(edges: DataFrame) -> DataFrame:
-    """Union each edge with its reverse (GDS UNDIRECTED orientation)."""
+    """Union each edge with its reverse (GDS UNDIRECTED orientation).
+
+    NOTE for callers on a computed projection: the union's two branches
+    each evaluate ``edges`` — Spark does not common-subexpression a
+    fact-join projection across union branches, so checkpoint the
+    directed list first (:func:`materialized`) when it is expensive."""
     fwd = edges.select("src", "dst")
     rev = edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     return fwd.unionAll(rev)
+
+
+def materialized(edges: DataFrame) -> DataFrame:
+    """Eagerly checkpoint a (typically projection-shaped) edge list so
+    downstream double-readers (``undirect``'s union branches, the
+    weighted fwd/rev union) evaluate the upstream join/aggregate once.
+    The directed list is the SMALL form (half the undirected rows), so
+    this is the cheapest point to cut the plan."""
+    return edges.localCheckpoint(eager=True)
 
 
 #: Node-count ceiling for the broadcast iteration kernels below. A rank/
@@ -187,7 +201,7 @@ def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
     # seed derives from the cache. The rare above-threshold path
     # re-caches by dst (the join key) exactly when a per-round label
     # broadcast would not fit.
-    und = undirect(edges).repartition("src").persist()
+    und = undirect(materialized(edges)).repartition("src").persist()
     labels = (
         und.select(F.col("src").alias("id"))
         .distinct()
@@ -535,7 +549,7 @@ def louvain(
     collide); the distinct is then a pure no-op shuffle of the edge
     list.
     """
-    und = undirect(edges)
+    und = undirect(materialized(edges))
     if not assume_simple:
         und = und.distinct()
     und = und.withColumn("w", F.lit(1).cast("long"))
@@ -553,6 +567,7 @@ def louvain_weighted(
     variant ignores). Weights are integer counts, so the gain scores
     stay integer-exact; everything else (seed, parity sweeps,
     contraction, levels) is identical to :func:`louvain`."""
+    edges = materialized(edges)
     fwd = edges.select("src", "dst", F.col("weight").cast("long").alias("w"))
     rev = edges.select(
         F.col("dst").alias("src"),
@@ -887,7 +902,7 @@ def kcore(edges: DataFrame, k: int = 30, rounds: int = 5) -> DataFrame:
     under the size-gated broadcast of the node-sized alive vector —
     below ``BROADCAST_NODES`` a round shuffles nothing edge-sized; above
     it the joins fall back to shuffles of the alive vector only."""
-    und = undirect(edges).repartition("src").persist()
+    und = undirect(materialized(edges)).repartition("src").persist()
     nodes_all = (
         und.select(F.col("src").alias("id")).distinct().localCheckpoint(eager=True)
     )
