@@ -49,7 +49,7 @@ def graph_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph",),
 )
 def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
-    und = graph.undirect(graph.customer_supplier_edges(spark, sf_dir))
+    und = graph.undirect(graph.materialized(graph.customer_supplier_edges(spark, sf_dir)))
     return und.groupBy(F.col("src").alias("node_id")).agg(
         F.count(F.lit(1)).alias("degree")
     )
@@ -94,7 +94,7 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = graph.undirect(graph.customer_supplier_edges(spark, sf_dir))
+    edges = graph.undirect(graph.materialized(graph.customer_supplier_edges(spark, sf_dir)))
     return graph.pagerank(edges, iterations=3, damping=0.85)
 
 
@@ -502,7 +502,7 @@ def _derived_rank(
     base = graph.customer_supplier_edges(spark, sf_dir).filter(
         F.col("weight") >= min_weight
     )
-    reach = graph.bounded_reachability(graph.undirect(base), max_hops)
+    reach = graph.bounded_reachability(graph.undirect(graph.materialized(base)), max_hops)
     derived = (
         reach.filter(
             F.col("src").startswith(prefix) & F.col("dst").startswith(prefix)
