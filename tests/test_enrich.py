@@ -69,6 +69,17 @@ def test_broadcast_join_path_matches_udf_path(spark):
     assert joined[len(names) - 1] == "unknown"  # NULL
 
 
+def test_given_pool_expected_labels_match_table():
+    # the star/enrich oracles bake GENDER_OF into their expectations;
+    # pin it against the vendored table's fold-down
+    from ut_data_engineering_group_project_2022_spark.plans.enrich_queries import (
+        GENDER_OF,
+    )
+
+    for name, expect in GENDER_OF.items():
+        assert gender.infer_gender_py(name) == expect, name
+
+
 def test_join_gender_broadcasts_the_lookup(spark):
     df = spark.createDataFrame([(1, "John")], "i int, given string")
     plan = gender.join_gender(df, "given")._jdf.queryExecution().executedPlan().toString()
