@@ -3,6 +3,7 @@ properties the sf0.01 oracle parity can't state directly (permutation
 totality, precedence, monotonicity)."""
 
 import pytest
+from pyspark.sql import functions as F
 
 SF_DIR = "/root/testdata/sf0.001"
 
@@ -109,3 +110,129 @@ def test_langid_trigram_separable_corpus(spark):
     assert all(r["correct"] for r in got), [
         (r["doc_id"], r["lang"], r["predicted"]) for r in got if not r["correct"]
     ]
+
+
+# --- r7 closed-form gates for the round-6 cohort: properties oracle
+# --- parity cannot state (one-sided error, mass conservation, exact
+# --- mechanism replay)
+
+
+def test_countmin_estimate_is_one_sided(spark):
+    """CMS error is strictly one-sided: the sketch can only
+    over-count (collisions add, never subtract)."""
+    rows = _q("llm_countmin_heavy_hitters", spark).collect()
+    assert 0 < len(rows) <= 20
+    for r in rows:
+        assert r.cms_est >= r.true_count, r
+        assert r.overestimate >= 1.0, r
+
+
+def test_vocab_growth_is_monotone_and_total(spark):
+    rows = sorted(_q("llm_vocab_growth", spark).collect(), key=lambda r: r.pct)
+    assert [r.pct for r in rows] == [25, 50, 75, 100]
+    docs = [r.n_docs for r in rows]
+    sh = [r.n_shingles for r in rows]
+    assert docs == sorted(docs) and sh == sorted(sh)
+    from ut_data_engineering_group_project_2022_spark.catalog import table
+
+    assert docs[-1] == table(spark, SF_DIR, "documents").count()
+
+
+def test_winsorize_clamps_to_band_and_flags_exactly(spark):
+    for r in _q("llm_winsorize_lengths", spark).collect():
+        assert r.p01 <= r.p99
+        assert r.p01 - 1e-9 <= r.w_chars <= r.p99 + 1e-9
+        outside = r.n_chars < r.p01 or r.n_chars > r.p99
+        assert r.is_clipped == outside, r
+        if not outside:
+            assert r.w_chars == float(r.n_chars)
+
+
+def test_source_overlap_pairs_are_canonical_and_bounded(spark):
+    rows = _q("llm_source_overlap", spark).collect()
+    seen = set()
+    for r in rows:
+        assert r.source_a < r.source_b
+        assert (r.source_a, r.source_b) not in seen
+        seen.add((r.source_a, r.source_b))
+        assert 0.0 < r.jaccard <= 1.0
+        assert r.n_common >= 1
+
+
+def test_dp_release_noise_decomposes_to_exact_counts(spark):
+    """noisy_count - noise must reconstruct the exact per-source count
+    (integer), proving the mechanism is count + Laplace(1) exactly."""
+    from ut_data_engineering_group_project_2022_spark.catalog import table
+
+    truth = {
+        r["source"]: r["n"]
+        for r in table(spark, SF_DIR, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = _q("llm_dp_release", spark).collect()
+    assert {r.source for r in rows} == set(truth)
+    for r in rows:
+        assert r.epsilon == 1.0
+        # both fields are rounded to 6dp, so the difference is exact
+        # up to 2e-6
+        assert abs((r.noisy_count - r.noise) - truth[r.source]) < 2e-6, r
+
+
+def test_temperature_sample_acceptance_is_the_stated_mechanism(spark):
+    """Every surviving doc's deterministic ppm draw is below its
+    source's threshold, and smaller sources never get a lower
+    acceptance rate than bigger ones (the alpha=0.5 up-weighting)."""
+    import hashlib
+
+    from ut_data_engineering_group_project_2022_spark.catalog import table
+
+    n_s = {
+        r["source"]: r["n"]
+        for r in table(spark, SF_DIR, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    rows = _q("llm_temperature_sample", spark).collect()
+    assert rows
+    thr_of = {}
+    for r in rows:
+        ppm = int(hashlib.md5(f"temp|{r.doc_id}".encode()).hexdigest()[:15], 16) % 1_000_000
+        assert ppm < r.accept_ppm, r
+        thr_of.setdefault(r.source, r.accept_ppm)
+        assert thr_of[r.source] == r.accept_ppm  # one threshold per source
+    pairs = sorted(((n_s[s], t) for s, t in thr_of.items()))
+    for (na, ta), (nb, tb) in zip(pairs, pairs[1:]):
+        if na < nb:
+            assert ta >= tb, (pairs,)
+
+
+def test_soft_dedup_conserves_unit_mass_per_cluster(spark):
+    rows = _q("llm_soft_dedup", spark).collect()
+    by_cluster = {}
+    docs = set()
+    for r in rows:
+        assert r.doc_id not in docs  # each doc weighted exactly once
+        docs.add(r.doc_id)
+        by_cluster.setdefault(r.cluster_id, []).append(r)
+    for cid, members in by_cluster.items():
+        k = members[0].cluster_size
+        assert len(members) == k
+        total = sum(m.sample_weight for m in members)
+        assert abs(total - 1.0) <= k * 5e-7 + 1e-9, (cid, total)
+
+
+def test_hybrid_rrf_scores_match_the_fusion_formula(spark):
+    rows = _q("llm_hybrid_rrf", spark).collect()
+    assert 0 < len(rows) <= 10
+    for r in rows:
+        expect = 0.0
+        if r.lex_rank > 0:
+            expect += 1.0 / (60 + r.lex_rank)
+        if r.vec_rank > 0:
+            expect += 1.0 / (60 + r.vec_rank)
+        got = getattr(r, "rrf", getattr(r, "rrf_raw", None))
+        assert got is not None
+        assert abs(got - round(expect, 6)) <= 1e-6, r
