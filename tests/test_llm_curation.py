@@ -236,3 +236,124 @@ def test_hybrid_rrf_scores_match_the_fusion_formula(spark):
         got = getattr(r, "rrf", getattr(r, "rrf_raw", None))
         assert got is not None
         assert abs(got - round(expect, 6)) <= 1e-6, r
+
+
+def test_ngram_containment_dominates_jaccard(spark):
+    """|A∩B|/|A| >= |A∩B|/|A∪B| always; the query's floor keeps
+    containment >= 0.5; both stay in (0, 1]."""
+    rows = _q("llm_ngram_containment", spark).collect()
+    for r in rows:
+        assert 0.5 <= r.containment <= 1.0, r
+        assert 0.0 < r.jaccard <= 1.0, r
+        assert r.containment >= r.jaccard - 1e-9, r
+
+
+def test_tokenizer_fertility_bounds_and_totals(spark):
+    """Every whitespace word yields at least one BPE-ish token, so
+    fertility >= 1; doc counts reconcile with the corpus."""
+    from ut_data_engineering_group_project_2022_spark.catalog import table
+
+    rows = _q("llm_tokenizer_fertility", spark).collect()
+    assert sum(r.n_docs for r in rows) == table(
+        spark, SF_DIR, "documents"
+    ).count()
+    for r in rows:
+        assert r.n_bpe >= r.n_words, r
+        assert r.fertility >= 1.0, r
+        assert r.bytes_per_token > 0, r
+
+
+def test_zorder_buckets_have_tight_2d_envelopes(spark):
+    """The data-skipping claim as an assertion: dropping 18 low Morton
+    bits leaves 9 interleaved bits per dimension, so every bucket's
+    [min,max] envelope must fit a 512-wide square on BOTH columns (a
+    single-column sort cannot satisfy this on the second column), and
+    bucket counts must reconcile with the table."""
+    from ut_data_engineering_group_project_2022_spark.catalog import table
+
+    rows = _q("op_zorder_layout", spark).collect()
+    assert sum(r.n_orders for r in rows) == table(
+        spark, SF_DIR, "orders"
+    ).count()
+    for r in rows:
+        assert r.max_cust - r.min_cust < 512, r
+        assert r.max_day - r.min_day < 512, r
+
+
+def test_dsir_select_replays_the_gumbel_mechanism(spark):
+    """gkey must equal round(score - ln(-ln(u)), 6) for the doc's
+    deterministic md5 uniform, and rows arrive in (gkey desc, doc_id)
+    order — the exact Gumbel-top-k draw, replayed."""
+    import hashlib
+    import math
+
+    rows = _q("llm_dsir_select", spark).collect()
+    assert 0 < len(rows) <= 100
+    keys = [(r.gkey, r.doc_id) for r in rows]
+    assert keys == sorted(keys, key=lambda t: (-t[0], t[1]))
+    for r in rows:
+        u = (
+            int(hashlib.md5(f"gum|{r.doc_id}".encode()).hexdigest()[:15], 16)
+            % 1_000_000
+            + 0.5
+        ) / 1_000_000.0
+        expect = round(r.dsir_logratio - math.log(-math.log(u)), 6)
+        assert abs(r.gkey - expect) <= 1e-6, r
+
+
+def test_cluster_prototypes_one_row_per_cluster(spark):
+    rows = _q("llm_cluster_prototypes", spark).collect()
+    clusters = [r.cluster for r in rows]
+    assert len(clusters) == len(set(clusters))
+    vec_ids = [r.vec_id for r in rows]
+    assert len(vec_ids) == len(set(vec_ids))  # a vector anchors one cluster
+    for r in rows:
+        assert r.dist2 >= 0
+
+
+def test_link_prediction_never_recommends_existing_edges(spark):
+    from ut_data_engineering_group_project_2022_spark.operators import graph
+
+    existing = {
+        (r.src, r.dst)
+        for r in graph.customer_supplier_edges(spark, SF_DIR)
+        .select("src", "dst")
+        .collect()
+    }
+    per_customer = {}
+    for r in _q("graph_link_prediction", spark).collect():
+        assert (r.customer, r.supplier) not in existing, r
+        assert r.score >= 5  # floor: one shared-neighbor vote >= the prune
+        per_customer.setdefault(r.customer, []).append((r.rn, r.score, r.supplier))
+    for c, recs in per_customer.items():
+        recs.sort()
+        assert [rn for rn, _, _ in recs] == list(range(1, len(recs) + 1))
+        # rn order == (score desc, supplier asc)
+        resorted = sorted(recs, key=lambda t: (-t[1], t[2]))
+        assert recs == resorted, (c, recs)
+
+
+def test_length_histogram_reconciles_and_buckets_are_consistent(spark):
+    from ut_data_engineering_group_project_2022_spark.catalog import table
+
+    rows = _q("llm_length_histogram", spark).collect()
+    d = table(spark, SF_DIR, "documents")
+    assert sum(r.n_docs for r in rows) == d.count()
+    for r in rows:
+        assert r.min_chars <= r.max_chars
+        # min/max must actually live inside the 2^b..2^(b+1) bucket
+        assert (1 << r.log2_bucket) <= r.min_chars, r
+        assert r.max_chars < (1 << (r.log2_bucket + 1)), r
+
+
+def test_source_kl_divergence_is_nonnegative(spark):
+    for r in _q("llm_source_kl_divergence", spark).collect():
+        assert r.kl_divergence >= -1e-6, r
+
+
+def test_pmi_top20_is_supported_and_ordered(spark):
+    rows = _q("llm_pmi_collocations", spark).collect()
+    assert 0 < len(rows) <= 20
+    assert all(r.n_ab >= 5 for r in rows)
+    keys = [(r.pmi, r.bigram) for r in rows]
+    assert keys == sorted(keys, key=lambda t: (-t[0], t[1]))
