@@ -357,3 +357,82 @@ def test_pmi_top20_is_supported_and_ordered(spark):
     assert all(r.n_ab >= 5 for r in rows)
     keys = [(r.pmi, r.bigram) for r in rows]
     assert keys == sorted(keys, key=lambda t: (-t[0], t[1]))
+
+
+def test_ccnet_buckets_are_monotone_and_partition_each_lang(spark):
+    """Within a language, every head doc's perplexity class is <= every
+    middle doc's, which is <= every tail doc's — the tercile cut never
+    interleaves — and the three buckets cover each language exactly."""
+    from collections import defaultdict
+
+    rows = _q("llm_ccnet_buckets", spark).collect()
+    per_lang = defaultdict(lambda: defaultdict(list))
+    seen_docs = set()
+    for r in rows:
+        assert r.bucket in ("head", "middle", "tail")
+        assert r.doc_id not in seen_docs
+        seen_docs.add(r.doc_id)
+        per_lang[r.lang][r.bucket].append(r.ppl_milli)
+    for lang, buckets in per_lang.items():
+        order = [b for b in ("head", "middle", "tail") if buckets[b]]
+        for earlier, later in zip(order, order[1:]):
+            assert max(buckets[earlier]) < min(buckets[later]), (lang,)
+
+
+def test_span_dedup_conserves_distinct_spans(spark):
+    """Every distinct 16-token span survives exactly once corpus-wide:
+    sum of per-doc kept spans == number of distinct spans; kept counts
+    stay within [0, n_chunks]; empty rebuilds coincide with zero
+    survivors."""
+    from ut_data_engineering_group_project_2022_spark.catalog import table
+
+    rows = _q("llm_span_dedup_rebuild", spark).collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in table(spark, SF_DIR, "documents")
+        .select("doc_id", "text")
+        .collect()
+    }
+    distinct_spans = set()
+    for text in docs.values():
+        toks = text.split()
+        for i in range(0, len(toks), 16):
+            distinct_spans.add(" ".join(toks[i : i + 16]))
+    assert sum(r.n_kept for r in rows) == len(distinct_spans)
+    for r in rows:
+        assert 0 <= r.n_kept <= r.n_chunks, r
+        assert (r.n_kept == 0) == (r.text_dedup == ""), r
+
+
+def test_pareto_sampling_keeps_iff_draw_beats_quality_gap(spark):
+    rows = _q("llm_pareto_quality_sample", spark).collect()
+    assert any(r.kept for r in rows) and any(not r.kept for r in rows)
+    for r in rows:
+        gap = 1.0 - r.quality_score
+        if abs(r.pareto_x - gap) > 2e-6:  # outside rounding ambiguity
+            assert r.kept == (r.pareto_x > gap), r
+
+
+def test_media_dedup_keeper_is_the_smallest_member(spark):
+    rows = _q("llm_media_dedup", spark).collect()
+    groups = set()
+    for r in rows:
+        key = (r.media_type, r.content_hash)
+        assert key not in groups
+        groups.add(key)
+        assert r.n_copies >= 1
+        assert r.total_bytes >= r.n_copies  # payloads are non-empty
+    # keepers are distinct docs across groups of the same media type
+    # only when content differs, but a keeper can anchor at most one
+    # group per (type, hash) — already implied by group uniqueness
+
+
+def test_dataset_card_aggregates_reconcile(spark):
+    from ut_data_engineering_group_project_2022_spark.catalog import table
+
+    [r] = _q("llm_dataset_card", spark).collect()
+    d = table(spark, SF_DIR, "documents")
+    assert r.n_docs == d.count()
+    assert 1 <= r.n_unique <= r.n_docs
+    assert r.min_chars <= r.max_chars
+    assert r.n_chars >= r.n_words  # every word is at least one char
