@@ -104,22 +104,25 @@ def main() -> None:
         "tpch_q6_forecast_revenue",
     }
     r1_total = round(sum(t for n, t in timings.items() if n in r1_suite), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_suite_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_runs": raw,
-                "cold_total": cold_total,
-                "star_load_seconds": star_load,
-                "r1_suite_total": r1_total,
-                "sf": sf,
-            }
-        )
-    )
+    payload = {
+        "metric": "headline_suite_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_total": cold_total,
+        "star_load_seconds": star_load,
+        "r1_suite_total": r1_total,
+        "sf": sf,
+    }
+    # Belt-and-braces: the driver captures only the tail of stdout (the r7
+    # line grew past its 2 KB window via queries_runs and came back
+    # "parsed": null). Full detail (both raw passes per query) goes to a
+    # sidecar file; stdout carries exactly ONE compact line, printed last.
+    detail = dict(payload)
+    detail["queries_runs"] = raw
+    Path(_REPO, "BENCH_local.json").write_text(json.dumps(detail, indent=1))
     spark.stop()
+    print(json.dumps(payload, separators=(",", ":")))
 
 
 if __name__ == "__main__":

@@ -644,11 +644,32 @@ def test_kcenter_greedy_k_exceeding_vectors_returns_distinct_ids(spark):
 
 
 def test_knn_pq_rejects_mismatched_dim(spark):
-    # the in-plan assert fires on execution (no extra driver job at
+    # the in-plan gate fires on execution (no extra driver job at
     # build time), naming the mismatch instead of silently slicing
-    # short subvectors
+    # short subvectors. Query-side rows (vec_id < n_queries) trip the
+    # per-row LUT gate ...
     emb = _vecs(spark, [(0, [1.0, 0.0]), (1, [0.0, 1.0])], dim=4)
     with pytest.raises(Exception, match="does not match embedding length"):
         similarity.knn_pq(emb, k=1, m=8, dim=64).collect()
+    # ... corpus-side rows (vec_id >= n_queries) trip the per-group
+    # gate folded into the encode aggregate (mixed frame: 64-dim
+    # queries pass, the short id-10 corpus row must still fail)
+    ok_q = [(i, [float(i)]) for i in range(10)]
+    mixed = _vecs(spark, ok_q, dim=64).unionByName(
+        _vecs(spark, [(10, [1.0, 2.0])], dim=4)
+    )
+    with pytest.raises(Exception, match="does not match embedding length"):
+        similarity.knn_pq(mixed, k=1, m=8, dim=64).collect()
     with pytest.raises(ValueError, match="must divide"):
         similarity.knn_pq(emb, k=1, m=7, dim=64)
+
+
+def test_knn_pq_rejects_null_embedding(spark):
+    # NULL embeddings hard-fail the job (documented contract,
+    # functions gate on min(size) which is NULL for an all-NULL group)
+    ok = _vecs(spark, [(i, [float(i)]) for i in range(11)], dim=64)
+    null_row = spark.createDataFrame(
+        [(11, None)], "vec_id bigint, embedding array<float>"
+    )
+    with pytest.raises(Exception, match="does not match embedding length"):
+        similarity.knn_pq(ok.unionByName(null_row), k=1, m=8, dim=64).collect()

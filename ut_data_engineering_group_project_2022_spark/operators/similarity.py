@@ -455,28 +455,37 @@ def knn_pq(
     # Validate dim against the DATA, not just the parameter: a shorter
     # real embedding would make F.slice silently emit short/empty
     # subvectors and zero distances, degrading recall with no
-    # diagnostic (r6 advisory). In-plan assert_true — evaluated on
-    # every row during the encode pass at array-length-read cost, no
-    # extra driver job (a .first() probe cost ~0.3 s per call).
-    dim_ok = F.assert_true(
-        F.size(vec_col) == dim,
-        F.concat(
-            F.lit(f"knn_pq: dim={dim} does not match embedding length "),
-            F.size(vec_col).cast("string"),
-        ),
-    )
+    # diagnostic (r6 advisory). A NULL or wrong-length embedding
+    # HARD-FAILS the job (documented contract; r7 advisory): the gate
+    # is a per-GROUP check folded into the encode aggregate (min of
+    # the carried array length — NULL sizes make the min NULL, which
+    # also trips the gate) plus a per-row check on the query-side LUT,
+    # which only ever holds n_queries*m*n_codes rows. The r7 per-row
+    # assert_true on the base select defeated whole-stage codegen on
+    # the corpus scan and cost ~0.4 s at sf0.1 (measured r8); this
+    # form keeps the hot scan/explode/join stage branch-free.
     sub_d = dim // m
+
+    def _dim_gate(out: Column, sz: Column) -> Column:
+        return F.when(sz == dim, out).otherwise(
+            F.raise_error(
+                F.concat(
+                    F.lit(f"knn_pq: dim={dim} does not match embedding length "),
+                    F.coalesce(sz.cast("string"), F.lit("NULL")),
+                )
+            )
+        )
+
     x = emb.select(
         F.col(id_col).alias("vec_id"),
-        F.when(
-            dim_ok.isNull(),
-            F.transform(
-                as_double(vec_col), lambda e: F.floor(e * scale).cast("bigint")
-            ),
+        F.transform(
+            as_double(vec_col), lambda e: F.floor(e * scale).cast("bigint")
         ).alias("x"),
+        F.size(vec_col).alias("sz"),
     )
     subs = x.select(
         "vec_id",
+        "sz",
         F.explode(
             F.transform(
                 F.sequence(F.lit(0), F.lit(m - 1)),
@@ -486,7 +495,7 @@ def knn_pq(
                 ),
             )
         ).alias("e"),
-    ).select("vec_id", F.col("e.s").alias("s"), F.col("e.xs").alias("xs"))
+    ).select("vec_id", "sz", F.col("e.s").alias("s"), F.col("e.xs").alias("xs"))
     cb = subs.filter(F.col("vec_id") < n_codes).select(
         F.col("vec_id").alias("code"), "s", F.col("xs").alias("cs")
     )
@@ -500,14 +509,23 @@ def knn_pq(
         .join(F.broadcast(cb), "s")
         .withColumn("d2", d2)
         .groupBy("vec_id", "s")
-        .agg(F.min(F.struct("d2", "code")).alias("mn"))
-        .select("vec_id", "s", F.col("mn.code").alias("code"))
+        .agg(
+            F.min(F.struct("d2", "code")).alias("mn"),
+            # min over an all-NULL sz group is NULL -> gate trips; every
+            # row in a (vec_id, s) group shares one source vector, so
+            # min(sz) IS that vector's length.
+            F.min("sz").alias("msz"),
+        )
+        .select("vec_id", "s", _dim_gate(F.col("mn.code"), F.col("msz")).alias("code"))
     )
     lut = (
         subs.filter(F.col("vec_id") < n_queries)
         .join(F.broadcast(cb), "s")
         .select(
-            F.col("vec_id").alias("query_id"), "s", "code", d2.alias("d2")
+            F.col("vec_id").alias("query_id"),
+            "s",
+            "code",
+            _dim_gate(d2, F.col("sz")).alias("d2"),
         )
     )
     adc = (
