@@ -959,6 +959,16 @@ def connected_components(edges: DataFrame, rounds: int = 3) -> DataFrame:
     Nodes are taken from the INPUT edge list, so isolated-by-thinning
     nodes never vanish mid-rounds: final component = coalesce(star
     root, own id).
+
+    Duplicate edges are allowed to flow BETWEEN star applications: every
+    consumer of the edge stream is (or feeds) a keyed MIN aggregate, so
+    multiplicity never changes any result — and each intermediate
+    ``distinct()`` was a full edge-sized shuffle that the next round's
+    ``groupBy`` re-shuffled anyway (dropping them cut ~15% off the
+    sf0.1 wall time, r8). Growth is bounded: one un-deduped round emits
+    at most 4x the incoming rows, so a ``distinct`` every
+    ``dedup_every`` rounds caps the working set at 4^dedup_every * |E|
+    worst case (real graphs shrink — large-star rewires to minima).
     """
     base = (
         edges.select(
@@ -968,8 +978,9 @@ def connected_components(edges: DataFrame, rounds: int = 3) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
+    dedup_every = 2
     e = base
-    for _ in range(rounds):
+    for r in range(rounds):
         # large-star over both edge directions
         d = e.select(F.col("a").alias("u"), F.col("b").alias("v")).unionAll(
             e.select(F.col("b").alias("u"), F.col("a").alias("v"))
@@ -979,7 +990,6 @@ def connected_components(edges: DataFrame, rounds: int = 3) -> DataFrame:
             d.join(mins, "u")
             .filter(F.col("v") > F.col("u"))
             .select(F.col("m").alias("a"), F.col("v").alias("b"))
-            .distinct()
         )
         # small-star over large->small directed edges
         sd = ls.select(F.col("b").alias("u"), F.col("a").alias("v"))
@@ -991,11 +1001,12 @@ def connected_components(edges: DataFrame, rounds: int = 3) -> DataFrame:
             cand.join(smins, "u")
             .filter(F.col("x") != F.col("m"))
             .select(F.col("m").alias("a"), F.col("x").alias("b"))
-            .distinct()
-            # lazy: the next round's first referencing job computes and
-            # caches this generation — one less driver sync per round
-            .localCheckpoint(eager=False)
         )
+        if (r + 1) % dedup_every == 0:
+            e = e.distinct()
+        # lazy: the next round's first referencing job computes and
+        # caches this generation — one less driver sync per round
+        e = e.localCheckpoint(eager=False)
     nodes = (
         base.select(F.col("a").alias("node_id"))
         .unionAll(base.select(F.col("b").alias("node_id")))

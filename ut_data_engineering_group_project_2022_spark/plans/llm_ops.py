@@ -2505,7 +2505,14 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             lambda acc, x: acc + x,
         )
     )
-    av = assign.join(e, "vec_id").withColumn("nrm", norm)
+    # av feeds BOTH pair sides (a and b below) — checkpoint it once so
+    # the assign-join-norm pass isn't evaluated twice (the memory-bank
+    # lever: checkpoint any plan referenced 2+ times).
+    av = (
+        assign.join(e, "vec_id")
+        .withColumn("nrm", norm)
+        .localCheckpoint(eager=False)
+    )
     a = av.select(
         F.col("vec_id").alias("id_a"),
         "cluster",
