@@ -123,10 +123,18 @@ def join_gender(
     """Attach the folded gender via a broadcast lookup join — the
     100 TB path (the UDF above stays as the documented Python
     extension point)."""
-    tbl = F.broadcast(gender_table_df(df.sparkSession))
+    # Collision-proof aliases: dropping bare 'name'/'label' after the
+    # join silently clobbered caller columns with those names (r7
+    # advisory) — the lookup side now only ever contributes __g-prefixed
+    # columns.
+    tbl = F.broadcast(
+        gender_table_df(df.sparkSession).select(
+            F.col("name").alias("__gname"), F.col("label").alias("__glabel")
+        )
+    )
     return (
         df.withColumn("__gk", first_token_key(F.col(given_col)))
-        .join(tbl, F.col("__gk") == tbl.name, "left")
-        .withColumn(out_col, fold_gender_label(F.col("label")))
-        .drop("__gk", "name", "label")
+        .join(tbl, F.col("__gk") == F.col("__gname"), "left")
+        .withColumn(out_col, fold_gender_label(F.col("__glabel")))
+        .drop("__gk", "__gname", "__glabel")
     )

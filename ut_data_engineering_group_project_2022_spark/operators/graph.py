@@ -608,6 +608,13 @@ def _louvain_hierarchy(und: DataFrame, rounds: int, levels: int) -> DataFrame:
             .select("id", F.col("upper").alias("label"))
             .localCheckpoint(eager=True)
         )
+    if levels == 1:
+        # The level loop never ran, so labels is still the LAZILY
+        # checkpointed frame from _louvain_moves — force it while parts
+        # is cached, or the whole round loop recomputes off un-cached
+        # lineage after the unpersist below (r7 advisory). levels >= 2
+        # already ends on an eager checkpoint.
+        labels = labels.localCheckpoint(eager=True)
     parts.unpersist()
     return labels.select(
         F.col("id").alias("node_id"), F.col("label").alias("community")

@@ -1698,9 +1698,10 @@ def llm_sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "llm_embedding_pca_whiten",
-    oracle=None,  # eigendecomposition is not SQL-expressible; closed-form
-    # statistical gates live in tests/test_stats.py (cov(output) ~ I,
-    # mean ~ 0, run-to-run determinism) — the driver records rows-only.
+    oracle=None,  # rows-only by design: eigendecomposition is not
+    # SQL-expressible; closed-form statistical gates live in
+    # tests/test_stats.py (cov(output) ~ I, mean ~ 0, run-to-run
+    # determinism) — the driver row is a rows-only check, permanently.
     doc="PCA whitening of the embedding column (top-8 axes): one "
     "distributed moment pass (operators/stats.py — mapInPandas X.T@X "
     "partials, no d^2 explode), driver-side eigh of the DIM-sized "

@@ -1258,7 +1258,9 @@ def op_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "op_percentiles_approx",
-    oracle=None,
+    oracle=None,  # rows-only by design: DuckDB's approx_quantile is a
+    # different sketch, so cross-engine value hashes can never match;
+    # the band-gate vs the exact percentiles lives in tests/.
     doc="The 100 TB swap-in for op_percentiles, run for real: "
     "percentile_approx (t-digest-style sketch, accuracy 10000) per "
     "group — mergeable map-side, bounded memory regardless of group "
@@ -1298,7 +1300,7 @@ def op_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     s AS (
       SELECT user_id, n,
              s1::DOUBLE / n AS mean_s,
-             sqrt((n::DOUBLE * s2::DOUBLE - s1::DOUBLE * s1::DOUBLE)
+             sqrt(greatest(0, n::DOUBLE * s2::DOUBLE - s1::DOUBLE * s1::DOUBLE)
                   / (n::DOUBLE * n::DOUBLE)) AS std_s
       FROM m WHERE n >= 2)
     SELECT user_id, n AS n_gaps,
@@ -1346,7 +1348,10 @@ def op_user_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = F.col("n").cast("double")
     s1d = F.col("s1").cast("double")
     s2d = F.col("s2").cast("double")
-    std_s = F.sqrt((nd * s2d - s1d * s1d) / (nd * nd))
+    # greatest(0, ...) clamp, mirrored in the oracle: the double form of
+    # n*s2 - s1^2 can cancel to a tiny negative for near-constant gaps
+    # with large sums, which would be NaN under sqrt (r7 advisory).
+    std_s = F.sqrt(F.greatest(F.lit(0.0), nd * s2d - s1d * s1d) / (nd * nd))
     s = m.filter(F.col("n") >= 2).select(
         "user_id", F.col("n").alias("n_gaps"), mean_s.alias("mean_s"), std_s.alias("std_s")
     )
