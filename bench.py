@@ -44,6 +44,18 @@ def main() -> None:
     spark.range(1_000_000).groupBy((F.col("id") % 16).alias("k")).count().write.format(
         "noop"
     ).mode("overwrite").save()
+    # Host-noise probe: a fixed CPU-bound reference job, timed AFTER
+    # warmup. The bench host swings ~1.5x minute-to-minute (r7/r8 drift
+    # diagnosis: llm_knn_pq_rerank read 4.3 s in one bench run and
+    # 1.5 s in the next with identical code); this number lets a later
+    # reader normalize round-over-round comparisons instead of
+    # mistaking host load for regressions.
+    t0 = time.monotonic()
+    spark.range(50_000_000).select(
+        F.sum(F.hash("id").cast("bigint")).alias("s")
+    ).write.format("noop").mode("overwrite").save()
+    noise_probe = round(time.monotonic() - t0, 3)
+    print(f"[bench] host-noise probe (fixed job): {noise_probe:.3f}s", file=sys.stderr)
     # Warm the Arrow Python-worker path too (fork + Arrow IPC setup is
     # ~2-3 s on first use and would otherwise land on whichever
     # mapInPandas-using query runs first in the cold pass).
@@ -111,6 +123,7 @@ def main() -> None:
         "queries": timings,
         "cold_total": cold_total,
         "star_load_seconds": star_load,
+        "noise_probe_seconds": noise_probe,
         "r1_suite_total": r1_total,
         "sf": sf,
     }
