@@ -487,6 +487,13 @@ def _louvain_moves(und_w: DataFrame, rounds: int) -> DataFrame:
         # computes-and-caches it, removing one driver sync point per
         # round; all later references (including the checkpoint-backed
         # lineage truncation) read the cached copy.
+        # Measured dead ends (r8, do not retry): (a) .persist() instead
+        # of localCheckpoint — would preserve outputPartitioning and
+        # make the own-join shuffle-free, but WITHOUT lineage truncation
+        # the 5-references-per-round plan tree explodes across 8 rounds
+        # (7 s -> 45-54 s); (b) broadcasting `best` into the label
+        # update — forces an eager per-round broadcast job that defeats
+        # the lazy-checkpoint pipelining (no win, interleaved A/B).
         labels = (
             own.join(best, "id", "left")
             .select(
