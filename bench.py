@@ -96,6 +96,16 @@ def main() -> None:
             df = specs[name].spark(spark, sf_dir)
             df.write.format("noop").mode("overwrite").save()
             runs.append(round(time.monotonic() - t0, 3))
+        # Adaptive third pass: when the two runs disagree by >40% the
+        # minute's host load is suspect (documented 1.5-3x swings) — one
+        # more sample keeps a noise spike from becoming the recorded
+        # warm time. Only disagreeing queries pay for it.
+        if max(runs) > 1.4 * min(runs):
+            t0 = time.monotonic()
+            specs[name].spark(spark, sf_dir).write.format("noop").mode(
+                "overwrite"
+            ).save()
+            runs.append(round(time.monotonic() - t0, 3))
         raw[name] = runs
         timings[name] = min(runs)
         print(f"[bench] {name}: min {min(runs):.3f}s (runs: {runs})", file=sys.stderr)
