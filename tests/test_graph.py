@@ -555,6 +555,30 @@ def test_connected_components_tiny_graphs(spark):
     assert got == _py_components(pairs)
 
 
+def test_connected_components_duplicate_tolerant_rounds(spark):
+    # r8: intermediate per-star distinct()s were dropped (dedup now runs
+    # every 2nd round only) on the argument that every consumer of the
+    # edge stream is a keyed MIN aggregate — pin that claim on an input
+    # with heavy duplicate multiplicity, both orientations, and
+    # self-loops, across round counts that end mid-dedup-cycle (odd
+    # rounds never hit the periodic distinct after the last star pair).
+    pairs = (
+        [("a", "b")] * 4
+        + [("b", "a")] * 3
+        + [("b", "c"), ("c", "b"), ("c", "c")]
+        + [("q", "r")] * 2
+    )
+    expect = _py_components([(a, b) for a, b in pairs if a != b])
+    for rounds in (1, 2, 3):
+        got = {
+            r.node_id: r.component
+            for r in graph.connected_components(
+                _edges(spark, pairs), rounds=rounds
+            ).collect()
+        }
+        assert got == expect, f"rounds={rounds}"
+
+
 def test_connected_components_matches_union_find_and_converges(spark):
     # weight >= 2 and rounds = 5 mirror the registered
     # graph_connected_components configuration
