@@ -9,6 +9,16 @@ local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
 Each query is forced end-to-end with the `noop` sink (full computation,
 no driver-side collect). Progress goes to stderr; stdout carries only
 the JSON line.
+
+r8 drift verdict (the r7 "knn/Python-worker family" watch item): the
+host swings 1.5-3x minute-to-minute — llm_knn_pq_rerank read 4.3 s in
+one full-bench run and 1.38 s in the next with identical code, and
+llm_knn_bruteforce's r7 regression reversed with zero code change.
+The one real component was knn_pq's r7 per-row assert_true dim gate
+(~0.4 s of defeated codegen at sf0.1), replaced in r8 with an
+aggregate-folded check. Mitigations here: `noise_probe_seconds` (a
+fixed reference job) rides the payload, and a query whose two runs
+disagree by >40% gets an adaptive third pass.
 """
 
 from __future__ import annotations
