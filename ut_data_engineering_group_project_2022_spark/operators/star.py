@@ -162,9 +162,13 @@ def impute_author_sentinels(staging_authors: DataFrame) -> DataFrame:
     )
 
 
-def _next_key(dim: DataFrame, key_col: str) -> int:
-    row = dim.agg(F.max(key_col).alias("m")).collect()[0]
-    return (row["m"] or 0) + 1
+def _key_start(dim: DataFrame, key_col: str, out: str) -> DataFrame:
+    """1-row frame carrying max(existing surrogate key), 0 when empty —
+    broadcast-crossJoined into the insert plan so key continuation costs
+    no driver round-trip (r8: the `.first()`-per-dim form was 7 driver
+    syncs per load_batch; plan-side, the tiny aggregate rides the same
+    job as the insert it feeds)."""
+    return dim.agg(F.coalesce(F.max(key_col), F.lit(0)).alias(out))
 
 
 def _partition_offsets(local: DataFrame, local_rank_col: str) -> DataFrame:
@@ -306,10 +310,14 @@ def upsert_dim(
             .drop("_rn")
         )
     fresh = fresh.join(dim, natural_cols, "left_anti")
-    start = _next_key(dim, key_col) - 1
-    keyed = fresh.withColumn(
-        key_col,
-        (F.row_number().over(W.orderBy(*natural_cols)) + F.lit(start)).cast("int"),
+    keyed = (
+        fresh.crossJoin(F.broadcast(_key_start(dim, key_col, "__start")))
+        .withColumn(
+            key_col,
+            (F.row_number().over(W.orderBy(*natural_cols)) + F.col("__start"))
+            .cast("int"),
+        )
+        .drop("__start")
     )
     for col, default in (extra_defaults or {}).items():
         keyed = keyed.withColumn(col, F.lit(default))
@@ -392,8 +400,10 @@ def load_batch(
     new_papers = main.join(
         state.paper_fact.select(F.col("arxiv_ID").alias("id")), ["id"], "left_anti"
     )
-    ag_start = _next_key(state.paper_fact, "author_group_key") - 1
-    fg_start = _next_key(state.paper_fact, "affiliation_group_key") - 1
+    group_starts = state.paper_fact.agg(
+        F.coalesce(F.max("author_group_key"), F.lit(0)).alias("__ag"),
+        F.coalesce(F.max("affiliation_group_key"), F.lit(0)).alias("__fg"),
+    )
     fact_base = (
         new_papers.join(
             F.broadcast(state.dim_year),
@@ -423,13 +433,14 @@ def load_batch(
     # flagged as the loader's 100x scale-killer (same ids either way).
     fact_new = (
         dense_ids(fact_base, ["id"], "_seq")
+        .crossJoin(F.broadcast(group_starts))
         .select(
             "year_key",
             "domain_key",
             "type_key",
             "venue_key",
-            (F.col("_seq") + F.lit(ag_start)).cast("int").alias("author_group_key"),
-            (F.col("_seq") + F.lit(fg_start))
+            (F.col("_seq") + F.col("__ag")).cast("int").alias("author_group_key"),
+            (F.col("_seq") + F.col("__fg"))
             .cast("int")
             .alias("affiliation_group_key"),
             F.col("id").alias("arxiv_ID"),
