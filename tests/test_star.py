@@ -52,6 +52,16 @@ def test_incremental_and_idempotent(spark):
     assert state.paper_fact.count() == 4  # repeat paper not re-inserted
     authors = {r["full_name"] for r in state.dim_author.collect()}
     assert authors == {"John Smith", "Anna Doe", "Maria Garcia", "Bob Jones"}
+    # surrogate keys stay dense 1..n across batches — pins the r8
+    # plan-side key continuation (coalesce(max(key), 0) broadcast) on a
+    # NON-empty dim: batch 2 must continue after batch 1's max, with no
+    # gap and no reuse
+    author_keys = sorted(r["author_key"] for r in state.dim_author.collect())
+    assert author_keys == list(range(1, len(author_keys) + 1))
+    ag_keys = sorted(
+        r["author_group_key"] for r in state.paper_fact.collect()
+    )
+    assert ag_keys == list(range(1, len(ag_keys) + 1))
     # re-running batch 2 changes nothing (T6)
     m2, a2 = staging_batch_2(spark)
     again = star.load_batch(state, m2, a2)
