@@ -577,6 +577,15 @@ def test_connected_components_duplicate_tolerant_rounds(spark):
             ).collect()
         }
         assert got == expect, f"rounds={rounds}"
+    # r9: dedup cadence is a parameter (for the A/B harness) — every-round
+    # distinct (the pre-r8 form) must give the identical answer.
+    got1 = {
+        r.node_id: r.component
+        for r in graph.connected_components(
+            _edges(spark, pairs), rounds=3, dedup_every=1
+        ).collect()
+    }
+    assert got1 == expect
 
 
 def test_connected_components_matches_union_find_and_converges(spark):

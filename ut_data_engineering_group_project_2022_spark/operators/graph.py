@@ -947,7 +947,9 @@ def kcore(edges: DataFrame, k: int = 30, rounds: int = 5) -> DataFrame:
     return out
 
 
-def connected_components(edges: DataFrame, rounds: int = 3) -> DataFrame:
+def connected_components(
+    edges: DataFrame, rounds: int = 3, dedup_every: int = 2
+) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al. 2014, "Connected Components in MapReduce and
     Beyond"); returns (node_id, component) with component = the
@@ -976,13 +978,26 @@ def connected_components(edges: DataFrame, rounds: int = 3) -> DataFrame:
 
     Duplicate edges are allowed to flow BETWEEN star applications: every
     consumer of the edge stream is (or feeds) a keyed MIN aggregate, so
-    multiplicity never changes any result — and each intermediate
-    ``distinct()`` was a full edge-sized shuffle that the next round's
-    ``groupBy`` re-shuffled anyway (dropping them cut ~15% off the
-    sf0.1 wall time, r8). Growth is bounded: one un-deduped round emits
-    at most 4x the incoming rows, so a ``distinct`` every
+    multiplicity never changes any result — each intermediate
+    ``distinct()`` is a full edge-sized shuffle that the next round's
+    ``groupBy`` re-shuffles anyway. Growth is bounded: one un-deduped
+    round emits at most 4x the incoming rows, so a ``distinct`` every
     ``dedup_every`` rounds caps the working set at 4^dedup_every * |E|
     worst case (real graphs shrink — large-star rewires to minima).
+    ``dedup_every=1`` restores the pre-r8 every-round distinct. r9
+    same-minute interleaved A/B at sf0.1 (5 round pairs, 12.9k edges, 4
+    alternated runs per arm, noise probe 0.29-0.31 s — a quiet minute):
+    trim ON min/med 3.898/4.032 s vs trim OFF 4.106/4.214 s — a real
+    but modest ~4-5% win, NOT the "~15%" the r8 comment claimed (that
+    number came from an unrecorded intermediate on a noisy host), and
+    the r8 bench "regression" (4.598 -> 4.890 s) was host drift, not
+    this change. Phase split on the same minute: ~1.5 s of the bench
+    row is the customer-supplier edge projection evaluated inside
+    ``base``'s checkpoint; the 5 star round-pairs themselves run
+    ~2.4-2.6 s (per-round scheduling latency on 12.9k edges, amortized
+    on a real cluster). The trim stays: the asymptotic argument holds
+    (one fewer edge-sized shuffle per skipped round) and output
+    invariance is test-pinned across round parities.
     """
     base = (
         edges.select(
@@ -992,7 +1007,6 @@ def connected_components(edges: DataFrame, rounds: int = 3) -> DataFrame:
         .distinct()
         .localCheckpoint(eager=True)
     )
-    dedup_every = 2
     e = base
     for r in range(rounds):
         # large-star over both edge directions
