@@ -449,6 +449,17 @@ def knn_pq(
     Top-k by ascending ADC distance, neighbor-id tiebreak. Returns
     (query_id, neighbor_id, dist2, rn). Recall vs the exact baseline is
     gated in tests/.
+
+    PRECONDITION (r8 advisory): at least one row must have
+    ``id_col < n_codes`` — the codebook is trained on those rows. With
+    an EMPTY codebook every downstream join is empty and the result is
+    silently empty, INCLUDING the corpus-side wrong-length/NULL
+    embedding gate (it is folded into the encode aggregate, which is
+    only reachable through the codebook join; the query-side per-row
+    LUT gate is equally unreachable). Callers using non-contiguous ids
+    must remap them first; the registered queries satisfy this by
+    construction (dense 0-based vec_ids with n_codes ≤ corpus size,
+    pinned by the non-empty-result assertions in tests/test_graph.py).
     """
     if dim % m != 0:
         raise ValueError(f"dim={dim} must divide into m={m} subspaces")

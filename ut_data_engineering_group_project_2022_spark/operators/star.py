@@ -53,6 +53,19 @@ from ut_data_engineering_group_project_2022_spark.schemas import (
 )
 
 
+def _is_materialized(df: DataFrame) -> bool:
+    """True when the frame IS a bare ``localCheckpoint`` result — its
+    analyzed plan root is a LogicalRDD with nothing stacked on top, so
+    re-checkpointing it would re-copy identical in-memory partitions."""
+    try:
+        return (
+            df._jdf.queryExecution().analyzed().getClass().getSimpleName()
+            == "LogicalRDD"
+        )
+    except Exception:  # non-classic backend: just checkpoint again
+        return False
+
+
 @dataclass
 class StarState:
     """All star-schema tables as DataFrames (the engine's 'database')."""
@@ -86,15 +99,23 @@ class StarState:
         the shared scheduler instead of nine serial driver syncs. At
         sf0.1 this is a wash (the largest frame dominates either way,
         measured r8); the win is cluster-shaped — concurrent jobs keep
-        otherwise-idle executors busy."""
+        otherwise-idle executors busy.
+
+        A table that is already a bare checkpoint result (LogicalRDD
+        with no operators on top — e.g. dim_year after the first batch)
+        is passed through unchanged instead of burning a no-op Spark
+        job per table per batch (r9)."""
         with ThreadPoolExecutor(max_workers=len(fields(self))) as pool:
-            futs = {
-                f.name: pool.submit(
-                    getattr(self, f.name).localCheckpoint, True
-                )
-                for f in fields(self)
-            }
-            return StarState(**{name: fut.result() for name, fut in futs.items()})
+            futs = {}
+            done = {}
+            for f in fields(self):
+                df = getattr(self, f.name)
+                if _is_materialized(df):
+                    done[f.name] = df
+                else:
+                    futs[f.name] = pool.submit(df.localCheckpoint, True)
+            done.update({name: fut.result() for name, fut in futs.items()})
+            return StarState(**done)
 
     def save(self, path: str) -> None:
         """Persist all tables as parquet under `path` (the durable commit
@@ -123,16 +144,25 @@ def empty_star(spark: SparkSession) -> StarState:
         F.col("id").cast("int").alias("publication_year"),
     )
     sentinel = spark.createDataFrame([(0, 0)], DIM_YEAR)
+
+    def empty(schema):
+        # NOT createDataFrame([], schema): that parallelizes the empty
+        # list into defaultParallelism EMPTY partitions, so every scan
+        # of a first-batch dim schedules 32 no-op tasks — measured r9 at
+        # ~2.8 s per anti-join against one (vs 0.37 s against a
+        # 0-partition empty). emptyRDD carries zero partitions.
+        return spark.createDataFrame(spark.sparkContext.emptyRDD(), schema)
+
     return StarState(
         dim_year=dim_year.unionByName(sentinel),
-        dim_domain=spark.createDataFrame([], DIM_DOMAIN),
-        dim_type=spark.createDataFrame([], DIM_TYPE),
-        dim_venue=spark.createDataFrame([], DIM_VENUE),
-        dim_author=spark.createDataFrame([], DIM_AUTHOR),
-        dim_affiliation=spark.createDataFrame([], DIM_AFFILIATION),
-        paper_fact=spark.createDataFrame([], PAPER_FACT),
-        bridge_author_group=spark.createDataFrame([], BRIDGE_AUTHOR_GROUP),
-        bridge_affiliation_group=spark.createDataFrame([], BRIDGE_AFFILIATION_GROUP),
+        dim_domain=empty(DIM_DOMAIN),
+        dim_type=empty(DIM_TYPE),
+        dim_venue=empty(DIM_VENUE),
+        dim_author=empty(DIM_AUTHOR),
+        dim_affiliation=empty(DIM_AFFILIATION),
+        paper_fact=empty(PAPER_FACT),
+        bridge_author_group=empty(BRIDGE_AUTHOR_GROUP),
+        bridge_affiliation_group=empty(BRIDGE_AFFILIATION_GROUP),
     )
 
 
@@ -300,6 +330,13 @@ def upsert_dim(
     when one natural key arrives with several carry variants the first
     in sort order wins (reference: ON CONFLICT DO NOTHING keeps
     first-seen, ref pop_DWH.py:190-193).
+
+    CALLER CONTRACT (r8 advisory): the returned frame references `dim`
+    lazily in three places (anti-join, key-start aggregate, union) —
+    checkpoint/materialize it ONCE before reusing it, as every internal
+    caller does (`load_batch`'s per-dim ckpt). Evaluating it repeatedly
+    over a non-deterministic or mutating `dim` source could observe
+    inconsistent surrogate keys.
     """
     fresh = values.select(*natural_cols, *carry_cols).distinct()
     if carry_cols:
@@ -324,6 +361,124 @@ def upsert_dim(
     return dim.unionByName(keyed.select(dim.columns))
 
 
+def _upsert_all_dims(
+    state: StarState, main: DataFrame, authors: DataFrame
+) -> dict[str, DataFrame]:
+    """All five batch-dim upserts as ONE Spark job.
+
+    Semantically five :func:`upsert_dim` calls (DISTINCT new naturals ->
+    carry first-wins -> anti-join on the natural key -> dense surrogate
+    keys continuing from max(existing); ref pop_DWH.py:157-212), but on
+    one tagged union:
+
+      * candidate dedup + carry first-wins is ONE aggregate
+        (``min(carry)`` per natural key — "first in sort order wins" IS
+        the min — instead of upsert_dim's DISTINCT + row_number window);
+      * the anti-join and the per-tag key starts (``max(existing key)``,
+        one grouped aggregate, left-joined so tags with empty dims fall
+        back to 0) both read one tagged projection of the existing dims;
+      * the job's checkpointed output is the FULL new dim content —
+        existing ∪ fresh — so each returned dim is a pure
+        filter-on-tag over one in-memory frame. Re-evaluation is
+        deterministic and trivially cheap (no joins/windows remain in
+        the plan), and dim lineage stays depth-1 across incremental
+        batches by construction.
+
+    The r8 form ran the five upserts as concurrent jobs; at sf0.1 they
+    serialized on driver planning/codegen and took ~4 s wall for ~1 s of
+    real work (measured r9). One job is also the right shape at 100 TB:
+    the dominant cost there is the fact-sized scan of
+    ``main``/``authors``, paid once here instead of five times, and the
+    key window partitions by dim tag instead of upsert_dim's global
+    ORDER BY (dim-sized partitions, never batch-sized).
+
+    Unused key/carry slots are ``''`` — never NULL, staging is imputed
+    before this point — so joins and aggregates need no null-safe forms.
+    """
+    e = F.lit("")
+    ni = F.lit(None).cast("int")
+
+    # tag -> (existing dim, surrogate key col, dim natural cols (k1[, k2]))
+    spec = {
+        "domain": (state.dim_domain, "domain_key", ("scientific_domain",)),
+        "type": (state.dim_type, "type_key", ("publication_type",)),
+        "venue": (state.dim_venue, "venue_key", ("pub_venue", "publisher")),
+        "author": (state.dim_author, "author_key", ("full_name",)),
+        "affiliation": (
+            state.dim_affiliation,
+            "affiliation_key",
+            ("affiliation_name",),
+        ),
+    }
+
+    def tagged_cand(df, tag, k1, k2=None, carry=None):
+        return df.select(
+            F.lit(tag).alias("__tag"),
+            F.col(k1).alias("__k1"),
+            (F.col(k2) if k2 else e).alias("__k2"),
+            (F.col(carry) if carry else e).alias("__carry"),
+        )
+
+    def tagged_dim(tag):
+        dim, key_col, naturals = spec[tag]
+        return dim.select(
+            F.lit(tag).alias("__tag"),
+            F.col(naturals[0]).alias("__k1"),
+            (F.col(naturals[1]) if len(naturals) > 1 else e).alias("__k2"),
+            (F.col("gender") if tag == "author" else e).alias("__carry"),
+            F.col(key_col).cast("int").alias("__key"),
+            (F.col("h_index").cast("int") if tag == "author" else ni).alias("__h"),
+            (F.col("g_index").cast("int") if tag == "author" else ni).alias("__g"),
+        )
+
+    existing = None
+    for tag in spec:
+        t = tagged_dim(tag)
+        existing = t if existing is None else existing.unionByName(t)
+    cands = (
+        tagged_cand(main, "domain", "subject")
+        .unionByName(tagged_cand(main, "type", "type"))
+        .unionByName(tagged_cand(main, "venue", "container-title", k2="publisher"))
+        .unionByName(tagged_cand(authors, "author", "full_name", carry="gender"))
+        .unionByName(tagged_cand(authors, "affiliation", "affiliation"))
+        .groupBy("__tag", "__k1", "__k2")
+        .agg(F.min("__carry").alias("__carry"))
+    )
+    starts = existing.groupBy("__tag").agg(F.max("__key").alias("__start"))
+    fresh = (
+        cands.join(
+            existing.select("__tag", "__k1", "__k2"),
+            ["__tag", "__k1", "__k2"],
+            "left_anti",
+        )
+        .join(F.broadcast(starts), "__tag", "left")
+        .withColumn(
+            "__key",
+            (
+                F.row_number().over(W.partitionBy("__tag").orderBy("__k1", "__k2"))
+                + F.coalesce("__start", F.lit(0))
+            ).cast("int"),
+        )
+        .select("__tag", "__k1", "__k2", "__carry", "__key", ni.alias("__h"),
+                ni.alias("__g"))
+    )
+    full = existing.unionByName(fresh).localCheckpoint(eager=True)
+    out = {}
+    for tag, (dim, key_col, naturals) in spec.items():
+        rows = full.filter(F.col("__tag") == tag)
+        sel = [F.col("__key").alias(key_col), F.col("__k1").alias(naturals[0])]
+        if len(naturals) > 1:
+            sel.append(F.col("__k2").alias(naturals[1]))
+        if tag == "author":
+            sel += [
+                F.col("__carry").alias("gender"),
+                F.col("__h").alias("h_index"),
+                F.col("__g").alias("g_index"),
+            ]
+        out[tag] = rows.select(*sel).select(*dim.columns)
+    return out
+
+
 def load_batch(
     state: StarState, staging_main: DataFrame, staging_authors: DataFrame
 ) -> StarState:
@@ -332,69 +487,32 @@ def load_batch(
     Idempotent (T6): re-running the same batch is a no-op because every
     insert is anti-joined on its natural key first.
     """
-    main = impute_sentinels(staging_main).localCheckpoint(eager=True)
-    authors = impute_author_sentinels(staging_authors).localCheckpoint(eager=True)
+    # The two staging checkpoints are independent — run them as
+    # concurrent jobs (r9: they were two serial driver syncs).
+    with ThreadPoolExecutor(max_workers=2) as pool:
+        f_main = pool.submit(
+            lambda: impute_sentinels(staging_main).localCheckpoint(eager=True)
+        )
+        f_auth = pool.submit(
+            lambda: impute_author_sentinels(staging_authors).localCheckpoint(
+                eager=True
+            )
+        )
+        main = f_main.result()
+        authors = f_auth.result()
 
-    # Each dim below is eagerly checkpointed: the fact build joins all of
-    # them, the bridges join the fact AND the dims, and the metric refresh
-    # joins the bridges — without truncation every downstream checkpoint
-    # re-executes the whole upstream chain (the load went from minutes to
-    # seconds at sf0.1 with these). Dims are dim-sized; the cost is small.
-    # The five upserts are independent of each other, so they run as
-    # concurrent jobs on the shared SparkContext (thread-per-dim — the
-    # scheduler interleaves their stages instead of serializing five
-    # small job rounds).
     ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
 
     # -- dims (D3 distinct + J4/J5 upsert; ref pop_DWH.py:157-212) --------
-    def _build_dim(name):
-        if name == "domain":
-            return ckpt(upsert_dim(
-                state.dim_domain,
-                main.select(F.col("subject").alias("scientific_domain")),
-                ["scientific_domain"],
-                "domain_key",
-            ))
-        if name == "type":
-            return ckpt(upsert_dim(
-                state.dim_type,
-                main.select(F.col("type").alias("publication_type")),
-                ["publication_type"],
-                "type_key",
-            ))
-        if name == "venue":
-            return ckpt(upsert_dim(
-                state.dim_venue,
-                main.select(
-                    F.col("container-title").alias("pub_venue"), F.col("publisher")
-                ),
-                ["pub_venue", "publisher"],
-                "venue_key",
-            ))
-        if name == "author":
-            return ckpt(upsert_dim(
-                state.dim_author,
-                authors.select("full_name", "gender"),
-                ["full_name"],
-                "author_key",
-                carry_cols=("gender",),
-                extra_defaults={"h_index": None, "g_index": None},
-            ))
-        return ckpt(upsert_dim(
-            state.dim_affiliation,
-            authors.select(F.col("affiliation").alias("affiliation_name")),
-            ["affiliation_name"],
-            "affiliation_key",
-        ))
-
-    with ThreadPoolExecutor(max_workers=5) as pool:
-        futs = {n: pool.submit(_build_dim, n)
-                for n in ("domain", "type", "venue", "author", "affiliation")}
-        dim_domain = futs["domain"].result()
-        dim_type = futs["type"].result()
-        dim_venue = futs["venue"].result()
-        dim_author = futs["author"].result()
-        dim_affiliation = futs["affiliation"].result()
+    # All five upserts ride ONE tagged Spark job (_upsert_all_dims); the
+    # returned frames are lazy existing∪fresh unions over the job's
+    # checkpointed output, safe to re-evaluate downstream.
+    dims = _upsert_all_dims(state, main, authors)
+    dim_domain = dims["domain"]
+    dim_type = dims["type"]
+    dim_venue = dims["venue"]
+    dim_author = dims["author"]
+    dim_affiliation = dims["affiliation"]
 
     # -- fact (J3 lookups + J5 conflict-skip; ref pop_DWH.py:215-233) -----
     new_papers = main.join(
@@ -431,7 +549,7 @@ def load_batch(
     # per range-partition + offsets instead of one global row_number —
     # the batch-sized single-partition WindowExec the round-1 review
     # flagged as the loader's 100x scale-killer (same ids either way).
-    fact_new = (
+    fact_new = ckpt(
         dense_ids(fact_base, ["id"], "_seq")
         .crossJoin(F.broadcast(group_starts))
         .select(
@@ -452,25 +570,27 @@ def load_batch(
             F.col("is-referenced-by-count").cast("int").alias("citation_count"),
         )
     )
-    fact_new = ckpt(fact_new)
     paper_fact = state.paper_fact.unionByName(fact_new)
 
     # -- bridges (J6 propagation + J3 lookup + J5; ref pop_DWH.py:235-261) -
-    author_rows = authors.join(
-        fact_new.select(F.col("arxiv_ID").alias("id"), "author_group_key",
-                        "affiliation_group_key"),
-        "id",
-    )
-    bridge_author = (
-        author_rows.join(
-            F.broadcast(dim_author.select("author_key", "full_name")), "full_name"
+    # One checkpointed (author x new-fact x both-dim-lookups) frame feeds
+    # BOTH bridges and the metric refresh: the r8 form computed the
+    # authors-x-fact join once per bridge AND re-ran the whole bridge
+    # plan inside materialize's dim_author job (the bridge union feeds
+    # refresh_metrics) — three evaluations of the batch's one fact-sized
+    # join. The lookups stay lossless inner joins: every full_name and
+    # affiliation was just upserted into its dim above.
+    author_rows = ckpt(
+        authors.join(
+            fact_new.select(
+                F.col("arxiv_ID").alias("id"),
+                "author_group_key",
+                "affiliation_group_key",
+            ),
+            "id",
         )
-        .select("author_group_key", "author_key")
-        .distinct()
-        .join(state.bridge_author_group, ["author_group_key", "author_key"], "left_anti")
-    )
-    bridge_affiliation = (
-        author_rows.join(
+        .join(F.broadcast(dim_author.select("author_key", "full_name")), "full_name")
+        .join(
             F.broadcast(
                 dim_affiliation.select(
                     "affiliation_key", F.col("affiliation_name").alias("affiliation")
@@ -478,7 +598,20 @@ def load_batch(
             ),
             "affiliation",
         )
-        .select("affiliation_group_key", "affiliation_key")
+        .select(
+            "author_group_key",
+            "author_key",
+            "affiliation_group_key",
+            "affiliation_key",
+        )
+    )
+    bridge_author = (
+        author_rows.select("author_group_key", "author_key")
+        .distinct()
+        .join(state.bridge_author_group, ["author_group_key", "author_key"], "left_anti")
+    )
+    bridge_affiliation = (
+        author_rows.select("affiliation_group_key", "affiliation_key")
         .distinct()
         .join(
             state.bridge_affiliation_group,
