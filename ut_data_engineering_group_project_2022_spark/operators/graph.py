@@ -434,6 +434,31 @@ def _louvain_moves(und_w: DataFrame, rounds: int) -> DataFrame:
             "dst",
         ).select(F.col("src").alias("id"), "cand", F.col("w").alias("kin"))
         cand = nbr_rows.groupBy("id", "cand").agg(F.sum("kin").alias("kin"))
+        # Zero-kin own-community rows ride the SAME argmax as the
+        # neighbor candidates (r9, the verdict's fold-own-into-scored
+        # ask): one node-sized union AFTER the edge-sized aggregate —
+        # not the r5 dead end, which unioned edge-sized zero rows
+        # BEFORE it — replaces the separate own-score frame and the
+        # own LEFT JOIN best per round. The own row's score works out
+        # to -k*(sigma(own)-k) via the cand==label branch below, the
+        # exact own_ns the r8 two-frame comparison used, and the
+        # struct-min tiebreak (score DESC, cand ASC) reproduces its
+        # move-iff-strictly-better-or-smaller-label rule bit-for-bit
+        # (labels verified unchanged by the oracle-parity tests).
+        # Measured r9, interleaved same-minute A/B at sf0.1 (3 passes
+        # per arm): warm medians 8.09 s folded vs 7.92 s two-frame — a
+        # wash within host noise. Kept for the structural win (one
+        # fewer node-sized join and sig reference per round, which is
+        # what matters on a real cluster); with this last lever
+        # measured neutral, the ≤6 s stretch target is closed as
+        # unreachable on local[32] — per-round job latency dominates.
+        cand = cand.unionByName(
+            labels.select(
+                "id",
+                F.col("label").alias("cand"),
+                F.lit(0).cast(dict(cand.dtypes)["kin"]).alias("kin"),
+            )
+        )
         scored = (
             cand.join(_bcast(labels), "id")
             .join(
@@ -455,6 +480,8 @@ def _louvain_moves(und_w: DataFrame, rounds: int) -> DataFrame:
         # orders by score DESC then cand ASC — the exact tiebreak — with
         # map-side partial aggregation and no per-id sort (the window
         # form shuffled the full candidate set and sorted each group).
+        # k and label are constant within an id group, so min() reads
+        # them back without another labels join.
         best = (
             scored.groupBy("id")
             .agg(
@@ -462,25 +489,15 @@ def _louvain_moves(und_w: DataFrame, rounds: int) -> DataFrame:
                     F.struct(
                         (-F.col("score")).alias("ns"), F.col("cand").alias("cand")
                     )
-                ).alias("b")
+                ).alias("b"),
+                F.min("k").alias("k"),
+                F.min("label").alias("label"),
             )
         )
-        # Zero-kin own-community score: -k * (sigma(own) - k); beat it
-        # strictly (or tie with a smaller community label) to move.
-        own = labels.join(_bcast(sig), "label").select(
-            "id", "label", "k", (F.col("k") * (F.col("sig") - F.col("k"))).alias("own_ns")
-        )
-        use_nbr = F.col("b").isNotNull() & (
-            (F.col("b.ns") < F.col("own_ns"))
-            | (
-                (F.col("b.ns") == F.col("own_ns"))
-                & (F.col("b.cand") < F.col("label"))
-            )
-        )
-        new_label = F.when(use_nbr, F.col("b.cand")).otherwise(F.col("label"))
+        new_label = F.col("b.cand")
         mover = even if r % 2 == 0 else ~even
         # Checkpoint EVERY round: the label vector is referenced ~5x per
-        # round (sig, nbr broadcast, scored, own), so skipping rounds was
+        # round (sig, nbr broadcast, scored, own-rows union), so skipping
         # measured 40% slower — recompute beats materialization only
         # when references are few (pagerank's 2x/iter), not here. LAZY
         # (eager=False, r7): the next round's first referencing job
@@ -495,8 +512,7 @@ def _louvain_moves(und_w: DataFrame, rounds: int) -> DataFrame:
         # update — forces an eager per-round broadcast job that defeats
         # the lazy-checkpoint pipelining (no win, interleaved A/B).
         labels = (
-            own.join(best, "id", "left")
-            .select(
+            best.select(
                 "id",
                 F.when(mover, new_label).otherwise(F.col("label")).alias("label"),
                 "k",
