@@ -96,3 +96,86 @@ def test_star_join_queryable(spark):
         for r in joined.groupBy("full_name").agg(F.count("*").alias("n")).collect()
     }
     assert counts["Anna Doe"] == 3  # papers 0701.0001, 0701.0002, 0702.0001
+
+
+def test_upsert_all_dims_matches_upsert_dim(spark):
+    """The r9 one-job tagged upsert is row-identical to five upsert_dim
+    calls — on an empty warehouse, on a loaded one (key continuation
+    past max(existing)), and with conflicting carry variants (gender
+    first-wins = min in sort order)."""
+    from tests.fixtures import staging_batch_1 as b1, staging_batch_2 as b2
+    from ut_data_engineering_group_project_2022_spark.schemas import STAGING_AUTHORS
+
+    def five_upserts(state, main, authors):
+        return {
+            "domain": star.upsert_dim(
+                state.dim_domain,
+                main.select(F.col("subject").alias("scientific_domain")),
+                ["scientific_domain"],
+                "domain_key",
+            ),
+            "type": star.upsert_dim(
+                state.dim_type,
+                main.select(F.col("type").alias("publication_type")),
+                ["publication_type"],
+                "type_key",
+            ),
+            "venue": star.upsert_dim(
+                state.dim_venue,
+                main.select(
+                    F.col("container-title").alias("pub_venue"), F.col("publisher")
+                ),
+                ["pub_venue", "publisher"],
+                "venue_key",
+            ),
+            "author": star.upsert_dim(
+                state.dim_author,
+                authors.select("full_name", "gender"),
+                ["full_name"],
+                "author_key",
+                carry_cols=("gender",),
+                extra_defaults={"h_index": None, "g_index": None},
+            ),
+            "affiliation": star.upsert_dim(
+                state.dim_affiliation,
+                authors.select(F.col("affiliation").alias("affiliation_name")),
+                ["affiliation_name"],
+                "affiliation_key",
+            ),
+        }
+
+    state = star.empty_star(spark)
+    m1, a1 = b1(spark)
+    m2, a2 = b2(spark)
+    # third input: one full_name with THREE gender variants — pins the
+    # carry first-wins fold (min(__carry) == row_number-over-orderBy=1)
+    a3 = spark.createDataFrame(
+        [
+            ("Zed", "Q", "X", "male", "Zed Q", "0703.0001"),
+            ("Zed", "Q", "Y", "nonbinary", "Zed Q", "0703.0001"),
+            ("Zed", "Q", None, "female", "Zed Q", "0703.0002"),
+        ],
+        STAGING_AUTHORS,
+    )
+    cases = [(m1, a1), (m2, a2), (m1, a3)]
+    for m, a in cases:
+        main = star.impute_sentinels(m)
+        authors = star.impute_author_sentinels(a)
+        got = star._upsert_all_dims(state, main, authors)
+        want = five_upserts(state, main, authors)
+        for tag in want:
+            g = sorted(map(tuple, got[tag].collect()))
+            w = sorted(map(tuple, want[tag].collect()))
+            assert g == w, f"{tag} diverged: {g} != {w}"
+        state = star.load_batch(state, m, a)
+
+
+def test_materialize_passthrough_when_already_checkpointed(spark):
+    """materialize() on an already-materialized state returns the SAME
+    frames (bare-LogicalRDD skip) instead of scheduling nine no-op jobs."""
+    from dataclasses import fields
+
+    state = _load_two_batches(spark)
+    again = state.materialize()
+    for f in fields(star.StarState):
+        assert getattr(again, f.name) is getattr(state, f.name), f.name
