@@ -579,3 +579,56 @@ def test_shuffle_shards_global_pos_is_shard_major_permutation(spark):
     assert sorted(r["global_pos"] for r in rows) == list(range(1, n + 1))
     by_order = sorted(rows, key=lambda r: (r["shard"], r["pos"]))
     assert [r["global_pos"] for r in by_order] == list(range(1, n + 1))
+
+
+def test_tagged_upsert_windows_are_tag_partitioned(spark):
+    """The one-job dim upsert (r9) must never funnel the batch through a
+    global window: its key-assignment row_number partitions by dim tag
+    (dim-grain partitions — bounded by per-batch novel keys per dim),
+    and candidate dedup + carry first-wins is a grouped aggregate, not a
+    window at all."""
+    state = star.empty_star(spark)
+    main = star.impute_sentinels(
+        table(spark, SF_DIR, "orders").select(
+            F.lit(2000).alias("published-year"),
+            F.col("o_orderpriority").alias("subject"),
+            F.col("o_orderstatus").alias("type"),
+            F.col("o_orderpriority").alias("container-title"),
+            F.col("o_orderstatus").alias("publisher"),
+            F.col("o_orderkey").cast("string").alias("id"),
+            F.lit("d").alias("doi"),
+            F.lit("t").alias("title"),
+            F.lit("v1").alias("versions"),
+            F.lit(0).alias("is-referenced-by-count"),
+        )
+    )
+    authors = star.impute_author_sentinels(
+        table(spark, SF_DIR, "customer").select(
+            F.lit("G").alias("given"),
+            F.lit("F").alias("family"),
+            F.col("c_mktsegment").alias("affiliation"),
+            F.lit("unknown").alias("gender"),
+            F.col("c_name").alias("full_name"),
+            F.col("c_custkey").cast("string").alias("id"),
+        )
+    )
+    # Plan-only probe of the pre-checkpoint keyed frame: rebuild the
+    # tagged plan exactly as _upsert_all_dims does, minus the
+    # localCheckpoint (which would hide the physical plan).
+    import unittest.mock as mock
+
+    captured = {}
+    orig = type(main).localCheckpoint
+
+    def capture(self, eager=True):
+        captured["plan"] = _plan(self)
+        return orig(self, eager)
+
+    with mock.patch.object(type(main), "localCheckpoint", capture):
+        star._upsert_all_dims(state, main, authors)
+    plan = captured["plan"]
+    assert "windowspecdefinition(__tag" in plan, plan
+    # exactly one window (key assignment); dedup/first-wins must be
+    # aggregates (partial_min shows map-side combine on the carry fold)
+    assert plan.count("windowspecdefinition") == 1, plan
+    assert "partial_min(__carry" in plan, plan
