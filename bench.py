@@ -60,12 +60,37 @@ def main() -> None:
     # 1.5 s in the next with identical code); this number lets a later
     # reader normalize round-over-round comparisons instead of
     # mistaking host load for regressions.
-    t0 = time.monotonic()
-    spark.range(50_000_000).select(
-        F.sum(F.hash("id").cast("bigint")).alias("s")
-    ).write.format("noop").mode("overwrite").save()
-    noise_probe = round(time.monotonic() - t0, 3)
+    def probe() -> float:
+        t0 = time.monotonic()
+        spark.range(50_000_000).select(
+            F.sum(F.hash("id").cast("bigint")).alias("s")
+        ).write.format("noop").mode("overwrite").save()
+        return round(time.monotonic() - t0, 3)
+
+    # Quiet-host gate (r9 verdict ask #1): BENCH_r09 was recorded under
+    # 1.27x sustained host load (probe 0.821 vs the 0.645 reference) and
+    # its raw numbers under-sold the engine. If the minute is loud
+    # (probe > ~0.70), wait it out — bounded by
+    # $SPARK_GRAFT_QUIET_WAIT_S (default 240 s) so a permanently loud
+    # host still produces a record — and re-probe; the suite runs on the
+    # quietest minute found within the budget.
+    quiet_bar = float(os.environ.get("SPARK_GRAFT_QUIET_BAR_S", "0.70"))
+    wait_budget = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_S", "240"))
+    noise_probe = probe()
+    waited = 0.0
     print(f"[bench] host-noise probe (fixed job): {noise_probe:.3f}s", file=sys.stderr)
+    while noise_probe > quiet_bar and waited < wait_budget:
+        time.sleep(25)
+        waited += 25
+        # Latest probe, not min-so-far: the suite runs in THIS minute,
+        # so the recorded probe must reflect this minute's load or the
+        # normalized view mis-normalizes.
+        noise_probe = probe()
+        print(
+            f"[bench] loud minute (> {quiet_bar:.2f}s) — waited {waited:.0f}s,"
+            f" probe now {noise_probe:.3f}s",
+            file=sys.stderr,
+        )
     # Warm the Arrow Python-worker path too (fork + Arrow IPC setup is
     # ~2-3 s on first use and would otherwise land on whichever
     # mapInPandas-using query runs first in the cold pass).

@@ -555,6 +555,17 @@ def test_connected_components_tiny_graphs(spark):
     assert got == _py_components(pairs)
 
 
+def test_connected_components_rejects_bad_dedup_cadence(spark):
+    # r9 ADVICE: dedup_every=0 used to ZeroDivisionError mid-plan and
+    # negatives silently disabled dedup; both must fail fast at entry.
+    import pytest
+
+    e = _edges(spark, [("a", "b")])
+    for bad in (0, -1):
+        with pytest.raises(ValueError, match="dedup_every"):
+            graph.connected_components(e, rounds=2, dedup_every=bad)
+
+
 def test_connected_components_duplicate_tolerant_rounds(spark):
     # r8: intermediate per-star distinct()s were dropped (dedup now runs
     # every 2nd round only) on the argument that every consumer of the

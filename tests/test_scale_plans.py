@@ -581,12 +581,18 @@ def test_shuffle_shards_global_pos_is_shard_major_permutation(spark):
     assert [r["global_pos"] for r in by_order] == list(range(1, n + 1))
 
 
-def test_tagged_upsert_windows_are_tag_partitioned(spark):
-    """The one-job dim upsert (r9) must never funnel the batch through a
-    global window: its key-assignment row_number partitions by dim tag
-    (dim-grain partitions — bounded by per-batch novel keys per dim),
-    and candidate dedup + carry first-wins is a grouped aggregate, not a
-    window at all."""
+def test_tagged_upsert_has_no_batch_sized_window(spark):
+    """The one-job dim upsert must never put a batch-sized row set
+    through ONE window partition — not even per tag (r10, tightened
+    from r9's "partitioned by tag, never global": the per-tag window
+    still single-partition-sorted ~1M fresh author rows at the 100x
+    bulk load). Key assignment is dense_ids — a row_number partitioned
+    by range-partition id, so every window partition is one shuffle
+    partition's worth of rows. The only unpartitioned window left is
+    dense_ids' offset cumulation over the numPartitions-row (~32)
+    per-partition-count aggregate, which is bounded by cluster width,
+    not batch size. Candidate dedup + carry first-wins stays a grouped
+    aggregate (map-side combine), not a window at all."""
     state = star.empty_star(spark)
     main = star.impute_sentinels(
         table(spark, SF_DIR, "orders").select(
@@ -612,23 +618,29 @@ def test_tagged_upsert_windows_are_tag_partitioned(spark):
             F.col("c_custkey").cast("string").alias("id"),
         )
     )
-    # Plan-only probe of the pre-checkpoint keyed frame: rebuild the
-    # tagged plan exactly as _upsert_all_dims does, minus the
-    # localCheckpoint (which would hide the physical plan).
+    # Plan probe at every checkpoint boundary: localCheckpoint truncates
+    # lineage, so capture each pre-checkpoint physical plan (dense_ids
+    # checkpoints twice, then the full existing-union-fresh frame once).
     import unittest.mock as mock
 
-    captured = {}
+    captured = []
     orig = type(main).localCheckpoint
 
     def capture(self, eager=True):
-        captured["plan"] = _plan(self)
+        captured.append(_plan(self))
         return orig(self, eager)
 
     with mock.patch.object(type(main), "localCheckpoint", capture):
         star._upsert_all_dims(state, main, authors)
-    plan = captured["plan"]
-    assert "windowspecdefinition(__tag" in plan, plan
-    # exactly one window (key assignment); dedup/first-wins must be
-    # aggregates (partial_min shows map-side combine on the carry fold)
-    assert plan.count("windowspecdefinition") == 1, plan
-    assert "partial_min(__carry" in plan, plan
+    assert len(captured) >= 3, len(captured)
+    joined = "\n".join(captured)
+    # The r9 batch-shape window (one partition per tag = per-batch-sized
+    # for a bulk load) must be gone from EVERY stage of the plan.
+    assert "windowspecdefinition(__tag" not in joined, joined
+    # dense_ids' local rank is live: a row_number partitioned by the
+    # range-partition id (every window partition == one shuffle
+    # partition of fresh rows).
+    assert "windowspecdefinition(__pid" in joined, joined
+    # dedup/first-wins must be aggregates (partial_min shows map-side
+    # combine on the carry fold), never a window.
+    assert "partial_min(__carry" in joined, joined

@@ -418,13 +418,12 @@ def _louvain_moves(und_w: DataFrame, rounds: int) -> DataFrame:
     for r in range(rounds):
         sig = labels.groupBy("label").agg(F.sum("k").alias("sig"))
         # Per-node candidate-community scan over NEIGHBOR communities
-        # only. The node's own community is merged analytically below
-        # (the r5 union of edge-sized zero rows forced an edge-sized
-        # shuffle by erasing the partitioning): a zero-kin own row can
-        # only win when the own community has no incoming edge rows —
-        # when it does, its real-kin score is strictly higher and
-        # already participates — so comparing the aggregate winner with
-        # the zero-kin own score reproduces the unioned argmax exactly.
+        # only. The node's own community enters as a NODE-sized zero-kin
+        # union AFTER this edge-sized aggregate (the block below) — it
+        # rides the same argmax as the neighbor candidates. Only the
+        # r5 dead end unioned edge-sized zero rows BEFORE the aggregate,
+        # which erased the partitioning and forced an extra edge-sized
+        # shuffle; the post-aggregate union is node-sized and free.
         nbr_rows = nonself.join(
             _bcast(
                 labels.select(
@@ -1015,6 +1014,10 @@ def connected_components(
     (one fewer edge-sized shuffle per skipped round) and output
     invariance is test-pinned across round parities.
     """
+    if dedup_every < 1:
+        # 0 would divide-by-zero in the cadence check; negatives would
+        # silently disable dedup and let the working set grow 4x/round.
+        raise ValueError(f"dedup_every must be >= 1, got {dedup_every}")
     base = (
         edges.select(
             F.least("src", "dst").alias("a"), F.greatest("src", "dst").alias("b")

@@ -56,7 +56,17 @@ from ut_data_engineering_group_project_2022_spark.schemas import (
 def _is_materialized(df: DataFrame) -> bool:
     """True when the frame IS a bare ``localCheckpoint`` result — its
     analyzed plan root is a LogicalRDD with nothing stacked on top, so
-    re-checkpointing it would re-copy identical in-memory partitions."""
+    re-checkpointing it would re-copy identical in-memory partitions.
+
+    EAGER-ONLY assumption: a bare LogicalRDD root is treated as already
+    computed. ``localCheckpoint(eager=False)`` and
+    ``createDataFrame(rdd, schema)`` also produce LogicalRDD roots
+    WITHOUT eager computation, and this predicate cannot tell them
+    apart plan-side — ``materialize()`` would pass such a frame through
+    uncomputed. Every StarState frame that reaches here is built by
+    this module via eager checkpoints (load_batch/empty_star), so the
+    assumption holds by construction; do not feed lazy checkpoints or
+    raw-RDD frames into StarState without eager-checkpointing first."""
     try:
         return (
             df._jdf.queryExecution().analyzed().getClass().getSimpleName()
@@ -388,9 +398,11 @@ def _upsert_all_dims(
     serialized on driver planning/codegen and took ~4 s wall for ~1 s of
     real work (measured r9). One job is also the right shape at 100 TB:
     the dominant cost there is the fact-sized scan of
-    ``main``/``authors``, paid once here instead of five times, and the
-    key window partitions by dim tag instead of upsert_dim's global
-    ORDER BY (dim-sized partitions, never batch-sized).
+    ``main``/``authors``, paid once here instead of five times, and key
+    assignment is :func:`dense_ids` over (tag, k1, k2) — range-
+    partitioned local ranks + offsets, NO batch-sized window partition
+    anywhere (r10; the r9 per-tag row_number window single-partition-
+    sorted ~1M fresh author rows at the 100x bulk load).
 
     Unused key/carry slots are ``''`` — never NULL, staging is imputed
     before this point — so joins and aggregates need no null-safe forms.
@@ -412,11 +424,18 @@ def _upsert_all_dims(
     }
 
     def tagged_cand(df, tag, k1, k2=None, carry=None):
+        # coalesce makes the min(__carry) fold total even if a NULL
+        # carry ever slips past the imputed-staging contract (r9
+        # ADVICE): min() would drop NULLs where upsert_dim's
+        # row_number orders them first. With '' substituted, both
+        # forms pick the same winner ('' sorts before any non-empty
+        # string, matching NULLS FIRST for the all-or-nothing cases
+        # the contract allows).
         return df.select(
             F.lit(tag).alias("__tag"),
             F.col(k1).alias("__k1"),
             (F.col(k2) if k2 else e).alias("__k2"),
-            (F.col(carry) if carry else e).alias("__carry"),
+            (F.coalesce(F.col(carry), e) if carry else e).alias("__carry"),
         )
 
     def tagged_dim(tag):
@@ -445,17 +464,31 @@ def _upsert_all_dims(
         .agg(F.min("__carry").alias("__carry"))
     )
     starts = existing.groupBy("__tag").agg(F.max("__key").alias("__start"))
+    fresh = cands.join(
+        existing.select("__tag", "__k1", "__k2"),
+        ["__tag", "__k1", "__k2"],
+        "left_anti",
+    )
+    # Per-tag dense keys via dense_ids, NOT a per-tag row_number window
+    # (r10: the r9 form's partitionBy(__tag) put each tag's ENTIRE fresh
+    # set through one window partition — dim-batch-sized and fine for
+    # incremental loads, but the recorded 100x bulk load sorted ~1M
+    # fresh author rows in a single partition). dense_ids range-
+    # partitions on (__tag, __k1, __k2); with __tag leading, each tag's
+    # rows are contiguous in the global sequence, so
+    #   rank-within-tag = __seq - min(__seq) per tag + 1
+    # reproduces row_number().over(partitionBy(__tag).orderBy(__k1,
+    # __k2)) exactly (keys are unique post-aggregate — dense global
+    # sequence, no ties). __base/__start are 5-row broadcast aggregates.
+    fresh = dense_ids(fresh, ["__tag", "__k1", "__k2"], "__seq")
+    tag_base = fresh.groupBy("__tag").agg(F.min("__seq").alias("__base"))
     fresh = (
-        cands.join(
-            existing.select("__tag", "__k1", "__k2"),
-            ["__tag", "__k1", "__k2"],
-            "left_anti",
-        )
+        fresh.join(F.broadcast(tag_base), "__tag")
         .join(F.broadcast(starts), "__tag", "left")
         .withColumn(
             "__key",
             (
-                F.row_number().over(W.partitionBy("__tag").orderBy("__k1", "__k2"))
+                F.col("__seq") - F.col("__base") + F.lit(1)
                 + F.coalesce("__start", F.lit(0))
             ).cast("int"),
         )
