@@ -644,3 +644,14 @@ def test_tagged_upsert_has_no_batch_sized_window(spark):
     # dedup/first-wins must be aggregates (partial_min shows map-side
     # combine on the carry fold), never a window.
     assert "partial_min(__carry" in joined, joined
+    # Exhaustive window census (r10 ADVICE): the positive __pid check
+    # above would still pass if a batch-sized window keyed on something
+    # OTHER than __tag crept back in (a global orderBy, a __k1-keyed
+    # window...). Every windowspecdefinition in every captured stage
+    # must be one of dense_ids' two — the __pid-partitioned local rank
+    # or the __pid-ordered offset cumulation over the ≤numPartitions-row
+    # aggregate — so the count of window definitions equals the count of
+    # __pid-spec'd ones.
+    n_all = joined.count("windowspecdefinition(")
+    n_pid = joined.count("windowspecdefinition(__pid")
+    assert n_all == n_pid and n_all > 0, (n_all, n_pid, joined)

@@ -256,6 +256,14 @@ def dense_ids(
     ``eager`` checkpoints the ranked partitions so the offset aggregate
     and the final join don't recompute the input twice; pass False in
     plan tests to inspect the full (un-truncated) physical plan.
+
+    Measured (r11): skipping the input checkpoint when the input is a
+    cheap filter/aggregate over already-checkpointed frames does NOT
+    pay — the range sampler and the exchange then each re-evaluate the
+    input plan, and two plan evaluations (codegen included) cost at
+    least as much as the one eager checkpoint job they replace, warm
+    (3.30 vs 3.21 s/batch) and cold (8.7 vs 8.3 s star load) alike.
+    Both checkpoints stay unconditional under ``eager``.
     """
     spark = df.sparkSession
     n = spark.sparkContext.defaultParallelism
@@ -374,7 +382,10 @@ def upsert_dim(
 def _upsert_all_dims(
     state: StarState, main: DataFrame, authors: DataFrame
 ) -> dict[str, DataFrame]:
-    """All five batch-dim upserts as ONE Spark job.
+    """All five batch-dim upserts as ONE tagged logical plan — a small
+    constant number of Spark jobs per batch (the final full-content
+    checkpoint plus dense_ids' two internal checkpoints), never
+    one-per-dim.
 
     Semantically five :func:`upsert_dim` calls (DISTINCT new naturals ->
     carry first-wins -> anti-join on the natural key -> dense surrogate
@@ -396,7 +407,7 @@ def _upsert_all_dims(
 
     The r8 form ran the five upserts as concurrent jobs; at sf0.1 they
     serialized on driver planning/codegen and took ~4 s wall for ~1 s of
-    real work (measured r9). One job is also the right shape at 100 TB:
+    real work (measured r9). One plan is also the right shape at 100 TB:
     the dominant cost there is the fact-sized scan of
     ``main``/``authors``, paid once here instead of five times, and key
     assignment is :func:`dense_ids` over (tag, k1, k2) — range-
@@ -427,10 +438,15 @@ def _upsert_all_dims(
         # coalesce makes the min(__carry) fold total even if a NULL
         # carry ever slips past the imputed-staging contract (r9
         # ADVICE): min() would drop NULLs where upsert_dim's
-        # row_number orders them first. With '' substituted, both
-        # forms pick the same winner ('' sorts before any non-empty
-        # string, matching NULLS FIRST for the all-or-nothing cases
-        # the contract allows).
+        # row_number orders them first. The equivalence is conditional
+        # (r10 ADVICE): if ALL of a key's carries are NULL both forms
+        # agree ('' here, NULL→'' downstream never happens since ''
+        # is already the slot filler); but if a NULL carry MIXED with
+        # non-NULL carries for one key, upsert_dim's NULLS-FIRST
+        # row_number would emit NULL where this path emits the min
+        # non-''-or-'' value. load_batch's imputed staging (na.fill
+        # upstream) makes the mixed case unreachable on the shipped
+        # path; only direct callers bypassing impute_* could hit it.
         return df.select(
             F.lit(tag).alias("__tag"),
             F.col(k1).alias("__k1"),
@@ -480,6 +496,15 @@ def _upsert_all_dims(
     # reproduces row_number().over(partitionBy(__tag).orderBy(__k1,
     # __k2)) exactly (keys are unique post-aggregate — dense global
     # sequence, no ties). __base/__start are 5-row broadcast aggregates.
+    # r11 A/B verdict (same-minute interleaved, quiet host, this exact
+    # quantity as bench star_load): r9 window-form 7.36/7.56/8.11 s cold,
+    # this dense_ids form 8.10/8.50/9.00 s cold, 2.92 vs 3.21 s/batch
+    # warm — the BENCH_r10 11.1→14.4 s "regression" was ~0.8 s of real
+    # dense_ids fixed cost (the 2 eager checkpoints) plus host noise.
+    # Thinning (skipping the input checkpoint: 8.66/8.66/8.81 cold) does
+    # not pay. The ~0.8 s/cold-load is accepted as the price of no
+    # batch-sized window partition at the 100x bulk load; the ≤10 s
+    # quiet-host target holds for this form.
     fresh = dense_ids(fresh, ["__tag", "__k1", "__k2"], "__seq")
     tag_base = fresh.groupBy("__tag").agg(F.min("__seq").alias("__base"))
     fresh = (
@@ -520,11 +545,15 @@ def load_batch(
     Idempotent (T6): re-running the same batch is a no-op because every
     insert is anti-joined on its natural key first.
 
-    Scale check (r9, local[32]): a 100x staging batch (500k papers, 1M
-    distinct authors) loads in ~21 s vs ~7 s for the sf0.1 batch — the
-    job-count fixed costs that dominate at small SF amortize smoothly
-    into real work; a 10%-novel incremental batch on top takes ~10 s
-    and surrogate keys stay dense at 1M dim rows.
+    Scale check (r11, local[32], dense_ids key path): a 100x staging
+    batch (500k papers, ~786k distinct authors) bulk-loads in 19.7 s —
+    slightly FASTER than the r9 window-form's ~21 s, because at this
+    size the per-tag single-partition sort the window form paid
+    outweighs dense_ids' two fixed-cost checkpoints — vs ~8 s for the
+    sf0.1 batch (job-count fixed costs amortize into real work). A
+    10%-novel incremental batch of 100k papers on top takes 10.8 s, and
+    surrogate keys stay dense (max == count == countDistinct) at 819k
+    author-dim rows and 550k fact rows.
     """
     # The two staging checkpoints are independent — run them as
     # concurrent jobs (r9: they were two serial driver syncs).
@@ -543,8 +572,9 @@ def load_batch(
     ckpt = lambda df: df.localCheckpoint(eager=True)  # noqa: E731
 
     # -- dims (D3 distinct + J4/J5 upsert; ref pop_DWH.py:157-212) --------
-    # All five upserts ride ONE tagged Spark job (_upsert_all_dims); the
-    # returned frames are lazy existing∪fresh unions over the job's
+    # All five upserts ride ONE tagged logical plan (_upsert_all_dims;
+    # ~3 jobs per batch counting dense_ids' internal checkpoints, never
+    # one-per-dim); the returned frames are pure filters over the plan's
     # checkpointed output, safe to re-evaluate downstream.
     dims = _upsert_all_dims(state, main, authors)
     dim_domain = dims["domain"]
