@@ -1013,6 +1013,20 @@ def connected_components(
     on a real cluster). The trim stays: the asymptotic argument holds
     (one fewer edge-sized shuffle per skipped round) and output
     invariance is test-pinned across round parities.
+
+    ADAPTIVE cadence (dedup only when the un-deduped frame exceeds ~2x
+    the last deduped size) is a documented NO-GO at bench scale (r10
+    verdict's optional ask, closed r11 by arithmetic from recorded
+    measurements): the whole fixed-cadence win is ~0.17-0.2 s at sf0.1
+    (4-5% of the ~4 s row, r9 A/B above), while the size detector needs
+    one count job per round — an eager driver sync costing 0.1-0.7 s
+    each (r9 job-fixed-cost finding) — so >=5 rounds of detection cost
+    2.5x+ the entire prize they could at best preserve. On a real
+    cluster the trade inverts (a count on a materialized frame is
+    seconds; an avoidable edge-sized shuffle is minutes) — but there
+    ``rounds`` is also no longer fixed-for-the-oracle, so the adaptive
+    variant belongs in a convergence-driven deployment mode, not this
+    oracle-replayable operator.
     """
     if dedup_every < 1:
         # 0 would divide-by-zero in the cadence check; negatives would
