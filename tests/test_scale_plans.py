@@ -650,8 +650,15 @@ def test_tagged_upsert_has_no_batch_sized_window(spark):
     # window...). Every windowspecdefinition in every captured stage
     # must be one of dense_ids' two — the __pid-partitioned local rank
     # or the __pid-ordered offset cumulation over the ≤numPartitions-row
-    # aggregate — so the count of window definitions equals the count of
-    # __pid-spec'd ones.
-    n_all = joined.count("windowspecdefinition(")
-    n_pid = joined.count("windowspecdefinition(__pid")
-    assert n_all == n_pid and n_all > 0, (n_all, n_pid, joined)
+    # aggregate. Parse each spec's leading partition-key column (r11
+    # ADVICE: anchor on the partition clause explicitly, not on __pid
+    # being the literal first characters of the rendered spec) so the
+    # intent — "first partition key is __pid" — survives a Spark that
+    # changes spacing or attribute rendering around the key list.
+    import re
+
+    part_keys = re.findall(r"windowspecdefinition\(\s*([\w.]+)#", joined)
+    assert part_keys and all(k == "__pid" for k in part_keys), (
+        part_keys,
+        joined,
+    )
