@@ -67,6 +67,26 @@ def main() -> None:
         ).write.format("noop").mode("overwrite").save()
         return round(time.monotonic() - t0, 3)
 
+    # Per-JOB latency probe (r12): the CPU probe above is a single
+    # long-running stage and reads quiet even when task-dispatch/wakeup
+    # latency on the (shared) physical host is 2-3x elevated — measured
+    # r12: CPU probe 0.14-0.20 s warm while graph_connected_components
+    # ran 13.7 s vs its 3.8 s quiet record and a tiny 2-stage job took
+    # 230 ms vs the ~70-90 ms a quiet minute gives. Job-count-heavy
+    # rows (CC, louvain, pagerank, the star loader) scale with THIS
+    # number, not with CPU throughput, so the payload records both
+    # dimensions. min-of-5: one rep is one scheduler round trip and
+    # single samples swing on wakeup jitter.
+    def job_probe() -> float:
+        reps = []
+        for _ in range(5):
+            t0 = time.monotonic()
+            spark.range(10_000).groupBy((F.col("id") % 8).alias("k")).count().write.format(
+                "noop"
+            ).mode("overwrite").save()
+            reps.append(time.monotonic() - t0)
+        return round(min(reps) * 1000, 1)
+
     # Quiet-host gate (r9 verdict ask #1): BENCH_r09 was recorded under
     # 1.27x sustained host load (probe 0.821 vs the 0.645 reference) and
     # its raw numbers under-sold the engine. If the minute is loud
@@ -131,7 +151,12 @@ def main() -> None:
     # becomes like-for-like. The quiet-GATE above stays on the start
     # probe (it guards suite admission, where cold-ish is fine).
     noise_probe_warm = min(probe(), probe())
-    print(f"[bench] warm-baseline probe: {noise_probe_warm:.3f}s", file=sys.stderr)
+    job_latency_warm = job_probe()
+    print(
+        f"[bench] warm-baseline probe: {noise_probe_warm:.3f}s,"
+        f" job latency {job_latency_warm:.0f}ms",
+        file=sys.stderr,
+    )
 
     specs = {n: s for n, s in all_queries().items() if s.bench}
     timings: dict[str, float] = {}
@@ -188,6 +213,7 @@ def main() -> None:
     # spreads). Both probes ride the payload; when they disagree the
     # suite straddled a load change and the raw numbers are low-trust.
     noise_probe_end = min(probe(), probe())
+    job_latency_end = job_probe()
     # Second detector: queries whose WARM runs disagree. Probes only
     # bracket the suite; a load burst BETWEEN them shows up exactly as
     # run disagreement (BENCH_r10: quiet probes, but tpch_q1's runs
@@ -227,6 +253,19 @@ def main() -> None:
             f"host loud mid-suite ({adaptive}/{len(raw)} queries needed"
             " an adaptive 3rd pass) — raw numbers low-trust"
         )
+    elif job_latency_warm > 180 or job_latency_end > 180:
+        # Provisional absolute bar (r12): quiet minutes give ~70-90 ms
+        # for this probe (inferred from graph_connected_components'
+        # 3.8 s quiet record over its ~45 jobs and confirmed the first
+        # minute it was measured directly); the r12 loud episode read
+        # 230 ms with BOTH CPU probes quiet and the suite's
+        # job-count-heavy rows 2-3.6x slow. Revise the bar once a few
+        # records with the probe exist.
+        noise_flag = (
+            f"task-dispatch latency elevated (job probe"
+            f" {max(job_latency_warm, job_latency_end):.0f}ms > 180ms) —"
+            " job-count-heavy rows (graph_*, star_load) low-trust"
+        )
     if noise_flag:
         print(f"[bench] WARNING: {noise_flag} "
               f"(start {noise_probe:.3f}s, warm {noise_probe_warm:.3f}s,"
@@ -260,6 +299,8 @@ def main() -> None:
         "noise_probe_start": noise_probe,
         "noise_probe_warm": noise_probe_warm,
         "noise_probe_end": noise_probe_end,
+        "job_latency_ms_warm": job_latency_warm,
+        "job_latency_ms_end": job_latency_end,
         "adaptive_pass_count": adaptive,
         "noise_flag": noise_flag,
         "r1_suite_total": r1_total,
