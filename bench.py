@@ -270,13 +270,13 @@ def main() -> None:
             " an adaptive 3rd pass) — raw numbers low-trust"
         )
     elif job_latency_warm > 180 or job_latency_end > 180:
-        # Provisional absolute bar (r12): quiet minutes give ~70-90 ms
-        # for this probe (inferred from graph_connected_components'
-        # 3.8 s quiet record over its ~45 jobs and confirmed the first
-        # minute it was measured directly); the r12 loud episode read
-        # 230 ms with BOTH CPU probes quiet and the suite's
-        # job-count-heavy rows 2-3.6x slow. Revise the bar once a few
-        # records with the probe exist.
+        # Absolute bar calibrated on the r12 session's nine runs:
+        # genuinely quiet minutes read 83-95 ms (the one such minute
+        # gave the session's best record across the board — CC 4.03 s,
+        # star_load 7.1 s), ordinary minutes 105-160 ms, and loud
+        # episodes 174-266 ms with BOTH CPU probes quiet while the
+        # suite's job-count-heavy rows ran 2-3.6x slow. 180 ms sits in
+        # the gap between the ordinary band and the loud episodes.
         noise_flag = (
             f"task-dispatch latency elevated (job probe"
             f" {max(job_latency_warm, job_latency_end):.0f}ms > 180ms) —"
