@@ -1031,13 +1031,14 @@ def connected_components(
     r12 bench-row distribution note (zero code change this round): the
     bench row is job-dispatch-latency-bound (~45 tiny jobs over 12.9k
     edges), so its reading tracks the host's per-job latency, not this
-    code. Measured r12: 8 back-to-back reps in one bracketed session
-    (job probe 124-186 ms) gave warm 4.076-4.823 s, median 4.569; the
-    two flag-null bench records drew 4.643/4.681 s at job probes
-    ~90-145 ms. The r11 3.816 s record implies a ~70 ms-grade minute
-    that never occurred during the r12 session — read this row against
-    the same-record ``job_latency_ms_*`` probes (in the payload as of
-    r12) before calling any movement a regression.
+    code. Measured r12 across ten bench runs plus one bracketed 8-rep
+    session: on ordinary minutes (job probe 105-160 ms) the warm row
+    reads 4.6-5.3 s (8-rep spread 4.076-4.823, median 4.569 at
+    124-186 ms); on the two genuinely quiet minutes the session's
+    quiet-hunt gate found (job probe 83-88 ms) it read 4.031 and
+    4.233 s — the <=4.3 band of the r11 3.816 s record. Read this row
+    against the same-record ``job_latency_ms_*`` probes (in the
+    payload as of r12) before calling any movement a regression.
     """
     if dedup_every < 1:
         # 0 would divide-by-zero in the cadence check; negatives would
