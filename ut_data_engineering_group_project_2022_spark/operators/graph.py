@@ -1034,9 +1034,9 @@ def connected_components(
     code. Measured r12 across ten bench runs plus one bracketed 8-rep
     session: on ordinary minutes (job probe 105-160 ms) the warm row
     reads 4.6-5.3 s (8-rep spread 4.076-4.823, median 4.569 at
-    124-186 ms); on the two genuinely quiet minutes the session's
-    quiet-hunt gate found (job probe 83-88 ms) it read 4.031 and
-    4.233 s — the <=4.3 band of the r11 3.816 s record. Read this row
+    124-186 ms); on the three genuinely quiet minutes the session's
+    quiet-hunt gate found (job probe 83-95 ms) it read 4.031, 4.233
+    and 4.106 s — the <=4.3 band of the r11 3.816 s record. Read this row
     against the same-record ``job_latency_ms_*`` probes (in the
     payload as of r12) before calling any movement a regression.
     """
