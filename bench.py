@@ -102,7 +102,14 @@ def main() -> None:
     # loud episode (230 ms); the wait stays bounded by the same budget,
     # so a permanently loud host still produces a record.
     quiet_job_bar = float(os.environ.get("SPARK_GRAFT_QUIET_JOB_MS", "120"))
-    wait_budget = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_S", "240"))
+    # Budget raised 240 -> 600 s (r12): across the r12 session's five
+    # gated hunts, reaching a quiet minute took 4-11 probe iterations
+    # (~100-275 s of waiting) — a 240 s budget forfeits roughly half of
+    # them, and the minutes it forfeits are exactly the ones that
+    # produced the round's only records meeting the perf targets. The
+    # wait stays bounded: a permanently loud host still yields a
+    # (flagged) record after 10 minutes.
+    wait_budget = float(os.environ.get("SPARK_GRAFT_QUIET_WAIT_S", "600"))
     # min-of-2: the very first probe of a fresh JVM reads ~2-3x slow
     # (codegen/JIT of the probe job itself), which is JVM warmth, not
     # host load — a single cold reading would spuriously trip both the
