@@ -1029,9 +1029,9 @@ def connected_components(
     oracle-replayable operator.
 
     r12 bench-row distribution note (zero code change this round): the
-    bench row is job-dispatch-latency-bound (~45 tiny jobs over 12.9k
-    edges), so its reading tracks the host's per-job latency, not this
-    code. Measured r12 across ten bench runs plus one bracketed 8-rep
+    bench row is job-dispatch-latency-bound (49 jobs per execution,
+    counted via statusTracker at sf0.1, over 12.9k edges), so its
+    reading tracks the host's per-job latency, not this code. Measured r12 across ten bench runs plus one bracketed 8-rep
     session: on ordinary minutes (job probe 105-160 ms) the warm row
     reads 4.6-5.3 s (8-rep spread 4.076-4.823, median 4.569 at
     124-186 ms); on the three genuinely quiet minutes the session's
