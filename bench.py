@@ -75,8 +75,12 @@ def main() -> None:
     # 230 ms vs the ~70-90 ms a quiet minute gives. Job-count-heavy
     # rows (CC, louvain, pagerank, the star loader) scale with THIS
     # number, not with CPU throughput, so the payload records both
-    # dimensions. min-of-5: one rep is one scheduler round trip and
-    # single samples swing on wakeup jitter.
+    # dimensions. min-of-5 with the FIRST rep discarded (r12 ADVICE):
+    # one rep is one scheduler round trip and single samples swing on
+    # wakeup jitter, and the very first rep on a fresh JVM additionally
+    # pays codegen/JIT of the probe job itself — the same cold-reading
+    # effect the CPU probe's min-of-2 mitigates — which would push the
+    # min above the quiet bar and trigger a spurious 25 s wait cycle.
     def job_probe() -> float:
         reps = []
         for _ in range(5):
@@ -85,7 +89,7 @@ def main() -> None:
                 "noop"
             ).mode("overwrite").save()
             reps.append(time.monotonic() - t0)
-        return round(min(reps) * 1000, 1)
+        return round(min(reps[1:]) * 1000, 1)
 
     # Quiet-host gate (r9 verdict ask #1): BENCH_r09 was recorded under
     # 1.27x sustained host load (probe 0.821 vs the 0.645 reference) and
@@ -98,10 +102,21 @@ def main() -> None:
     # Job-dispatch quiet bar (r12): the CPU probe alone admitted suites
     # onto minutes where task-dispatch latency was 2-3x elevated and the
     # job-count-heavy rows read 1.3-3.6x slow (see job_probe above).
-    # 120 ms sits between the quiet band (~70-90 ms) and the measured
-    # loud episode (230 ms); the wait stays bounded by the same budget,
-    # so a permanently loud host still produces a record.
-    quiet_job_bar = float(os.environ.get("SPARK_GRAFT_QUIET_JOB_MS", "120"))
+    # Default tightened 120 -> 100 ms (r12 verdict): the 120-180 ms
+    # corridor produced flag-null records whose job-count-heavy rows sat
+    # in the ordinary 4.6-5.3 s band — 100 ms sits just above the
+    # measured quiet band (83-95 ms across nine calibrated runs) so a
+    # default-env run only admits genuinely quiet minutes. The wait
+    # stays bounded by the same budget, so a permanently loud host still
+    # produces a (band-labelled, possibly flagged) record.
+    quiet_job_bar = float(os.environ.get("SPARK_GRAFT_QUIET_JOB_MS", "100"))
+    # Elevated-dispatch FLAG bar, derived from the gate bar (r12 ADVICE:
+    # the two thresholds were independent constants — an operator
+    # raising the env bar for a known-slow host got every record flagged
+    # at the hardcoded 180 ms). 1.8x the gate bar reproduces the
+    # calibrated 180 ms at the default gate of 100 ms (quiet 83-95,
+    # ordinary 105-160, loud 174-266) and scales with the env knob.
+    flag_job_bar = 1.8 * quiet_job_bar
     # Budget raised 240 -> 600 s (r12): across the r12 session's five
     # gated hunts, reaching a quiet minute took 4-11 probe iterations
     # (~100-275 s of waiting) — a 240 s budget forfeits roughly half of
@@ -276,19 +291,37 @@ def main() -> None:
             f"host loud mid-suite ({adaptive}/{len(raw)} queries needed"
             " an adaptive 3rd pass) — raw numbers low-trust"
         )
-    elif job_latency_warm > 180 or job_latency_end > 180:
-        # Absolute bar calibrated on the r12 session's nine runs:
-        # genuinely quiet minutes read 83-95 ms (the one such minute
-        # gave the session's best record across the board — CC 4.03 s,
-        # star_load 7.1 s), ordinary minutes 105-160 ms, and loud
-        # episodes 174-266 ms with BOTH CPU probes quiet while the
-        # suite's job-count-heavy rows ran 2-3.6x slow. 180 ms sits in
-        # the gap between the ordinary band and the loud episodes.
+    elif job_latency_warm > flag_job_bar or job_latency_end > flag_job_bar:
+        # Bar calibrated on the r12 session's nine runs: genuinely quiet
+        # minutes read 83-95 ms (the one such minute gave the session's
+        # best record across the board — CC 4.03 s, star_load 7.1 s),
+        # ordinary minutes 105-160 ms, and loud episodes 174-266 ms with
+        # BOTH CPU probes quiet while the suite's job-count-heavy rows
+        # ran 2-3.6x slow. The default flag bar (180 ms = 1.8x the
+        # 100 ms gate) sits in the gap between the ordinary band and the
+        # loud episodes, and tracks the env knob when an operator
+        # recalibrates for a slower host.
         noise_flag = (
             f"task-dispatch latency elevated (job probe"
-            f" {max(job_latency_warm, job_latency_end):.0f}ms > 180ms) —"
+            f" {max(job_latency_warm, job_latency_end):.0f}ms >"
+            f" {flag_job_bar:.0f}ms) —"
             " job-count-heavy rows (graph_*, star_load) low-trust"
         )
+    # Self-describing dispatch band (r12 verdict ask): a flag-null
+    # record whose job probes sit in the 100-180 ms corridor is
+    # admissible but its job-count-heavy rows (graph_*, star_load) read
+    # in the ordinary 4.6-5.3 s band, not the quiet 4.0-4.3 s band —
+    # label the record so a reader compares like-for-like without
+    # re-deriving the calibration. The worst of the three probes names
+    # the band: star_load runs between start and warm, the queries
+    # between warm and end, so all three bracket timed work.
+    worst_job = max(job_latency_start, job_latency_warm, job_latency_end)
+    if worst_job <= 120:
+        dispatch_band = "quiet"
+    elif worst_job <= flag_job_bar:
+        dispatch_band = "ordinary"
+    else:
+        dispatch_band = "loud"
     if noise_flag:
         print(f"[bench] WARNING: {noise_flag} "
               f"(start {noise_probe:.3f}s, warm {noise_probe_warm:.3f}s,"
@@ -325,6 +358,7 @@ def main() -> None:
         "job_latency_ms_start": job_latency_start,
         "job_latency_ms_warm": job_latency_warm,
         "job_latency_ms_end": job_latency_end,
+        "dispatch_band": dispatch_band,
         "adaptive_pass_count": adaptive,
         "noise_flag": noise_flag,
         "r1_suite_total": r1_total,

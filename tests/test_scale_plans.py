@@ -662,3 +662,15 @@ def test_tagged_upsert_has_no_batch_sized_window(spark):
         part_keys,
         joined,
     )
+    # Exhaustiveness guard (r12 ADVICE): the per-key regex only captures
+    # specs whose first token is a plain attribute reference — a rogue
+    # window with NO partition and no order keys (the worst batch-sized
+    # case) renders as windowspecdefinition(specifiedwindowframe(...))
+    # and would be silently excluded from part_keys. Require every
+    # rendered spec to be accounted for by a captured partition key, so
+    # an unkeyed global window fails here instead of slipping through.
+    assert len(part_keys) == joined.count("windowspecdefinition("), (
+        len(part_keys),
+        joined.count("windowspecdefinition("),
+        joined,
+    )
