@@ -1,0 +1,174 @@
+"""Driver simulator: vanilla session + DuckDB oracle comparison.
+
+Replicates the correctness driver's contract: imports __spark_entry__
+with a default-config SparkSession (ANSI mode on, 200 shuffle
+partitions — the risky driver defaults), runs entry() at sf0.001, then
+compares queries() vs oracle_sql() at sf0.01 with driver-faithful
+canonicalization (columns sorted by name, -0.0 sign preserved,
+datetime columns stringified column-wise via astype(str)).
+
+Usage (run from OUTSIDE the repo so nothing leaks from the cwd):
+
+    python tools/driver_sim.py window50          # first 50 = the
+                                                 # driver's round window
+    python tools/driver_sim.py all               # full registry
+    python tools/driver_sim.py chunk0/5          # slice 0 of 5 (the
+                                                 # full sweep split to
+                                                 # fit a command cap)
+    python tools/driver_sim.py name1,name2       # explicit list
+
+Set SIM_SWEEP_OUT=<path> to dump the per-query results as a JSON
+artifact — the per-round registry-wide sweep committed as
+bench_snapshots/r{N}_sweep.json is generated this way (chunks merged
+by the caller). Exit code is non-zero on any MISMATCH/ERROR.
+"""
+import json
+import math
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import duckdb
+import pandas as pd
+from pyspark.sql import SparkSession
+
+TABLES = [
+    "region", "nation", "customer", "supplier", "part", "orders",
+    "lineitem", "events", "documents", "embeddings",
+]
+SF_DIR = "/root/testdata/sf0.01"
+
+
+def canon(df: pd.DataFrame) -> str:
+    df = df.reindex(sorted(df.columns), axis=1)
+    # Column-wise stringify FIRST for datetime-ish columns (driver
+    # behavior: astype(str) renders midnight datetime64 date-only).
+    for c in df.columns:
+        if str(df[c].dtype).startswith(("datetime64", "date")):
+            df[c] = df[c].astype(str)
+    df = df.sort_values(by=list(df.columns)).reset_index(drop=True)
+
+    def tok(v):
+        if v is None or (isinstance(v, float) and math.isnan(v)):
+            return "NULL"
+        if isinstance(v, float):
+            if math.copysign(1.0, v) < 0 and v == 0.0:
+                return "-0.0"
+            return repr(round(v, 9))
+        if isinstance(v, (list, tuple)):
+            return "[" + ",".join(tok(x) for x in v) + "]"
+        return str(v)
+
+    return "\n".join(
+        "|".join(tok(v) for v in row) for row in df.itertuples(index=False)
+    )
+
+
+def main(names: list[str]) -> None:
+    spark = (
+        SparkSession.builder.master("local[8]")
+        .config("spark.sql.session.timeZone", "UTC")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    import __spark_entry__ as e
+
+    # 1. entry() smoke at sf0.001
+    r = e.entry(spark).collect()
+    assert len(r) == 6, f"entry() returned {len(r)} rows, expected 6"
+    print(f"[sim] entry(): {len(r)} rows OK", flush=True)
+
+    qs = e.queries()
+    oracles = e.oracle_sql()
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+
+    results = {}
+    for name in names:
+        t0 = time.monotonic()
+        try:
+            sdf = qs[name](spark, SF_DIR)
+            spdf = sdf.toPandas()
+            if name not in oracles:
+                results[name] = {
+                    "status": "no_oracle",
+                    "rows": len(spdf),
+                    "sec": round(time.monotonic() - t0, 2),
+                }
+                print(f"[sim] {name}: no_oracle rows={len(spdf)}", flush=True)
+                continue
+            odf = con.execute(oracles[name]).fetchdf()
+            rows_match = len(spdf) == len(odf)
+            schema_match = sorted(spdf.columns) == sorted(odf.columns)
+            hash_match = canon(spdf) == canon(odf) if rows_match and schema_match else False
+            ok = rows_match and schema_match and hash_match
+            results[name] = {
+                "status": "match" if ok else "MISMATCH",
+                "rows_match": rows_match,
+                "schema_match": schema_match,
+                "hash_match": hash_match,
+                "spark_rows": len(spdf),
+                "oracle_rows": len(odf),
+                "sec": round(time.monotonic() - t0, 2),
+            }
+            print(
+                f"[sim] {name}: {'OK' if ok else 'MISMATCH'}"
+                f" ({len(spdf)}/{len(odf)} rows, {results[name]['sec']}s)",
+                flush=True,
+            )
+        except Exception as ex:  # noqa: BLE001
+            results[name] = {"status": "ERROR", "err": repr(ex)[:300]}
+            print(f"[sim] {name}: ERROR {ex!r}", flush=True)
+
+    bad = {n: r for n, r in results.items() if r["status"] not in ("match", "no_oracle")}
+    print(json.dumps({"checked": len(results), "bad": bad}, indent=1))
+    import os
+
+    out = os.environ.get("SIM_SWEEP_OUT")
+    if out:
+        import datetime
+
+        summary = {
+            "sweep_date": datetime.date.today().isoformat(),
+            "sf_dir": SF_DIR,
+            "session": "vanilla local[8], ANSI on, 200 shuffle partitions",
+            "checked": len(results),
+            "match": sum(1 for r in results.values() if r["status"] == "match"),
+            "no_oracle": sorted(
+                n for n, r in results.items() if r["status"] == "no_oracle"
+            ),
+            "failures": bad,
+            "queries": results,
+        }
+        with open(out, "w") as f:
+            json.dump(summary, f, indent=1)
+        print(f"[sim] sweep artifact written to {out}")
+    spark.stop()
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    arg = sys.argv[1] if len(sys.argv) > 1 else "window50"
+    from ut_data_engineering_group_project_2022_spark.plans import all_queries
+
+    registered = list(all_queries())
+    if arg == "window50":
+        names = registered[:50]
+    elif arg == "all":
+        names = registered
+    elif arg.startswith("chunk"):
+        # chunkI/N — sorted registry split into N contiguous slices so
+        # the full sweep fits the 600 s background-command cap.
+        i, n = map(int, arg.removeprefix("chunk").split("/"))
+        allq = sorted(registered)
+        per = -(-len(allq) // n)
+        names = allq[i * per : (i + 1) * per]
+    else:
+        names = arg.split(",")
+    main(names)
