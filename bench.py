@@ -291,7 +291,11 @@ def main() -> None:
             f"host loud mid-suite ({adaptive}/{len(raw)} queries needed"
             " an adaptive 3rd pass) — raw numbers low-trust"
         )
-    elif job_latency_warm > flag_job_bar or job_latency_end > flag_job_bar:
+    elif (
+        job_latency_start > flag_job_bar
+        or job_latency_warm > flag_job_bar
+        or job_latency_end > flag_job_bar
+    ):
         # Bar calibrated on the r12 session's nine runs: genuinely quiet
         # minutes read 83-95 ms (the one such minute gave the session's
         # best record across the board — CC 4.03 s, star_load 7.1 s),
@@ -301,9 +305,15 @@ def main() -> None:
         # 100 ms gate) sits in the gap between the ordinary band and the
         # loud episodes, and tracks the env knob when an operator
         # recalibrates for a slower host.
+        # All THREE probes participate (r13 ADVICE): the start probe
+        # brackets the star load, and a budget-exhausted admission with
+        # a loud start but calm warm/end previously produced a flag-null
+        # record whose dispatch_band read 'loud' — a combination the
+        # snapshot naming scheme doesn't anticipate. Flag and band now
+        # derive from the same worst-of-three view.
         noise_flag = (
             f"task-dispatch latency elevated (job probe"
-            f" {max(job_latency_warm, job_latency_end):.0f}ms >"
+            f" {max(job_latency_start, job_latency_warm, job_latency_end):.0f}ms >"
             f" {flag_job_bar:.0f}ms) —"
             " job-count-heavy rows (graph_*, star_load) low-trust"
         )

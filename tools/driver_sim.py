@@ -22,6 +22,7 @@ artifact — the per-round registry-wide sweep committed as
 bench_snapshots/r{N}_sweep.json is generated this way (chunks merged
 by the caller). Exit code is non-zero on any MISMATCH/ERROR.
 """
+import decimal
 import json
 import math
 import sys
@@ -53,6 +54,13 @@ def canon(df: pd.DataFrame) -> str:
     def tok(v):
         if v is None or (isinstance(v, float) and math.isnan(v)):
             return "NULL"
+        # Decimal folds through the float branch (r13 ADVICE): Spark
+        # DecimalType arrives via toPandas as decimal.Decimal while the
+        # DuckDB side reads float64 — str() would render '4.50' vs
+        # '4.5' and ghost-MISMATCH equal values for any query that
+        # skips the ::DOUBLE cast convention.
+        if isinstance(v, decimal.Decimal):
+            v = float(v)
         if isinstance(v, float):
             if math.copysign(1.0, v) < 0 and v == 0.0:
                 return "-0.0"
@@ -159,6 +167,14 @@ if __name__ == "__main__":
 
     registered = list(all_queries())
     if arg == "window50":
+        # Registration order here IS the driver's window order:
+        # plans/__init__.py set_priority() reorders the registry
+        # stalest-first from the CORRECTNESS_r*.json history, and the
+        # driver's 50-row correctness window is the first 50 entries of
+        # queries() in that order. chunkI/N below deliberately differs —
+        # it sorts alphabetically so sweep slices stay stable across
+        # rounds while the priority order rotates (r13 ADVICE: the two
+        # orderings differ by design; only window50 mirrors the driver).
         names = registered[:50]
     elif arg == "all":
         names = registered
@@ -166,9 +182,19 @@ if __name__ == "__main__":
         # chunkI/N — sorted registry split into N contiguous slices so
         # the full sweep fits the 600 s background-command cap.
         i, n = map(int, arg.removeprefix("chunk").split("/"))
+        if not (0 <= i < n):
+            sys.exit(f"chunk index out of range: {arg} (need 0 <= i < n)")
         allq = sorted(registered)
         per = -(-len(allq) // n)
         names = allq[i * per : (i + 1) * per]
     else:
         names = arg.split(",")
+    # A typo'd selection must fail loudly, not print checked=0 and exit
+    # 0 — an empty slice would make a sweep chunk look clean while
+    # covering zero queries (r13 ADVICE).
+    if not names:
+        sys.exit(f"empty query selection for arg {arg!r}")
+    unknown = [n for n in names if n not in registered]
+    if unknown:
+        sys.exit(f"unknown queries: {unknown}")
     main(names)
