@@ -187,6 +187,19 @@ if __name__ == "__main__":
         allq = sorted(registered)
         per = -(-len(allq) // n)
         names = allq[i * per : (i + 1) * per]
+        if not names:
+            # Structurally valid but empty tail slice (per = ceil(len/n)
+            # can leave chunk indices >= ceil(len/per) empty, e.g. 10
+            # queries split chunk5/6). A caller looping i in range(n)
+            # must not see a spurious failure — this is a no-op chunk,
+            # not a typo (r14 ADVICE). The hard failure below stays for
+            # explicit name lists / window50.
+            print(
+                f"[sim] {arg}: empty tail slice ({len(allq)} queries, "
+                f"{per}/chunk) — no-op success",
+                file=sys.stderr,
+            )
+            sys.exit(0)
     else:
         names = arg.split(",")
     # A typo'd selection must fail loudly, not print checked=0 and exit
