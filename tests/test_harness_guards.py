@@ -105,3 +105,47 @@ def test_window_is_allocated_stalest_first():
             "window holds a fresher passing row than one left outside: "
             f"max(in)={max(in_rounds)} > min(out)={min(out_rounds)}"
         )
+
+
+def test_driver_sim_selection_arg_semantics():
+    """Pin tools/driver_sim.py CLI selection rules (r13+r14 ADVICE).
+
+    A structurally valid but EMPTY TAIL chunk (per = ceil(len/n) leaves
+    chunk indices >= ceil(len/per) with nothing) is a no-op success —
+    a caller looping i in range(n) must not see a spurious failure.
+    Out-of-range chunk indices, unknown explicit names, and empty
+    explicit selections stay hard failures so a typo can't make a sweep
+    chunk look clean while covering zero queries.
+    """
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    try:
+        from driver_sim import select_names
+    finally:
+        sys.path.pop(0)
+
+    reg = [f"q{i:02d}" for i in range(10)]
+    # plain slicing: 10 queries in 6 chunks of ceil(10/6)=2 -> chunks
+    # 0-4 cover all ten, chunk 5 is a valid empty tail
+    got = [select_names(f"chunk{i}/6", reg) for i in range(6)]
+    assert [len(g) for g in got] == [2, 2, 2, 2, 2, 0]
+    assert sorted(n for g in got for n in g) == sorted(reg)
+    # chunks slice the SORTED registry (stable across priority rotation)
+    shuffled = list(reversed(reg))
+    assert select_names("chunk0/5", shuffled) == sorted(shuffled)[:2]
+    # window50 mirrors registration (= driver priority) order, unsorted
+    assert select_names("window50", shuffled) == shuffled[:50]
+    assert select_names("all", shuffled) == shuffled
+    # hard failures
+    import pytest as _pytest
+
+    with _pytest.raises(SystemExit):
+        select_names("chunk6/6", reg)  # out of range
+    with _pytest.raises(SystemExit):
+        select_names("q00,typo", reg)  # unknown name
+    with _pytest.raises(SystemExit):
+        select_names("", reg)  # empty explicit selection
+    # explicit names resolve in the given order
+    assert select_names("q03,q01", reg) == ["q03", "q01"]

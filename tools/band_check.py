@@ -1,0 +1,97 @@
+"""Evaluate a bench sidecar against the probe-conditioned expected bands.
+
+The r14 verdict asked for fitted per-row expected bands (row value vs
+the record's own dispatch probes) so ordinary-band records are
+quantitatively adjudicable without waiting for a quiet-band minute.
+The fit lives in bench_snapshots/README.md ("Probe-conditioned expected
+bands"); this tool applies it to a record so snapshot notes can cite
+computed verdicts instead of hand arithmetic.
+
+Usage:
+    python tools/band_check.py [path-to-sidecar.json ...]
+
+Defaults to the live BENCH_local.json at the repo root. Prints one
+line per job-count-heavy row: fitted expectation at the record's
+probe_mean3, the ±2σ band, and inside/outside. Exit code is 0 either
+way — the band is an adjudication aid, not a gate.
+
+Fit provenance: OLS of row value on probe_mean3 = mean of
+job_latency_ms_{start,warm,end}, over the 10 committed probe-carrying
+records (BENCH_r12-r14 + the seven r12-r14 bench_snapshots); refit via
+the snippet in the README section when new quiet-band records land.
+graph_louvain is probe-independent (R² ≤ 0.05 under every regressor
+tried) and uses a flat empirical mean ± 2σ band instead.
+"""
+import json
+import sys
+from pathlib import Path
+
+# value_s = a + b * (probe_mean3 / 100 ms); band = fit ± 2*sigma.
+# Fitted 2026-08-15 (r15) on n=10 records, probe range 94-136 ms.
+FITS = {
+    "graph_connected_components": {"a": 1.288, "b": 3.046, "sigma": 0.391},
+    "graph_pagerank": {"a": -1.369, "b": 4.050, "sigma": 0.411},
+    "star_load_seconds": {"a": 3.737, "b": 3.862, "sigma": 0.396},
+    "llm_semdedup": {"a": 2.822, "b": 1.247, "sigma": 0.504},
+}
+# Probe-independent: flat band = mean ± 2σ of the same 10 records.
+FLAT = {"graph_louvain": {"mean": 6.977, "sigma": 0.789}}
+PROBE_RANGE_MS = (94.0, 136.0)
+
+
+def check(payload: dict) -> list[str]:
+    probes = [
+        payload.get("job_latency_ms_start"),
+        payload.get("job_latency_ms_warm"),
+        payload.get("job_latency_ms_end"),
+    ]
+    if any(p is None for p in probes):
+        return ["no job_latency_ms_* probes on this record — bands inapplicable"]
+    p3 = sum(probes) / 3
+    lines = [
+        f"probe_mean3 = {p3:.1f} ms (start/warm/end ="
+        f" {probes[0]:.0f}/{probes[1]:.0f}/{probes[2]:.0f});"
+        f" dispatch_band = {payload.get('dispatch_band')}"
+    ]
+    if not (PROBE_RANGE_MS[0] <= p3 <= PROBE_RANGE_MS[1]):
+        lines.append(
+            f"NOTE: probe_mean3 outside the fitted {PROBE_RANGE_MS[0]:.0f}-"
+            f"{PROBE_RANGE_MS[1]:.0f} ms range — extrapolating"
+        )
+    queries = payload.get("queries", {})
+    for row, f in FITS.items():
+        v = payload.get(row) if row == "star_load_seconds" else queries.get(row)
+        if v is None:
+            continue
+        exp = f["a"] + f["b"] * p3 / 100.0
+        lo, hi = exp - 2 * f["sigma"], exp + 2 * f["sigma"]
+        verdict = "inside" if lo <= v <= hi else "OUTSIDE"
+        lines.append(
+            f"{row}: {v:.3f} s vs fitted {exp:.2f} [{lo:.2f}-{hi:.2f}] — {verdict}"
+        )
+    for row, f in FLAT.items():
+        v = queries.get(row)
+        if v is None:
+            continue
+        lo, hi = f["mean"] - 2 * f["sigma"], f["mean"] + 2 * f["sigma"]
+        verdict = "inside" if lo <= v <= hi else "OUTSIDE"
+        lines.append(
+            f"{row}: {v:.3f} s vs flat band [{lo:.2f}-{hi:.2f}]"
+            f" (probe-independent) — {verdict}"
+        )
+    return lines
+
+
+def main(paths: list[str]) -> None:
+    for path in paths:
+        payload = json.loads(Path(path).read_text())
+        if "queries" not in payload and isinstance(payload.get("parsed"), dict):
+            payload = payload["parsed"]  # driver BENCH_r*.json nesting
+        print(f"== {path}")
+        for line in check(payload):
+            print(f"   {line}")
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:] or [str(Path(__file__).resolve().parents[1] / "BENCH_local.json")]
+    main(args)

@@ -161,17 +161,23 @@ def main(names: list[str]) -> None:
     sys.exit(1 if bad else 0)
 
 
-if __name__ == "__main__":
-    arg = sys.argv[1] if len(sys.argv) > 1 else "window50"
-    from ut_data_engineering_group_project_2022_spark.plans import all_queries
+def select_names(arg: str, registered: list[str]) -> list[str]:
+    """Resolve a CLI selection arg to query names.
 
-    registered = list(all_queries())
+    Raises SystemExit on invalid selections (out-of-range chunk index,
+    unknown names, empty explicit selection). Returns [] ONLY for a
+    structurally valid but empty tail chunk - the caller treats that as
+    a no-op success (r14 ADVICE: per = ceil(len/n) can leave chunk
+    indices >= ceil(len/per) empty, e.g. 10 queries split chunk5/6, and
+    a caller looping i in range(n) must not see a spurious failure;
+    the hard failure stays for typo'd explicit name lists / window50).
+    """
     if arg == "window50":
         # Registration order here IS the driver's window order:
         # plans/__init__.py set_priority() reorders the registry
         # stalest-first from the CORRECTNESS_r*.json history, and the
         # driver's 50-row correctness window is the first 50 entries of
-        # queries() in that order. chunkI/N below deliberately differs —
+        # queries() in that order. chunkI/N below deliberately differs -
         # it sorts alphabetically so sweep slices stay stable across
         # rounds while the priority order rotates (r13 ADVICE: the two
         # orderings differ by design; only window50 mirrors the driver).
@@ -179,7 +185,7 @@ if __name__ == "__main__":
     elif arg == "all":
         names = registered
     elif arg.startswith("chunk"):
-        # chunkI/N — sorted registry split into N contiguous slices so
+        # chunkI/N - sorted registry split into N contiguous slices so
         # the full sweep fits the 600 s background-command cap.
         i, n = map(int, arg.removeprefix("chunk").split("/"))
         if not (0 <= i < n):
@@ -188,26 +194,30 @@ if __name__ == "__main__":
         per = -(-len(allq) // n)
         names = allq[i * per : (i + 1) * per]
         if not names:
-            # Structurally valid but empty tail slice (per = ceil(len/n)
-            # can leave chunk indices >= ceil(len/per) empty, e.g. 10
-            # queries split chunk5/6). A caller looping i in range(n)
-            # must not see a spurious failure — this is a no-op chunk,
-            # not a typo (r14 ADVICE). The hard failure below stays for
-            # explicit name lists / window50.
             print(
                 f"[sim] {arg}: empty tail slice ({len(allq)} queries, "
-                f"{per}/chunk) — no-op success",
+                f"{per}/chunk) - no-op success",
                 file=sys.stderr,
             )
-            sys.exit(0)
+            return []
     else:
         names = arg.split(",")
     # A typo'd selection must fail loudly, not print checked=0 and exit
-    # 0 — an empty slice would make a sweep chunk look clean while
+    # 0 - an empty slice would make a sweep chunk look clean while
     # covering zero queries (r13 ADVICE).
     if not names:
         sys.exit(f"empty query selection for arg {arg!r}")
     unknown = [n for n in names if n not in registered]
     if unknown:
         sys.exit(f"unknown queries: {unknown}")
+    return names
+
+
+if __name__ == "__main__":
+    arg = sys.argv[1] if len(sys.argv) > 1 else "window50"
+    from ut_data_engineering_group_project_2022_spark.plans import all_queries
+
+    names = select_names(arg, list(all_queries()))
+    if not names:  # valid empty tail chunk - no-op success
+        sys.exit(0)
     main(names)
