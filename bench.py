@@ -390,6 +390,22 @@ def main() -> None:
     # stays out of version control.
     detail = dict(payload)
     detail["queries_runs"] = raw
+    # Self-adjudication (r15): attach the probe-conditioned band
+    # verdicts (tools/band_check.py, fit documented in
+    # bench_snapshots/README.md) so every sidecar carries its own
+    # inside/outside reading for the job-count-heavy rows. Sidecar
+    # only — the stdout payload must stay one compact line (<~2 KB,
+    # the driver captures a tail). Best-effort: a band_check problem
+    # must never lose a bench record.
+    try:
+        sys.path.insert(0, str(Path(_REPO, "tools")))
+        import band_check
+
+        detail["band_check"] = band_check.check(payload)
+    except Exception as ex:  # noqa: BLE001
+        detail["band_check"] = [f"band_check unavailable: {ex!r}"]
+    finally:
+        sys.path.pop(0)
     Path(_REPO, "BENCH_local.json").write_text(json.dumps(detail, indent=1))
     spark.stop()
     print(json.dumps(payload, separators=(",", ":")))

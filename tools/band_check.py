@@ -40,6 +40,12 @@ PROBE_RANGE_MS = (94.0, 136.0)
 
 
 def check(payload: dict) -> list[str]:
+    sf = payload.get("sf")
+    if sf != 0.1:
+        # Every record in the fitting data ran at sf0.1; row values at
+        # another scale factor have nothing to do with these bands
+        # (caught live: an sf0.001 smoke run read every row OUTSIDE).
+        return [f"bands fitted at sf0.1 — inapplicable at sf={sf}"]
     probes = [
         payload.get("job_latency_ms_start"),
         payload.get("job_latency_ms_warm"),
