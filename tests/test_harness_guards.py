@@ -149,3 +149,41 @@ def test_driver_sim_selection_arg_semantics():
         select_names("", reg)  # empty explicit selection
     # explicit names resolve in the given order
     assert select_names("q03,q01", reg) == ["q03", "q01"]
+
+
+def test_band_check_guard_paths():
+    """Pin tools/band_check.py applicability guards (r15).
+
+    The fitted probe-conditioned bands only apply to sf0.1 records that
+    carry job_latency_ms_* probes; anything else must say so instead of
+    emitting misleading verdicts (an sf0.001 smoke run read every row
+    OUTSIDE before the scale-factor guard existed).
+    """
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    try:
+        from band_check import check
+    finally:
+        sys.path.pop(0)
+
+    assert check({"sf": 0.001})[0].endswith("inapplicable at sf=0.001")
+    assert "inapplicable" in check({"sf": 0.1})[0]  # probe-less record
+    rec = {
+        "sf": 0.1,
+        "job_latency_ms_start": 90.0,
+        "job_latency_ms_warm": 100.0,
+        "job_latency_ms_end": 110.0,
+        "dispatch_band": "ordinary",
+        "star_load_seconds": 7.6,
+        "queries": {"graph_pagerank": 2.7, "graph_louvain": 99.0},
+    }
+    lines = check(rec)
+    assert lines[0].startswith("probe_mean3 = 100.0 ms")
+    by_row = {ln.split(":")[0]: ln for ln in lines[1:]}
+    assert by_row["star_load_seconds"].endswith("inside")
+    assert by_row["graph_pagerank"].endswith("inside")
+    assert by_row["graph_louvain"].endswith("OUTSIDE")
+    # rows absent from the record are skipped, not errored
+    assert "graph_connected_components" not in by_row
