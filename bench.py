@@ -379,6 +379,24 @@ def main() -> None:
         "r1_suite_total": r1_total,
         "sf": sf,
     }
+    # Compact self-adjudication for the DRIVER record (r15): the driver
+    # keeps only this stdout line, and r14's record landed on the
+    # session's worst minute and read like a regression to a naive
+    # reader. `band_outside` names the job-count-heavy rows outside
+    # their fitted ±2σ probe-conditioned band (bench_snapshots/
+    # README.md): [] = all inside (readings explained by the record's
+    # own dispatch weather); non-empty = investigate those rows; null =
+    # bands inapplicable (wrong sf / no probes / band_check failure).
+    # Adds ~40 bytes — the full verdict lines go to the sidecar below.
+    try:
+        sys.path.insert(0, str(Path(_REPO, "tools")))
+        import band_check as _bc
+
+        payload["band_outside"] = _bc.outside_rows(payload)
+    except Exception:  # noqa: BLE001
+        payload["band_outside"] = None
+    finally:
+        sys.path.pop(0)
     # Belt-and-braces: the driver captures only the tail of stdout (the r7
     # line grew past its 2 KB window via queries_runs and came back
     # "parsed": null). Full detail (all raw passes per query) goes to a

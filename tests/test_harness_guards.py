@@ -187,3 +187,29 @@ def test_band_check_guard_paths():
     assert by_row["graph_louvain"].endswith("OUTSIDE")
     # rows absent from the record are skipped, not errored
     assert "graph_connected_components" not in by_row
+
+
+def test_band_check_outside_rows_structured():
+    """outside_rows(): None = inapplicable, [] = all inside, names = outliers."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    try:
+        from band_check import outside_rows
+    finally:
+        sys.path.pop(0)
+
+    assert outside_rows({"sf": 0.001}) is None
+    assert outside_rows({"sf": 0.1}) is None  # probe-less
+    rec = {
+        "sf": 0.1,
+        "job_latency_ms_start": 90.0,
+        "job_latency_ms_warm": 100.0,
+        "job_latency_ms_end": 110.0,
+        "star_load_seconds": 7.6,
+        "queries": {"graph_pagerank": 2.7, "graph_louvain": 99.0},
+    }
+    assert outside_rows(rec) == ["graph_louvain"]
+    rec["queries"]["graph_louvain"] = 7.0
+    assert outside_rows(rec) == []

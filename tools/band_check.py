@@ -39,6 +39,20 @@ FLAT = {"graph_louvain": {"mean": 6.977, "sigma": 0.789}}
 PROBE_RANGE_MS = (94.0, 136.0)
 
 
+def outside_rows(payload: dict) -> list[str] | None:
+    """Structured verdict: names of rows OUTSIDE their fitted band.
+
+    Returns None when the bands are inapplicable to this record (wrong
+    sf, no probes), [] when every covered row reads inside, else the
+    sorted row names. This is what bench.py embeds in the compact
+    stdout payload as `band_outside`.
+    """
+    lines = check(payload)
+    if any("inapplicable" in ln for ln in lines):
+        return None
+    return sorted(ln.split(":")[0] for ln in lines if ln.endswith("OUTSIDE"))
+
+
 def check(payload: dict) -> list[str]:
     sf = payload.get("sf")
     if sf != 0.1:
