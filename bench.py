@@ -199,6 +199,31 @@ def main() -> None:
     specs = {n: s for n, s in all_queries().items() if s.bench}
     timings: dict[str, float] = {}
     raw: dict[str, list[float]] = {}
+
+    # Per-row dispatch-weather trace (r15): the three suite-level probes
+    # sample three instants while the rows run across many minutes of
+    # host weather; every band miss adjudicated in the r15 hunt log
+    # (bench_snapshots/README.md) traced to a loud episode the probes
+    # straddled — CC/pagerank, the longest job chains, integrate weather
+    # the instantaneous probes never saw. One SINGLE-REP probe between
+    # rows (~100 ms each, probe codegen already JIT-warm from the
+    # gate/warm probes, taken OUTSIDE every row's timed window) records
+    # the weather as a (len(rows)+1)-sample trace. Single samples jitter
+    # on scheduler wakeup (the reason job_probe is min-of-5), so the
+    # trace is for post-hoc row-local adjudication (neighbor averaging —
+    # tools/band_check.py row_weather()), never for gating: all gate/
+    # flag/band logic stays on the established min-of-5 probes. Sidecar
+    # only; sample i precedes sorted-row i, the last sample follows the
+    # final row. star_load runs before this loop and is bracketed by the
+    # start/warm min-of-5 probes instead.
+    def probe_rep_ms() -> float:
+        t0 = time.monotonic()
+        spark.range(10_000).groupBy((F.col("id") % 8).alias("k")).count().write.format(
+            "noop"
+        ).mode("overwrite").save()
+        return round((time.monotonic() - t0) * 1000, 1)
+
+    job_probe_trace: list[float] = []
     # Two timed executions per query, min reported: steady-state timing —
     # the host is shared and a single pass can absorb 2-3x external noise;
     # min-of-2 also reflects warm-path behavior for stateful queries (the
@@ -207,6 +232,7 @@ def main() -> None:
     # comparisons can be made cold-vs-cold or min-vs-min, and run variance
     # (host noise) is visible in the recorded artifact.
     for name in sorted(specs):
+        job_probe_trace.append(probe_rep_ms())
         runs = []
         for _ in range(2):
             t0 = time.monotonic()
@@ -244,6 +270,8 @@ def main() -> None:
             f" (noise-normalized {norm:.3f}s, runs: {runs})",
             file=sys.stderr,
         )
+
+    job_probe_trace.append(probe_rep_ms())  # closing sample after the last row
 
     # End-of-suite probe (r10 verdict: one start-of-suite probe cannot
     # certify an ~80 s run — BENCH_r10's gate passed at 0.265 s and the
@@ -408,6 +436,12 @@ def main() -> None:
     # stays out of version control.
     detail = dict(payload)
     detail["queries_runs"] = raw
+    # Sidecar-only (stdout must stay one compact line): the per-row
+    # dispatch-weather trace collected between suite rows. Alignment:
+    # sample i precedes sorted(queries)[i], sample -1 follows the last
+    # row; tools/band_check.py row_weather() derives each row's local
+    # weather as the mean of its bracketing samples.
+    detail["job_probe_trace_ms"] = job_probe_trace
     # Self-adjudication (r15): attach the probe-conditioned band
     # verdicts (tools/band_check.py, fit documented in
     # bench_snapshots/README.md) so every sidecar carries its own

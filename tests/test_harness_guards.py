@@ -213,3 +213,36 @@ def test_band_check_outside_rows_structured():
     assert outside_rows(rec) == ["graph_louvain"]
     rec["queries"]["graph_louvain"] = 7.0
     assert outside_rows(rec) == []
+
+
+def test_row_weather_trace_alignment():
+    """Pin band_check.row_weather() (r15 probe-trace instrument).
+
+    bench.py records one single-rep probe before each sorted suite row
+    plus one after the last; row i's local weather is the mean of its
+    bracketing samples. Misaligned or absent traces must return None —
+    silently pairing rows with the wrong samples would fabricate
+    adjudication evidence.
+    """
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    try:
+        from band_check import row_weather
+    finally:
+        sys.path.pop(0)
+
+    rec = {
+        "queries": {"b_row": 1.0, "a_row": 2.0, "c_row": 3.0},
+        "job_probe_trace_ms": [100.0, 120.0, 80.0, 90.0],
+    }
+    # sorted rows: a_row, b_row, c_row; bracketing means follow suit
+    assert row_weather(rec) == {"a_row": 110.0, "b_row": 100.0, "c_row": 85.0}
+    # no trace / empty trace / length mismatch -> None
+    assert row_weather({"queries": {"a": 1.0}}) is None
+    assert row_weather({"queries": {"a": 1.0}, "job_probe_trace_ms": []}) is None
+    assert (
+        row_weather({"queries": {"a": 1.0}, "job_probe_trace_ms": [1.0, 2.0, 3.0]})
+        is None
+    )

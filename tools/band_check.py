@@ -53,6 +53,34 @@ def outside_rows(payload: dict) -> list[str] | None:
     return sorted(ln.split(":")[0] for ln in lines if ln.endswith("OUTSIDE"))
 
 
+def row_weather(payload: dict) -> dict[str, float] | None:
+    """Per-row local dispatch weather from the sidecar's probe trace.
+
+    bench.py (r15) records `job_probe_trace_ms`: one single-rep probe
+    between suite rows — sample i precedes sorted(queries)[i], the last
+    sample follows the final row. A row's local weather is the mean of
+    its two bracketing samples, which is what the three suite-level
+    probes cannot give: every band miss in the r15 hunt log traced to a
+    loud episode localized WITHIN the suite that probe_mean3 straddled.
+    Single samples jitter (~±30 ms on scheduler wakeup), so treat a
+    row's number as indicative, not calibrated — the fitted bands stay
+    keyed on probe_mean3 until enough trace-carrying records exist to
+    refit row-locally.
+
+    Returns None when the record carries no trace or the trace length
+    does not match len(queries)+1 (misalignment would silently pair
+    rows with the wrong samples).
+    """
+    trace = payload.get("job_probe_trace_ms")
+    queries = payload.get("queries")
+    if not trace or not queries or len(trace) != len(queries) + 1:
+        return None
+    rows = sorted(queries)
+    return {
+        row: round((trace[i] + trace[i + 1]) / 2, 1) for i, row in enumerate(rows)
+    }
+
+
 def check(payload: dict) -> list[str]:
     sf = payload.get("sf")
     if sf != 0.1:
@@ -110,6 +138,14 @@ def main(paths: list[str]) -> None:
         print(f"== {path}")
         for line in check(payload):
             print(f"   {line}")
+        weather = row_weather(payload)
+        if weather:
+            heavy = [r for r in (*FITS, *FLAT) if r in weather]
+            if heavy:
+                print(
+                    "   row-local weather (trace, single-rep samples): "
+                    + ", ".join(f"{r} {weather[r]:.0f}ms" for r in heavy)
+                )
 
 
 if __name__ == "__main__":
