@@ -406,6 +406,16 @@ def main() -> None:
         "noise_flag": noise_flag,
         "r1_suite_total": r1_total,
         "sf": sf,
+        # Compact trace summary for the DRIVER record (the full trace is
+        # sidecar-only): median vs max of the between-row single-rep
+        # probes. A max far above the median (first sf0.1 trace: median
+        # 144 / max 378 ms) is a loud episode localized WITHIN the suite
+        # — the pattern that made probe-mean3-quiet records read their
+        # graph rows outside the fitted bands all through r15.
+        "job_probe_trace_median_ms": round(
+            sorted(job_probe_trace)[len(job_probe_trace) // 2], 1
+        ) if job_probe_trace else None,
+        "job_probe_trace_max_ms": max(job_probe_trace) if job_probe_trace else None,
     }
     # Compact self-adjudication for the DRIVER record (r15): the driver
     # keeps only this stdout line, and r14's record landed on the
