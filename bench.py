@@ -25,6 +25,7 @@ from __future__ import annotations
 
 import json
 import os
+import statistics
 import sys
 import time
 from pathlib import Path
@@ -412,8 +413,11 @@ def main() -> None:
         # 144 / max 378 ms) is a loud episode localized WITHIN the suite
         # — the pattern that made probe-mean3-quiet records read their
         # graph rows outside the fitted bands all through r15.
+        # statistics.median, not sorted()[len//2] (r15 ADVICE): the
+        # trace has len(queries)+1 samples, so the upper-middle pick
+        # would silently shift whenever the bench set changes parity.
         "job_probe_trace_median_ms": round(
-            sorted(job_probe_trace)[len(job_probe_trace) // 2], 1
+            statistics.median(job_probe_trace), 1
         ) if job_probe_trace else None,
         "job_probe_trace_max_ms": max(job_probe_trace) if job_probe_trace else None,
     }
@@ -448,10 +452,13 @@ def main() -> None:
     detail["queries_runs"] = raw
     # Sidecar-only (stdout must stay one compact line): the per-row
     # dispatch-weather trace collected between suite rows. Alignment:
-    # sample i precedes sorted(queries)[i], sample -1 follows the last
-    # row; tools/band_check.py row_weather() derives each row's local
-    # weather as the mean of its bracketing samples.
+    # sample i precedes row i of job_probe_trace_rows (the loop order,
+    # recorded explicitly so pairing is self-describing rather than a
+    # cross-file sorted() convention — r15 ADVICE), sample -1 follows
+    # the last row; tools/band_check.py row_weather() derives each
+    # row's local weather as the mean of its bracketing samples.
     detail["job_probe_trace_ms"] = job_probe_trace
+    detail["job_probe_trace_rows"] = sorted(specs)
     # Self-adjudication (r15): attach the probe-conditioned band
     # verdicts (tools/band_check.py, fit documented in
     # bench_snapshots/README.md) so every sidecar carries its own
@@ -468,7 +475,9 @@ def main() -> None:
         detail["band_check"] = [f"band_check unavailable: {ex!r}"]
     finally:
         sys.path.pop(0)
-    Path(_REPO, "BENCH_local.json").write_text(json.dumps(detail, indent=1))
+    # Trailing newline so committed snapshot copies diff cleanly
+    # (r15 ADVICE: r15_ordinary_trace.json landed newline-less).
+    Path(_REPO, "BENCH_local.json").write_text(json.dumps(detail, indent=1) + "\n")
     spark.stop()
     print(json.dumps(payload, separators=(",", ":")))
 

@@ -246,3 +246,97 @@ def test_row_weather_trace_alignment():
         row_weather({"queries": {"a": 1.0}, "job_probe_trace_ms": [1.0, 2.0, 3.0]})
         is None
     )
+
+
+def test_row_weather_self_describing_order():
+    """r16 (r15 ADVICE): sidecars record `job_probe_trace_rows` so trace
+    alignment is self-describing; row_weather must honor the recorded
+    order over the sorted(queries) convention and refuse a recorded
+    list that disagrees with the queries dict."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    try:
+        from band_check import row_weather
+    finally:
+        sys.path.pop(0)
+
+    rec = {
+        "queries": {"b_row": 1.0, "a_row": 2.0},
+        "job_probe_trace_ms": [100.0, 200.0, 300.0],
+        # deliberately NOT alphabetical — recorded order must win
+        "job_probe_trace_rows": ["b_row", "a_row"],
+    }
+    assert row_weather(rec) == {"b_row": 150.0, "a_row": 250.0}
+    # recorded rows disagreeing with queries -> None (no silent mispair)
+    rec["job_probe_trace_rows"] = ["b_row", "zz_row"]
+    assert row_weather(rec) is None
+    # recorded rows of the wrong length -> None
+    rec["job_probe_trace_rows"] = ["b_row"]
+    assert row_weather(rec) is None
+
+
+def test_louvain_trace_conditioned_adjudication():
+    """r16 (r15 verdict ask #2): an outside-band louvain reading on a
+    trace-carrying record is adjudicated row-locally — loud bracketing
+    weather (>= TRACE_LOUD_MS) means traced episode (NOT flagged in
+    band_outside); quiet weather keeps the OUTSIDE verdict."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    try:
+        from band_check import FLAT, check, outside_rows
+    finally:
+        sys.path.pop(0)
+
+    hi = FLAT["graph_louvain"]["mean"] + 2 * FLAT["graph_louvain"]["sigma"]
+
+    def rec(louvain_s, trace):
+        r = {
+            "sf": 0.1,
+            "job_latency_ms_start": 100.0,
+            "job_latency_ms_warm": 100.0,
+            "job_latency_ms_end": 100.0,
+            "queries": {"graph_louvain": louvain_s},
+        }
+        if trace is not None:
+            r["job_probe_trace_ms"] = trace
+            r["job_probe_trace_rows"] = ["graph_louvain"]
+        return r
+
+    # outside + loud bracketing weather -> adjudicated, not flagged
+    loud = rec(hi + 1.0, [250.0, 280.0])
+    assert outside_rows(loud) == []
+    (line,) = [ln for ln in check(loud) if ln.startswith("graph_louvain")]
+    assert "adjudicated as weather" in line and not line.endswith("OUTSIDE")
+    # outside + quiet weather -> still OUTSIDE (the real-anomaly shape)
+    quiet = rec(hi + 1.0, [120.0, 130.0])
+    assert outside_rows(quiet) == ["graph_louvain"]
+    # outside + no trace -> plain OUTSIDE (pre-r16 records)
+    assert outside_rows(rec(hi + 1.0, None)) == ["graph_louvain"]
+    # inside stays inside regardless of weather
+    assert outside_rows(rec(FLAT["graph_louvain"]["mean"], [250.0, 280.0])) == []
+
+
+def test_refit_bands_ols_recovers_known_line():
+    """Sanity-pin tools/refit_bands.py's OLS: exact fit on a noiseless
+    line, correct sigma/R2 shape on a perturbed one."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    try:
+        from refit_bands import ols
+    finally:
+        sys.path.pop(0)
+
+    xs = [0.9, 1.0, 1.1, 1.2, 1.3]
+    ys = [2.0 + 3.0 * x for x in xs]
+    a, b, sigma, r2 = ols(xs, ys)
+    assert abs(a - 2.0) < 1e-9 and abs(b - 3.0) < 1e-9
+    assert sigma < 1e-9 and abs(r2 - 1.0) < 1e-9
+    ys2 = [y + d for y, d in zip(ys, [0.1, -0.1, 0.1, -0.1, 0.0])]
+    a2, b2, sigma2, r2_2 = ols(xs, ys2)
+    assert sigma2 > 0 and 0 < r2_2 < 1

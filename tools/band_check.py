@@ -16,27 +16,38 @@ probe_mean3, the ±2σ band, and inside/outside. Exit code is 0 either
 way — the band is an adjudication aid, not a gate.
 
 Fit provenance: OLS of row value on probe_mean3 = mean of
-job_latency_ms_{start,warm,end}, over the 10 committed probe-carrying
-records (BENCH_r12-r14 + the seven r12-r14 bench_snapshots); refit via
-the snippet in the README section when new quiet-band records land.
-graph_louvain is probe-independent (R² ≤ 0.05 under every regressor
-tried) and uses a flat empirical mean ± 2σ band instead.
+job_latency_ms_{start,warm,end}, over the 14 committed probe-carrying
+records (BENCH_r12-r15 + the ten r12-r15 bench_snapshots); refit via
+tools/refit_bands.py when new probe-carrying records land.
+graph_louvain is probe-independent (R² ≤ 0.16 under every regressor
+tried) and uses a flat empirical mean ± 2σ band instead, fitted on
+the 12 flag-null records only (see refit_bands.py: a flat band has no
+regressor to absorb a flagged record's weather). On trace-carrying
+records louvain is additionally TRACE-CONDITIONED (r15 verdict ask):
+~5 of 23 r15 hunts read louvain outside its flat band and every miss
+traced post-hoc to a row-local loud episode, so an outside reading
+whose bracketing job_probe_trace_ms weather is loud (≥ 150 ms) is
+adjudicated as weather in place, not flagged for investigation.
 """
 import json
 import sys
 from pathlib import Path
 
 # value_s = a + b * (probe_mean3 / 100 ms); band = fit ± 2*sigma.
-# Fitted 2026-08-15 (r15) on n=10 records, probe range 94-136 ms.
+# Fitted 2026-08-16 (r16, tools/refit_bands.py) on n=14 records,
+# probe range 94-136 ms.
 FITS = {
-    "graph_connected_components": {"a": 1.288, "b": 3.046, "sigma": 0.391},
-    "graph_pagerank": {"a": -1.369, "b": 4.050, "sigma": 0.411},
-    "star_load_seconds": {"a": 3.737, "b": 3.862, "sigma": 0.396},
-    "llm_semdedup": {"a": 2.822, "b": 1.247, "sigma": 0.504},
+    "graph_connected_components": {"a": 1.312, "b": 3.020, "sigma": 0.359},
+    "graph_pagerank": {"a": -0.648, "b": 3.501, "sigma": 0.414},
+    "star_load_seconds": {"a": 3.275, "b": 4.281, "sigma": 0.394},
+    "llm_semdedup": {"a": 2.257, "b": 1.734, "sigma": 0.454},
 }
-# Probe-independent: flat band = mean ± 2σ of the same 10 records.
-FLAT = {"graph_louvain": {"mean": 6.977, "sigma": 0.789}}
+# Probe-independent: flat band = mean ± 2σ of the 12 flag-null records.
+FLAT = {"graph_louvain": {"mean": 6.986, "sigma": 0.701}}
 PROBE_RANGE_MS = (94.0, 136.0)
+# A trace sample at/above this is a row-local loud episode (r15 hunt
+# log: episodes read 212-633 ms vs a 118-144 ms ordinary-band floor).
+TRACE_LOUD_MS = 150.0
 
 
 def outside_rows(payload: dict) -> list[str] | None:
@@ -67,15 +78,25 @@ def row_weather(payload: dict) -> dict[str, float] | None:
     keyed on probe_mean3 until enough trace-carrying records exist to
     refit row-locally.
 
-    Returns None when the record carries no trace or the trace length
-    does not match len(queries)+1 (misalignment would silently pair
-    rows with the wrong samples).
+    Alignment is self-describing from r16 on: bench.py records
+    `job_probe_trace_rows` (the row name per sample slot) next to the
+    trace, so pairing no longer rests on the implicit "both sides sort
+    alphabetically" cross-file convention (r15 ADVICE). Pre-r16 sidecars
+    lack the field and fall back to the sorted(queries) convention the
+    unit test pins.
+
+    Returns None when the record carries no trace, the trace length does
+    not match len(rows)+1, or a recorded row list disagrees with the
+    queries dict (misalignment would silently pair rows with the wrong
+    samples).
     """
     trace = payload.get("job_probe_trace_ms")
     queries = payload.get("queries")
-    if not trace or not queries or len(trace) != len(queries) + 1:
+    if not trace or not queries:
         return None
-    rows = sorted(queries)
+    rows = payload.get("job_probe_trace_rows") or sorted(queries)
+    if len(trace) != len(rows) + 1 or set(rows) != set(queries):
+        return None
     return {
         row: round((trace[i] + trace[i + 1]) / 2, 1) for i, row in enumerate(rows)
     }
@@ -117,12 +138,28 @@ def check(payload: dict) -> list[str]:
         lines.append(
             f"{row}: {v:.3f} s vs fitted {exp:.2f} [{lo:.2f}-{hi:.2f}] — {verdict}"
         )
+    weather = row_weather(payload)
     for row, f in FLAT.items():
         v = queries.get(row)
         if v is None:
             continue
         lo, hi = f["mean"] - 2 * f["sigma"], f["mean"] + 2 * f["sigma"]
-        verdict = "inside" if lo <= v <= hi else "OUTSIDE"
+        if lo <= v <= hi:
+            verdict = "inside"
+        elif weather and row in weather and weather[row] >= TRACE_LOUD_MS:
+            # Trace-conditioned adjudication (r15 verdict ask): every
+            # r15 outside-louvain hunt traced to a row-local loud
+            # episode; when the record itself shows one under this row,
+            # the miss is weather, adjudicated in place — not flagged.
+            verdict = (
+                f"outside, but local weather {weather[row]:.0f} ms ≥ "
+                f"{TRACE_LOUD_MS:.0f} — traced row-local loud episode, "
+                "adjudicated as weather"
+            )
+        elif weather and row in weather:
+            verdict = f"local weather {weather[row]:.0f} ms quiet — OUTSIDE"
+        else:
+            verdict = "OUTSIDE"
         lines.append(
             f"{row}: {v:.3f} s vs flat band [{lo:.2f}-{hi:.2f}]"
             f" (probe-independent) — {verdict}"
