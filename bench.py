@@ -421,24 +421,6 @@ def main() -> None:
         ) if job_probe_trace else None,
         "job_probe_trace_max_ms": max(job_probe_trace) if job_probe_trace else None,
     }
-    # Compact self-adjudication for the DRIVER record (r15): the driver
-    # keeps only this stdout line, and r14's record landed on the
-    # session's worst minute and read like a regression to a naive
-    # reader. `band_outside` names the job-count-heavy rows outside
-    # their fitted ±2σ probe-conditioned band (bench_snapshots/
-    # README.md): [] = all inside (readings explained by the record's
-    # own dispatch weather); non-empty = investigate those rows; null =
-    # bands inapplicable (wrong sf / no probes / band_check failure).
-    # Adds ~40 bytes — the full verdict lines go to the sidecar below.
-    try:
-        sys.path.insert(0, str(Path(_REPO, "tools")))
-        import band_check as _bc
-
-        payload["band_outside"] = _bc.outside_rows(payload)
-    except Exception:  # noqa: BLE001
-        payload["band_outside"] = None
-    finally:
-        sys.path.pop(0)
     # Belt-and-braces: the driver captures only the tail of stdout (the r7
     # line grew past its 2 KB window via queries_runs and came back
     # "parsed": null). Full detail (all raw passes per query) goes to a
@@ -462,17 +444,27 @@ def main() -> None:
     # Self-adjudication (r15): attach the probe-conditioned band
     # verdicts (tools/band_check.py, fit documented in
     # bench_snapshots/README.md) so every sidecar carries its own
-    # inside/outside reading for the job-count-heavy rows. Sidecar
-    # only — the stdout payload must stay one compact line (<~2 KB,
-    # the driver captures a tail). Best-effort: a band_check problem
-    # must never lose a bench record.
+    # inside/outside reading for the job-count-heavy rows, and embed
+    # the compact `band_outside` list in the DRIVER-visible stdout
+    # payload ([] = all inside; non-empty = investigate those rows;
+    # null = bands inapplicable). Both are computed from DETAIL — the
+    # dict that carries the probe trace — not the bare payload (r16):
+    # computing from the trace-less payload made the driver field miss
+    # the louvain trace-conditioned adjudication, so the one row the
+    # rule exists to stop flagging kept getting flagged exactly where
+    # it matters most. Best-effort: a band_check problem must never
+    # lose a bench record.
     try:
         sys.path.insert(0, str(Path(_REPO, "tools")))
         import band_check
 
-        detail["band_check"] = band_check.check(payload)
+        detail["band_check"] = band_check.check(detail)
+        payload["band_outside"] = detail["band_outside"] = band_check.outside_rows(
+            detail
+        )
     except Exception as ex:  # noqa: BLE001
         detail["band_check"] = [f"band_check unavailable: {ex!r}"]
+        payload["band_outside"] = detail["band_outside"] = None
     finally:
         sys.path.pop(0)
     # Trailing newline so committed snapshot copies diff cleanly
