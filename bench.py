@@ -458,9 +458,13 @@ def main() -> None:
         sys.path.insert(0, str(Path(_REPO, "tools")))
         import band_check
 
-        detail["band_check"] = band_check.check(detail)
-        payload["band_outside"] = detail["band_outside"] = band_check.outside_rows(
-            detail
+        verdicts = band_check.check(detail)
+        detail["band_check"] = band_check.render(verdicts)
+        # band_outside derives from the structured status field, not
+        # the rendered prose (r16 ADVICE: suffix-matching verdict text
+        # meant any rewording silently changed driver output).
+        payload["band_outside"] = detail["band_outside"] = band_check.outside_from(
+            verdicts
         )
     except Exception as ex:  # noqa: BLE001
         detail["band_check"] = [f"band_check unavailable: {ex!r}"]

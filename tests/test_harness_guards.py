@@ -152,24 +152,29 @@ def test_driver_sim_selection_arg_semantics():
 
 
 def test_band_check_guard_paths():
-    """Pin tools/band_check.py applicability guards (r15).
+    """Pin tools/band_check.py applicability guards (r15; structured r17).
 
     The fitted probe-conditioned bands only apply to sf0.1 records that
     carry job_latency_ms_* probes; anything else must say so instead of
     emitting misleading verdicts (an sf0.001 smoke run read every row
-    OUTSIDE before the scale-factor guard existed).
+    OUTSIDE before the scale-factor guard existed). check() returns
+    (row, status, text) tuples (r16 ADVICE: the driver-visible
+    band_outside must derive from a status field, not from
+    suffix-matching prose that any rewording silently changes).
     """
     import sys
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
     try:
-        from band_check import check
+        from band_check import check, render
     finally:
         sys.path.pop(0)
 
-    assert check({"sf": 0.001})[0].endswith("inapplicable at sf=0.001")
-    assert "inapplicable" in check({"sf": 0.1})[0]  # probe-less record
+    (row, status, text), = check({"sf": 0.001})
+    assert (row, status) == (None, "inapplicable")
+    assert text.endswith("inapplicable at sf=0.001")
+    assert check({"sf": 0.1})[0][1] == "inapplicable"  # probe-less record
     rec = {
         "sf": 0.1,
         "job_latency_ms_start": 90.0,
@@ -179,14 +184,17 @@ def test_band_check_guard_paths():
         "star_load_seconds": 7.6,
         "queries": {"graph_pagerank": 2.7, "graph_louvain": 99.0},
     }
-    lines = check(rec)
-    assert lines[0].startswith("probe_mean3 = 100.0 ms")
-    by_row = {ln.split(":")[0]: ln for ln in lines[1:]}
-    assert by_row["star_load_seconds"].endswith("inside")
-    assert by_row["graph_pagerank"].endswith("inside")
-    assert by_row["graph_louvain"].endswith("OUTSIDE")
-    # rows absent from the record are skipped, not errored
-    assert "graph_connected_components" not in by_row
+    results = check(rec)
+    assert results[0][1] == "meta"
+    assert results[0][2].startswith("probe_mean3 = 100.0 ms")
+    by_row = {row: status for row, status, _ in results if row}
+    assert by_row == {
+        "star_load_seconds": "inside",
+        "graph_pagerank": "inside",
+        "graph_louvain": "outside",
+    }
+    # render() emits one human line per verdict, in order
+    assert render(results) == [text for _, _, text in results]
 
 
 def test_band_check_outside_rows_structured():
@@ -277,47 +285,139 @@ def test_row_weather_self_describing_order():
     assert row_weather(rec) is None
 
 
-def test_louvain_trace_conditioned_adjudication():
-    """r16 (r15 verdict ask #2): an outside-band louvain reading on a
-    trace-carrying record is adjudicated row-locally — loud bracketing
-    weather (>= TRACE_LOUD_MS) means traced episode (NOT flagged in
-    band_outside); quiet weather keeps the OUTSIDE verdict."""
+def _bands():
     import sys
     from pathlib import Path
 
     sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
     try:
-        from band_check import FLAT, check, outside_rows
+        import band_check
     finally:
         sys.path.pop(0)
+    return band_check
 
-    hi = FLAT["graph_louvain"]["mean"] + 2 * FLAT["graph_louvain"]["sigma"]
+
+def test_louvain_trace_conditioned_adjudication():
+    """r16 (r15 verdict ask #2) + r17 (r16 ADVICE): an outside-band
+    louvain reading on a trace-carrying record is adjudicated
+    row-locally, and the episode gate is RELATIVE to the record's own
+    ambient — max(TRACE_LOUD_MS, REL_LOUD * trace median). A bracketing
+    window at ambient level on an ordinary-loud day is the day, not an
+    episode, and must stay OUTSIDE (a real regression would otherwise
+    be systematically masked on loud days)."""
+    bc = _bands()
+    hi = bc.FLAT["graph_louvain"]["mean"] + 2 * bc.FLAT["graph_louvain"]["sigma"]
 
     def rec(louvain_s, trace):
+        # five-row suite: louvain in slot 2, the rest ambient context
+        rows = ["r1", "r2", "graph_louvain", "r3", "r4"]
         r = {
             "sf": 0.1,
             "job_latency_ms_start": 100.0,
             "job_latency_ms_warm": 100.0,
             "job_latency_ms_end": 100.0,
-            "queries": {"graph_louvain": louvain_s},
+            "queries": {name: (louvain_s if name == "graph_louvain" else 1.0)
+                        for name in rows},
         }
         if trace is not None:
             r["job_probe_trace_ms"] = trace
-            r["job_probe_trace_rows"] = ["graph_louvain"]
+            r["job_probe_trace_rows"] = rows
         return r
 
-    # outside + loud bracketing weather -> adjudicated, not flagged
-    loud = rec(hi + 1.0, [250.0, 280.0])
-    assert outside_rows(loud) == []
-    (line,) = [ln for ln in check(loud) if ln.startswith("graph_louvain")]
-    assert "adjudicated as weather" in line and not line.endswith("OUTSIDE")
+    # quiet ambient (median ~122) + a 250-280 ms episode bracketing
+    # exactly louvain's slot -> adjudicated, not flagged
+    loud = rec(hi + 1.0, [120.0, 125.0, 250.0, 280.0, 118.0, 122.0])
+    assert bc.outside_rows(loud) == []
+    (entry,) = [t for t in bc.check(loud) if t[0] == "graph_louvain"]
+    assert entry[1] == "weather" and "adjudicated as weather" in entry[2]
     # outside + quiet weather -> still OUTSIDE (the real-anomaly shape)
-    quiet = rec(hi + 1.0, [120.0, 130.0])
-    assert outside_rows(quiet) == ["graph_louvain"]
+    quiet = rec(hi + 1.0, [120.0, 125.0, 118.0, 121.0, 118.0, 122.0])
+    assert bc.outside_rows(quiet) == ["graph_louvain"]
+    # ordinary-loud day: ambient median 160, louvain bracket 181 — loud
+    # in absolute terms but NOT anomalous vs its own record (gate
+    # 1.3*160 = 208) -> stays OUTSIDE (r16 ADVICE; this is the r16
+    # driver record's exact shape: louvain 12.133 / weather 181 /
+    # ambient 160)
+    loudday = rec(hi + 1.0, [160.0, 158.0, 178.0, 184.0, 162.0, 155.0])
+    assert bc.outside_rows(loudday) == ["graph_louvain"]
     # outside + no trace -> plain OUTSIDE (pre-r16 records)
-    assert outside_rows(rec(hi + 1.0, None)) == ["graph_louvain"]
+    assert bc.outside_rows(rec(hi + 1.0, None)) == ["graph_louvain"]
     # inside stays inside regardless of weather
-    assert outside_rows(rec(FLAT["graph_louvain"]["mean"], [250.0, 280.0])) == []
+    assert bc.outside_rows(
+        rec(bc.FLAT["graph_louvain"]["mean"],
+            [120.0, 125.0, 250.0, 280.0, 118.0, 122.0])
+    ) == []
+
+
+def test_ols_trace_conditioned_adjudication():
+    """r17 (r16 verdict ask #1): an OLS row outside its band slow-side,
+    whose own bracketing weather is episode-loud relative to the
+    probe_mean3 the band conditioned on, is re-evaluated at that local
+    weather — within the fit there means weather (excluded from
+    band_outside); above the fit even at local weather stays OUTSIDE
+    (a genuine regression is not maskable by loud weather). Fast-side
+    misses are never weather-adjudicated."""
+    bc = _bands()
+    f = bc.FITS["graph_pagerank"]
+
+    def rec(value, bracket_ms):
+        rows = ["r1", "graph_pagerank", "r2"]
+        r = {
+            "sf": 0.1,
+            "job_latency_ms_start": 100.0,
+            "job_latency_ms_warm": 100.0,
+            "job_latency_ms_end": 100.0,
+            "queries": {n: (value if n == "graph_pagerank" else 1.0) for n in rows},
+            "job_probe_trace_ms": [110.0, bracket_ms, bracket_ms, 112.0],
+            "job_probe_trace_rows": rows,
+        }
+        return r
+
+    hi_at = lambda p_ms: f["a"] + f["b"] * p_ms / 100.0 + 2 * f["sigma"]  # noqa: E731
+    # slow miss at probe 100, bracketing weather 170 (>= gate 150, and
+    # the fit at 170 allows it) -> adjudicated as weather
+    v = hi_at(100.0) + 0.3
+    assert v <= hi_at(170.0)
+    slow_loud = rec(v, 170.0)
+    assert bc.outside_rows(slow_loud) == []
+    (entry,) = [t for t in bc.check(slow_loud) if t[0] == "graph_pagerank"]
+    assert entry[1] == "weather"
+    # same weather, but the value exceeds the fit even AT that weather
+    # -> OUTSIDE (regression shape preserved under loud weather)
+    v_bad = hi_at(170.0) + 0.5
+    assert bc.outside_rows(rec(v_bad, 170.0)) == ["graph_pagerank"]
+    # slow miss with quiet local weather -> OUTSIDE
+    assert bc.outside_rows(rec(hi_at(100.0) + 0.3, 120.0)) == ["graph_pagerank"]
+    # fast-side miss is never weather-adjudicated, even at loud weather
+    lo = f["a"] + f["b"] * 1.0 - 2 * f["sigma"]
+    assert bc.outside_rows(rec(lo - 0.3, 170.0)) == ["graph_pagerank"]
+    # inside stays inside
+    assert bc.outside_rows(rec(f["a"] + f["b"] * 1.0, 170.0)) == []
+
+
+def test_refit_bands_reproduces_committed_constants():
+    """r17 (r16 ADVICE): the committed band_check constants are a fixed
+    point of tools/refit_bands.py at HEAD — the documented refit
+    procedure must reproduce FITS/FLAT/PROBE_RANGE_MS exactly, so the
+    fit is a function of the commit (git ls-files enumeration), not of
+    whatever untracked records sit in the working tree."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    try:
+        import band_check
+        from refit_bands import refit
+    finally:
+        sys.path.pop(0)
+
+    fits, flat, probe_range, lines = refit()
+    assert fits == band_check.FITS
+    assert flat == band_check.FLAT
+    assert probe_range == band_check.PROBE_RANGE_MS
+    # the two r16 louvain episode readings are trimmed, with provenance
+    trims = [ln for ln in lines if ln.startswith("# EXCLUDED")]
+    assert len(trims) == 2 and all("graph_louvain" in ln for ln in trims)
 
 
 def test_refit_bands_ols_recovers_known_line():
