@@ -58,16 +58,16 @@ import sys
 from pathlib import Path
 
 # value_s = a + b * (probe_mean3 / 100 ms); band = fit ± 2*sigma.
-# Fitted 2026-08-16 (r17, tools/refit_bands.py) on n=19 records,
+# Fitted 2026-08-16 (r17, tools/refit_bands.py) on n=20 records,
 # probe range 94-136 ms.
 FITS = {
-    "graph_connected_components": {"a": 1.155, "b": 3.225, "sigma": 0.41},
-    "graph_pagerank": {"a": -0.39, "b": 3.312, "sigma": 0.47},
-    "star_load_seconds": {"a": 2.594, "b": 4.999, "sigma": 0.411},
-    "llm_semdedup": {"a": 1.799, "b": 2.222, "sigma": 0.454},
+    "graph_connected_components": {"a": 0.953, "b": 3.387, "sigma": 0.407},
+    "graph_pagerank": {"a": -0.504, "b": 3.404, "sigma": 0.459},
+    "star_load_seconds": {"a": 2.169, "b": 5.341, "sigma": 0.437},
+    "llm_semdedup": {"a": 1.843, "b": 2.187, "sigma": 0.442},
 }
 # Probe-independent: flat band = mean ± 2σ of the flag-null in-band records.
-FLAT = {"graph_louvain": {"mean": 7.08, "sigma": 0.686}}
+FLAT = {"graph_louvain": {"mean": 7.015, "sigma": 0.711}}
 PROBE_RANGE_MS = (94.2, 136.1)
 # Absolute floor for a row-local loud episode (r15 hunt log: episodes
 # read 212-633 ms vs a 118-144 ms ordinary-band floor).
