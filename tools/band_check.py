@@ -58,16 +58,16 @@ import sys
 from pathlib import Path
 
 # value_s = a + b * (probe_mean3 / 100 ms); band = fit ± 2*sigma.
-# Fitted 2026-08-16 (r17, tools/refit_bands.py) on n=20 records,
+# Fitted 2026-08-16 (r17, tools/refit_bands.py) on n=21 records,
 # probe range 94-136 ms.
 FITS = {
-    "graph_connected_components": {"a": 0.953, "b": 3.387, "sigma": 0.407},
-    "graph_pagerank": {"a": -0.504, "b": 3.404, "sigma": 0.459},
-    "star_load_seconds": {"a": 2.169, "b": 5.341, "sigma": 0.437},
-    "llm_semdedup": {"a": 1.843, "b": 2.187, "sigma": 0.442},
+    "graph_connected_components": {"a": 0.893, "b": 3.434, "sigma": 0.397},
+    "graph_pagerank": {"a": -0.655, "b": 3.522, "sigma": 0.454},
+    "star_load_seconds": {"a": 1.951, "b": 5.512, "sigma": 0.441},
+    "llm_semdedup": {"a": 1.597, "b": 2.381, "sigma": 0.450},
 }
 # Probe-independent: flat band = mean ± 2σ of the flag-null in-band records.
-FLAT = {"graph_louvain": {"mean": 7.015, "sigma": 0.711}}
+FLAT = {"graph_louvain": {"mean": 6.962, "sigma": 0.723}}
 PROBE_RANGE_MS = (94.2, 136.1)
 # Absolute floor for a row-local loud episode (r15 hunt log: episodes
 # read 212-633 ms vs a 118-144 ms ordinary-band floor).
