@@ -350,33 +350,44 @@ def test_louvain_trace_conditioned_adjudication():
 
 
 def test_ols_trace_conditioned_adjudication():
-    """r17 (r16 verdict ask #1): an OLS row outside its band slow-side,
-    whose own bracketing weather is episode-loud relative to the
-    probe_mean3 the band conditioned on, is re-evaluated at that local
-    weather — within the fit there means weather (excluded from
-    band_outside); above the fit even at local weather stays OUTSIDE
-    (a genuine regression is not maskable by loud weather). Fast-side
-    misses are never weather-adjudicated."""
+    """r17 (r16 verdict ask #1) + r18 tm re-base + r17 ADVICE cap: an
+    OLS row outside its band slow-side, whose own bracketing weather is
+    episode-loud relative to the regressor the band conditioned on
+    (trace_median for the query rows since the r18 re-base), is
+    re-evaluated at that local weather — within the fit there means
+    weather (excluded from band_outside); above the fit even at local
+    weather stays OUTSIDE (a genuine regression is not maskable by
+    loud weather); and local weather beyond the fit's calibrated reach
+    (WEATHER_CAP_FACTOR x the fitted range max) yields "confirm", which
+    stays in band_outside — the fit has no calibration there, so the
+    miss must prompt a re-run instead of a self-issued weather pass
+    (r17 ADVICE: extrapolating to a 300-633 ms sample invents an upper
+    limit a multi-fold regression could hide under). Fast-side misses
+    are never weather-adjudicated."""
     bc = _bands()
     f = bc.FITS["graph_pagerank"]
+    assert f["x"] == "trace_median"  # the r18 re-base premise
 
     def rec(value, bracket_ms):
-        rows = ["r1", "graph_pagerank", "r2"]
-        r = {
+        # five-row suite: four ambient-120 slots pin the trace median
+        # at 120 regardless of the pagerank bracket under test
+        rows = ["a", "graph_pagerank", "z1", "z2", "z3"]
+        return {
             "sf": 0.1,
             "job_latency_ms_start": 100.0,
             "job_latency_ms_warm": 100.0,
             "job_latency_ms_end": 100.0,
             "queries": {n: (value if n == "graph_pagerank" else 1.0) for n in rows},
-            "job_probe_trace_ms": [110.0, bracket_ms, bracket_ms, 112.0],
+            "job_probe_trace_ms": [120.0, bracket_ms, bracket_ms,
+                                   120.0, 120.0, 120.0],
             "job_probe_trace_rows": rows,
         }
-        return r
 
-    hi_at = lambda p_ms: f["a"] + f["b"] * p_ms / 100.0 + 2 * f["sigma"]  # noqa: E731
-    # slow miss at probe 100, bracketing weather 170 (>= gate 150, and
-    # the fit at 170 allows it) -> adjudicated as weather
-    v = hi_at(100.0) + 0.3
+    hi_at = lambda tm_ms: f["a"] + f["b"] * tm_ms / 100.0 + 2 * f["sigma"]  # noqa: E731
+    # slow miss at tm 120, bracketing weather 170 (>= gate 1.3*120=156,
+    # under the cap 1.5*160=240, and the fit at 170 allows it)
+    # -> adjudicated as weather
+    v = hi_at(120.0) + 0.3
     assert v <= hi_at(170.0)
     slow_loud = rec(v, 170.0)
     assert bc.outside_rows(slow_loud) == []
@@ -386,13 +397,41 @@ def test_ols_trace_conditioned_adjudication():
     # -> OUTSIDE (regression shape preserved under loud weather)
     v_bad = hi_at(170.0) + 0.5
     assert bc.outside_rows(rec(v_bad, 170.0)) == ["graph_pagerank"]
-    # slow miss with quiet local weather -> OUTSIDE
-    assert bc.outside_rows(rec(hi_at(100.0) + 0.3, 120.0)) == ["graph_pagerank"]
+    # same slow miss but the bracket is beyond the calibrated reach
+    # (300 > cap 240): "confirm", still surfaced in band_outside
+    cap = bc.WEATHER_CAP_FACTOR * bc.TM_RANGE_MS[1]
+    assert 300.0 > cap
+    confirm = rec(v, 300.0)
+    assert bc.outside_rows(confirm) == ["graph_pagerank"]
+    (entry,) = [t for t in bc.check(confirm) if t[0] == "graph_pagerank"]
+    assert entry[1] == "confirm" and "needs a re-run" in entry[2]
+    # slow miss with quiet local weather (140 < gate 156) -> OUTSIDE
+    assert bc.outside_rows(rec(hi_at(120.0) + 0.3, 140.0)) == ["graph_pagerank"]
     # fast-side miss is never weather-adjudicated, even at loud weather
-    lo = f["a"] + f["b"] * 1.0 - 2 * f["sigma"]
+    lo = f["a"] + f["b"] * 1.2 - 2 * f["sigma"]
     assert bc.outside_rows(rec(lo - 0.3, 170.0)) == ["graph_pagerank"]
     # inside stays inside
-    assert bc.outside_rows(rec(f["a"] + f["b"] * 1.0, 170.0)) == []
+    assert bc.outside_rows(rec(f["a"] + f["b"] * 1.2, 170.0)) == []
+
+
+def test_ols_fallback_for_trace_less_records():
+    """r18: the query rows regress on trace_median; a record with no
+    trace median (pre-r15 shape) must be read against the probe_mean3
+    fallback fits — flagged as such in the verdict text — instead of
+    silently skipping the row or misusing the tm coefficients."""
+    bc = _bands()
+    fb = bc.FITS_P3_FALLBACK["graph_pagerank"]
+    rec = {
+        "sf": 0.1,
+        "job_latency_ms_start": 100.0,
+        "job_latency_ms_warm": 100.0,
+        "job_latency_ms_end": 100.0,
+        "queries": {"graph_pagerank": fb["a"] + fb["b"] * 1.0},
+    }
+    (entry,) = [t for t in bc.check(rec) if t[0] == "graph_pagerank"]
+    assert entry[1] == "inside" and "p3 fallback" in entry[2]
+    rec["queries"]["graph_pagerank"] = fb["a"] + fb["b"] * 1.0 + 3 * fb["sigma"]
+    assert bc.outside_rows(rec) == ["graph_pagerank"]
 
 
 def test_refit_bands_reproduces_committed_constants():
@@ -411,13 +450,43 @@ def test_refit_bands_reproduces_committed_constants():
     finally:
         sys.path.pop(0)
 
-    fits, flat, probe_range, lines = refit()
+    fits, fallback, flat, tm_range, p3_range, lines = refit()
     assert fits == band_check.FITS
+    assert fallback == band_check.FITS_P3_FALLBACK
     assert flat == band_check.FLAT
-    assert probe_range == band_check.PROBE_RANGE_MS
+    assert tm_range == band_check.TM_RANGE_MS
+    assert p3_range == band_check.PROBE_RANGE_MS
     # the two r16 louvain episode readings are trimmed, with provenance
     trims = [ln for ln in lines if ln.startswith("# EXCLUDED")]
     assert len(trims) == 2 and all("graph_louvain" in ln for ln in trims)
+    # r17 ADVICE: flat-trim drift is surfaced, not silent — the refit
+    # prints how many recent flag-null readings were trimmed
+    (drift,) = [ln for ln in lines if "trim drift" in ln]
+    assert "graph_louvain" in drift and "of last" in drift
+
+
+def test_refit_bands_degenerate_rows_do_not_crash():
+    """r17 ADVICE: when every reading for a row is trimmed/absent, the
+    refit must print a clear SKIPPED message naming the row instead of
+    crashing (zip(*[]) used to raise ValueError and ols() divided by
+    zero at n<=2), so the documented re-base workflow survives the
+    degenerate case."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    try:
+        from refit_bands import _fit_row
+    finally:
+        sys.path.pop(0)
+
+    lines: list[str] = []
+    assert _fit_row("some_row", [], lines, 4) is None
+    assert _fit_row("other_row", [(1.0, 2.0), (1.1, 2.2)], lines, 0) is None
+    assert len(lines) == 2
+    assert all(ln.startswith("# SKIPPED") for ln in lines)
+    assert "some_row" in lines[0] and "excluding 4" in lines[0]
+    assert "other_row" in lines[1] and "only 2" in lines[1]
 
 
 def test_refit_bands_ols_recovers_known_line():

@@ -1,29 +1,43 @@
-"""Evaluate a bench sidecar against the probe-conditioned expected bands.
+"""Evaluate a bench sidecar against the weather-conditioned expected bands.
 
 The r14 verdict asked for fitted per-row expected bands (row value vs
-the record's own dispatch probes) so ordinary-band records are
-quantitatively adjudicable without waiting for a quiet-band minute.
-The fit lives in bench_snapshots/README.md ("Probe-conditioned expected
-bands"); this tool applies it to a record so snapshot notes can cite
-computed verdicts instead of hand arithmetic.
+the record's own dispatch-weather measurement) so ordinary-band
+records are quantitatively adjudicable without waiting for a
+quiet-band minute. The fit lives in bench_snapshots/README.md
+("Weather-conditioned expected bands"); this tool applies it to a
+record so snapshot notes can cite computed verdicts instead of hand
+arithmetic.
 
 Usage:
     python tools/band_check.py [path-to-sidecar.json ...]
 
 Defaults to the live BENCH_local.json at the repo root. Prints one
 line per job-count-heavy row: fitted expectation at the record's
-probe_mean3, the ±2σ band, and inside/outside. Exit code is 0 either
-way — the band is an adjudication aid, not a gate.
+weather regressor, the ±2σ band, and inside/outside. Exit code is 0
+either way — the band is an adjudication aid, not a gate.
 
-Fit provenance: OLS of row value on probe_mean3 = mean of
-job_latency_ms_{start,warm,end}, fitted by tools/refit_bands.py over
-the committed (git-tracked) probe-carrying records; refit when new
-records land. graph_louvain is probe-independent (R² ≤ 0.16 under
-every regressor tried) and uses a flat empirical mean ± 2σ band
-instead, fitted on flag-null in-band records only (see refit_bands.py:
-a flat band has no regressor to absorb a loud reading).
+Fit provenance (tools/refit_bands.py over the committed, git-tracked
+probe-carrying records; refit when new records land):
 
-Trace-conditioned weather adjudication (r15/r16 verdict asks, r16
+- graph_connected_components / graph_pagerank / llm_semdedup regress
+  on `job_probe_trace_median_ms` — the median of the per-row dispatch
+  trace (r18 re-base; the r17-set trigger fired when BENCH_r17 became
+  the 10th committed trace-median-carrying record, and the trace
+  median lifted R² decisively: CC 0.55→0.75, pagerank 0.37→0.68,
+  semdedup 0.41→0.64 — three endpoint probes straddle mid-suite
+  weather, ~27 inter-row samples measure it). Records without a trace
+  median (pre-r15) are read against the FITS_P3_FALLBACK probe_mean3
+  fits instead, flagged as such in the verdict text.
+- star_load_seconds stays on probe_mean3 (R² 0.91 vs 0.73 on the tm
+  subset): the loader runs between the start and warm probes, BEFORE
+  the trace begins, so the trace median is the wrong window for it.
+- graph_louvain is probe-independent (R² ≤ 0.16 on probe_mean3 under
+  every n tried; its tm fit reaches R² 0.63 only after the flat trim
+  at n=7 — too weak to adopt, see refit_bands.py) and uses a flat
+  empirical mean ± 2σ band fitted on flag-null in-band records only
+  (a flat band has no regressor to absorb a loud reading).
+
+Trace-conditioned weather adjudication (r15/r16 verdict asks, r16/r17
 ADVICE): on records that carry the per-row `job_probe_trace_ms`
 dispatch trace, an OUTSIDE-slow reading is adjudicated in place when
 the record's own evidence shows the miss is dispatch weather, not the
@@ -38,16 +52,23 @@ days, so the threshold is relative, floored at TRACE_LOUD_MS):
   episode; an ordinary-loud day (weather ~= ambient) does NOT
   auto-adjudicate — the miss stays OUTSIDE and owes an external
   investigation (re-run / same-session snapshot).
-- OLS rows condition on probe_mean3, so their reference is
-  probe_mean3 itself: bracketing weather >= max(TRACE_LOUD_MS,
-  REL_LOUD * probe_mean3) means the band was evaluated at conditions
-  milder than the row experienced (the r16 driver record: probe_mean3
-  114 ms vs CC/pagerank bracketing weather 165/174 ms — three
-  endpoint probes straddled mid-suite episodes). The fit itself then
-  arbitrates: re-evaluate the band at the row's local weather; a
-  value at or under that upper limit is weather, while a value above
-  the band even at its own local weather stays OUTSIDE — a genuine
-  regression is not maskable by loud weather.
+- OLS rows condition on their regressor x, so their reference is x
+  itself: bracketing weather >= max(TRACE_LOUD_MS, REL_LOUD * x)
+  means the band was evaluated at conditions milder than the row
+  experienced. The fit then arbitrates: re-evaluate the band at the
+  row's local weather; a value at or under that upper limit is
+  weather, while a value above the band even at its own local weather
+  stays OUTSIDE — a genuine regression is not maskable by loud
+  weather. The re-evaluation is only trusted inside the fit's
+  calibrated reach (r17 ADVICE: the fit was trained on regressor
+  values inside the fitted range, and extrapolating it to a 300-633 ms
+  bracketing sample invents an upper limit several-fold above normal,
+  so a multi-fold regression coinciding with a loud episode could be
+  silently excused): when the local weather exceeds
+  WEATHER_CAP_FACTOR × the regressor's fitted range maximum, the
+  verdict is "confirm" — needs external confirmation (re-run or
+  same-session snapshot), still listed in band_outside so the miss
+  prompts action — never "weather".
 
 Fast-side misses are never weather-adjudicated (loud dispatch cannot
 explain a fast reading) and stay OUTSIDE for investigation.
@@ -57,27 +78,44 @@ import statistics
 import sys
 from pathlib import Path
 
-# value_s = a + b * (probe_mean3 / 100 ms); band = fit ± 2*sigma.
-# Fitted 2026-08-16 (r17, tools/refit_bands.py) on n=21 records,
-# probe range 94-136 ms.
+# value_s = a + b * (x / 100 ms); band = fit ± 2*sigma; "x" names the
+# regressor. Fitted 2026-08-16 (r18 re-base, tools/refit_bands.py) on
+# the 22 tracked probe-carrying records (10 carry a trace median).
 FITS = {
-    "graph_connected_components": {"a": 0.893, "b": 3.434, "sigma": 0.397},
-    "graph_pagerank": {"a": -0.655, "b": 3.522, "sigma": 0.454},
-    "star_load_seconds": {"a": 1.951, "b": 5.512, "sigma": 0.441},
-    "llm_semdedup": {"a": 1.597, "b": 2.381, "sigma": 0.450},
+    "graph_connected_components": {"a": -0.602, "b": 3.869, "sigma": 0.322,
+                                   "x": "trace_median"},
+    "graph_pagerank": {"a": -1.487, "b": 3.521, "sigma": 0.349,
+                       "x": "trace_median"},
+    "llm_semdedup": {"a": -0.323, "b": 3.317, "sigma": 0.353,
+                     "x": "trace_median"},
+    "star_load_seconds": {"a": 1.962, "b": 5.497, "sigma": 0.431,
+                          "x": "probe_mean3"},
+}
+# probe_mean3 fits for the trace_median rows, used on records that
+# carry no trace median (pre-r15 driver records, r12-r15 snapshots).
+FITS_P3_FALLBACK = {
+    "graph_connected_components": {"a": 0.911, "b": 3.41, "sigma": 0.389},
+    "graph_pagerank": {"a": -0.677, "b": 3.55, "sigma": 0.445},
+    "llm_semdedup": {"a": 1.67, "b": 2.286, "sigma": 0.468},
 }
 # Probe-independent: flat band = mean ± 2σ of the flag-null in-band records.
-FLAT = {"graph_louvain": {"mean": 6.962, "sigma": 0.723}}
+FLAT = {"graph_louvain": {"mean": 6.985, "sigma": 0.708}}
+TM_RANGE_MS = (118.0, 160.0)
 PROBE_RANGE_MS = (94.2, 136.1)
 # Absolute floor for a row-local loud episode (r15 hunt log: episodes
 # read 212-633 ms vs a 118-144 ms ordinary-band floor).
 TRACE_LOUD_MS = 150.0
 # Relative factor (r16 ADVICE): an episode must also be loud relative
-# to what the band conditioned on (trace median for FLAT rows,
-# probe_mean3 for OLS rows) — on an ordinary-loud day (ambient
+# to what the band conditioned on (trace median for FLAT rows, the
+# fit's regressor for OLS rows) — on an ordinary-loud day (ambient
 # 142-160 ms) a bracketing window at ambient level is weather the
 # band should already carry, not an episode that excuses a miss.
 REL_LOUD = 1.3
+# r17 ADVICE: the OLS re-evaluation is only trusted up to this
+# multiple of the regressor's fitted range maximum; louder local
+# weather yields "confirm" (needs external confirmation), never
+# "weather" — the fit has no calibration there.
+WEATHER_CAP_FACTOR = 1.5
 
 
 def outside_rows(payload: dict) -> list[str] | None:
@@ -85,9 +123,10 @@ def outside_rows(payload: dict) -> list[str] | None:
 
     Returns None when the bands are inapplicable to this record (wrong
     sf, no probes), [] when every covered row reads inside or is
-    trace-adjudicated as weather, else the sorted row names. This is
-    what bench.py embeds in the compact stdout payload as
-    `band_outside`.
+    trace-adjudicated as weather, else the sorted row names ("confirm"
+    verdicts — misses whose local weather exceeds the fit's calibrated
+    reach — are included: they need action). This is what bench.py
+    embeds in the compact stdout payload as `band_outside`.
     """
     return outside_from(check(payload))
 
@@ -96,7 +135,9 @@ def outside_from(results: list[tuple[str | None, str, str]]) -> list[str] | None
     """band_outside from check()'s structured verdicts (status field only)."""
     if any(status == "inapplicable" for _, status, _ in results):
         return None
-    return sorted(row for row, status, _ in results if status == "outside")
+    return sorted(
+        row for row, status, _ in results if status in ("outside", "confirm")
+    )
 
 
 def render(results: list[tuple[str | None, str, str]]) -> list[str]:
@@ -121,9 +162,9 @@ def row_weather(payload: dict) -> dict[str, float] | None:
     probes cannot give: every band miss in the r15 hunt log traced to a
     loud episode localized WITHIN the suite that probe_mean3 straddled.
     Single samples jitter (~±30 ms on scheduler wakeup), so treat a
-    row's number as indicative, not calibrated — the fitted bands stay
-    keyed on probe_mean3 until enough trace-carrying records exist to
-    refit row-locally.
+    row's number as indicative, not calibrated — band evaluation stays
+    keyed on the fitted regressors; the per-row numbers only feed the
+    capped episode adjudication.
 
     Alignment is self-describing from r16 on: bench.py records
     `job_probe_trace_rows` (the row name per sample slot) next to the
@@ -149,6 +190,15 @@ def row_weather(payload: dict) -> dict[str, float] | None:
     }
 
 
+def trace_median_ms(payload: dict) -> float | None:
+    """The record's session-weather median: the compact driver field
+    when present, else computed from the full trace sidecars carry."""
+    tm = payload.get("job_probe_trace_median_ms")
+    if tm is None and payload.get("job_probe_trace_ms"):
+        tm = statistics.median(payload["job_probe_trace_ms"])
+    return tm
+
+
 def check(payload: dict) -> list[tuple[str | None, str, str]]:
     """Adjudicate a record's job-count-heavy rows against the bands.
 
@@ -158,7 +208,11 @@ def check(payload: dict) -> list[tuple[str | None, str, str]]:
       "meta" / "note" record-level context lines,
       "inside"        reading inside its band,
       "weather"       outside, trace-adjudicated as a row-local loud
-                      episode (excluded from band_outside),
+                      episode within the fit's calibrated reach
+                      (excluded from band_outside),
+      "confirm"       outside, with a row-local episode louder than the
+                      fit's calibrated reach — not self-adjudicable,
+                      needs a re-run (included in band_outside),
       "outside"       outside with no in-record weather explanation —
                       investigate.
     """
@@ -178,11 +232,14 @@ def check(payload: dict) -> list[tuple[str | None, str, str]]:
         return [(None, "inapplicable",
                  "no job_latency_ms_* probes on this record — bands inapplicable")]
     p3 = sum(probes) / 3
+    tm = trace_median_ms(payload)
     results: list[tuple[str | None, str, str]] = [(
         None, "meta",
         f"probe_mean3 = {p3:.1f} ms (start/warm/end ="
         f" {probes[0]:.0f}/{probes[1]:.0f}/{probes[2]:.0f});"
-        f" dispatch_band = {payload.get('dispatch_band')}",
+        + (f" trace_median = {tm:.1f} ms;" if tm is not None else
+           " no trace median (pre-r15 record — probe_mean3 fallback fits);")
+        + f" dispatch_band = {payload.get('dispatch_band')}",
     )]
     if not (PROBE_RANGE_MS[0] <= p3 <= PROBE_RANGE_MS[1]):
         results.append((
@@ -190,26 +247,49 @@ def check(payload: dict) -> list[tuple[str | None, str, str]]:
             f"NOTE: probe_mean3 outside the fitted {PROBE_RANGE_MS[0]:.0f}-"
             f"{PROBE_RANGE_MS[1]:.0f} ms range — extrapolating",
         ))
+    if tm is not None and not (TM_RANGE_MS[0] <= tm <= TM_RANGE_MS[1]):
+        results.append((
+            None, "note",
+            f"NOTE: trace_median outside the fitted {TM_RANGE_MS[0]:.0f}-"
+            f"{TM_RANGE_MS[1]:.0f} ms range — extrapolating",
+        ))
     queries = payload.get("queries", {})
     weather = row_weather(payload)
-    trace = payload.get("job_probe_trace_ms")
-    ambient = statistics.median(trace) if trace else None
     for row, f in FITS.items():
         v = payload.get(row) if row == "star_load_seconds" else queries.get(row)
         if v is None:
             continue
-        exp = f["a"] + f["b"] * p3 / 100.0
+        if f["x"] == "trace_median" and tm is None:
+            f = {**FITS_P3_FALLBACK[row], "x": "probe_mean3"}
+            regime = " (p3 fallback)"
+        else:
+            regime = ""
+        x, range_hi = (tm, TM_RANGE_MS[1]) if f["x"] == "trace_median" else \
+                      (p3, PROBE_RANGE_MS[1])
+        exp = f["a"] + f["b"] * x / 100.0
         lo, hi = exp - 2 * f["sigma"], exp + 2 * f["sigma"]
-        prefix = f"{row}: {v:.3f} s vs fitted {exp:.2f} [{lo:.2f}-{hi:.2f}]"
+        prefix = (f"{row}: {v:.3f} s vs fitted {exp:.2f} [{lo:.2f}-{hi:.2f}]"
+                  f" at {f['x']} {x:.0f} ms{regime}")
         if lo <= v <= hi:
             results.append((row, "inside", f"{prefix} — inside"))
             continue
         w = weather.get(row) if weather else None
-        gate = max(TRACE_LOUD_MS, REL_LOUD * p3)
-        if v > hi and w is not None and w >= gate and w > p3:
-            # The band conditioned on probe_mean3 but the row's own
-            # bracketing weather was episode-loud relative to it; the
-            # fit arbitrates: re-evaluate at the local weather.
+        gate = max(TRACE_LOUD_MS, REL_LOUD * x)
+        if v > hi and w is not None and w >= gate and w > x:
+            # The band conditioned on x but the row's own bracketing
+            # weather was episode-loud relative to it; the fit
+            # arbitrates — within its calibrated reach only (r17
+            # ADVICE: extrapolating to a 300-633 ms sample invents an
+            # upper limit a real regression could hide under).
+            cap = WEATHER_CAP_FACTOR * range_hi
+            if w > cap:
+                results.append((row, "confirm",
+                    f"{prefix} — outside; local weather {w:.0f} ms exceeds "
+                    f"the fit's calibrated reach ({cap:.0f} ms = "
+                    f"{WEATHER_CAP_FACTOR}x the fitted {f['x']} range max) "
+                    "— NOT self-adjudicable, needs a re-run or "
+                    "same-session snapshot to confirm"))
+                continue
             hi_local = f["a"] + f["b"] * w / 100.0 + 2 * f["sigma"]
             if v <= hi_local:
                 results.append((row, "weather",
@@ -241,16 +321,16 @@ def check(payload: dict) -> list[tuple[str | None, str, str]]:
         # A flat band conditions on nothing, so the episode reference is
         # the record's own ambient (trace median): weather at ambient
         # level is the day, not an episode (r16 ADVICE).
-        gate = max(TRACE_LOUD_MS, REL_LOUD * ambient) if ambient else TRACE_LOUD_MS
+        gate = max(TRACE_LOUD_MS, REL_LOUD * tm) if tm is not None else TRACE_LOUD_MS
         if v > hi and w is not None and w >= gate:
             results.append((row, "weather",
                 f"{prefix} — outside, but local weather {w:.0f} ms ≥ episode "
-                f"gate {gate:.0f} (ambient median {ambient:.0f}) — traced "
+                f"gate {gate:.0f} (ambient median {tm:.0f}) — traced "
                 "row-local loud episode, adjudicated as weather"))
         elif v > hi and w is not None:
             results.append((row, "outside",
                 f"{prefix} — local weather {w:.0f} ms under the episode gate "
-                f"{gate:.0f} (ambient median {ambient:.0f}) — OUTSIDE"))
+                f"{gate:.0f} (ambient median {tm:.0f}) — OUTSIDE"))
         else:
             results.append((row, "outside", f"{prefix} — OUTSIDE"))
     return results
