@@ -441,7 +441,7 @@ def main() -> None:
     # row's local weather as the mean of its bracketing samples.
     detail["job_probe_trace_ms"] = job_probe_trace
     detail["job_probe_trace_rows"] = sorted(specs)
-    # Self-adjudication (r15): attach the probe-conditioned band
+    # Self-adjudication (r15): attach the weather-conditioned band
     # verdicts (tools/band_check.py, fit documented in
     # bench_snapshots/README.md) so every sidecar carries its own
     # inside/outside reading for the job-count-heavy rows, and embed

@@ -154,7 +154,7 @@ def test_driver_sim_selection_arg_semantics():
 def test_band_check_guard_paths():
     """Pin tools/band_check.py applicability guards (r15; structured r17).
 
-    The fitted probe-conditioned bands only apply to sf0.1 records that
+    The fitted weather-conditioned bands only apply to sf0.1 records that
     carry job_latency_ms_* probes; anything else must say so instead of
     emitting misleading verdicts (an sf0.001 smoke run read every row
     OUTSIDE before the scale-factor guard existed). check() returns
