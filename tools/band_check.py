@@ -80,27 +80,27 @@ from pathlib import Path
 
 # value_s = a + b * (x / 100 ms); band = fit ± 2*sigma; "x" names the
 # regressor. Fitted 2026-08-16 (r18 re-base, tools/refit_bands.py) on
-# the 22 tracked probe-carrying records (10 carry a trace median).
+# the 23 tracked probe-carrying records (11 carry a trace median).
 FITS = {
-    "graph_connected_components": {"a": -0.602, "b": 3.869, "sigma": 0.322,
+    "graph_connected_components": {"a": -0.491, "b": 3.786, "sigma": 0.305,
                                    "x": "trace_median"},
-    "graph_pagerank": {"a": -1.487, "b": 3.521, "sigma": 0.349,
+    "graph_pagerank": {"a": -1.932, "b": 3.855, "sigma": 0.346,
                        "x": "trace_median"},
-    "llm_semdedup": {"a": -0.323, "b": 3.317, "sigma": 0.353,
+    "llm_semdedup": {"a": -0.472, "b": 3.429, "sigma": 0.335,
                      "x": "trace_median"},
-    "star_load_seconds": {"a": 1.962, "b": 5.497, "sigma": 0.431,
+    "star_load_seconds": {"a": 2.082, "b": 5.385, "sigma": 0.422,
                           "x": "probe_mean3"},
 }
 # probe_mean3 fits for the trace_median rows, used on records that
 # carry no trace median (pre-r15 driver records, r12-r15 snapshots).
 FITS_P3_FALLBACK = {
-    "graph_connected_components": {"a": 0.911, "b": 3.41, "sigma": 0.389},
-    "graph_pagerank": {"a": -0.677, "b": 3.55, "sigma": 0.445},
-    "llm_semdedup": {"a": 1.67, "b": 2.286, "sigma": 0.468},
+    "graph_connected_components": {"a": 0.888, "b": 3.432, "sigma": 0.38},
+    "graph_pagerank": {"a": -0.96, "b": 3.817, "sigma": 0.444},
+    "llm_semdedup": {"a": 1.419, "b": 2.522, "sigma": 0.463},
 }
 # Probe-independent: flat band = mean ± 2σ of the flag-null in-band records.
 FLAT = {"graph_louvain": {"mean": 6.985, "sigma": 0.708}}
-TM_RANGE_MS = (118.0, 160.0)
+TM_RANGE_MS = (118.0, 161.3)
 PROBE_RANGE_MS = (94.2, 136.1)
 # Absolute floor for a row-local loud episode (r15 hunt log: episodes
 # read 212-633 ms vs a 118-144 ms ordinary-band floor).
