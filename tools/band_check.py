@@ -80,26 +80,26 @@ from pathlib import Path
 
 # value_s = a + b * (x / 100 ms); band = fit ± 2*sigma; "x" names the
 # regressor. Fitted 2026-08-16 (r18 re-base, tools/refit_bands.py) on
-# the 23 tracked probe-carrying records (11 carry a trace median).
+# the 24 tracked probe-carrying records (12 carry a trace median).
 FITS = {
-    "graph_connected_components": {"a": -0.491, "b": 3.786, "sigma": 0.305,
+    "graph_connected_components": {"a": -0.153, "b": 3.509, "sigma": 0.36,
                                    "x": "trace_median"},
-    "graph_pagerank": {"a": -1.932, "b": 3.855, "sigma": 0.346,
+    "graph_pagerank": {"a": -1.901, "b": 3.83, "sigma": 0.329,
                        "x": "trace_median"},
-    "llm_semdedup": {"a": -0.472, "b": 3.429, "sigma": 0.335,
+    "llm_semdedup": {"a": -0.339, "b": 3.32, "sigma": 0.329,
                      "x": "trace_median"},
-    "star_load_seconds": {"a": 2.082, "b": 5.385, "sigma": 0.422,
+    "star_load_seconds": {"a": 2.094, "b": 5.391, "sigma": 0.424,
                           "x": "probe_mean3"},
 }
 # probe_mean3 fits for the trace_median rows, used on records that
 # carry no trace median (pre-r15 driver records, r12-r15 snapshots).
 FITS_P3_FALLBACK = {
-    "graph_connected_components": {"a": 0.888, "b": 3.432, "sigma": 0.38},
-    "graph_pagerank": {"a": -0.96, "b": 3.817, "sigma": 0.444},
-    "llm_semdedup": {"a": 1.419, "b": 2.522, "sigma": 0.463},
+    "graph_connected_components": {"a": 0.881, "b": 3.429, "sigma": 0.375},
+    "graph_pagerank": {"a": -0.948, "b": 3.823, "sigma": 0.444},
+    "llm_semdedup": {"a": 1.423, "b": 2.524, "sigma": 0.454},
 }
 # Probe-independent: flat band = mean ± 2σ of the flag-null in-band records.
-FLAT = {"graph_louvain": {"mean": 6.985, "sigma": 0.708}}
+FLAT = {"graph_louvain": {"mean": 6.964, "sigma": 0.694}}
 TM_RANGE_MS = (118.0, 161.3)
 PROBE_RANGE_MS = (94.2, 136.1)
 # Absolute floor for a row-local loud episode (r15 hunt log: episodes
