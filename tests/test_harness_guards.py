@@ -510,3 +510,68 @@ def test_refit_bands_ols_recovers_known_line():
     ys2 = [y + d for y, d in zip(ys, [0.1, -0.1, 0.1, -0.1, 0.0])]
     a2, b2, sigma2, r2_2 = ols(xs, ys2)
     assert sigma2 > 0 and 0 < r2_2 < 1
+
+
+def test_refit_bands_records_ordered_chronologically():
+    """r18 ADVICE: the flat-trim drift window takes the LAST
+    RECENT_WINDOW flag-null readings, so record enumeration must be
+    chronological — round number first, with the round's driver record
+    (BENCH_rN, recorded at round end) after that round's session
+    snapshots. The old filename sort put every BENCH_r*.json before
+    every snapshot, so driver-record trims could never reach the
+    'recent' window."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    try:
+        from refit_bands import load_records
+    finally:
+        sys.path.pop(0)
+
+    import re
+
+    names = [n for n, _, _, _ in load_records()]
+
+    def key(name):
+        m = re.match(r"(?:BENCH_)?r(\d+)", name)
+        return (int(m.group(1)), name.startswith("BENCH_"))
+
+    keys = [key(n) for n in names]
+    assert keys == sorted(keys), f"records not chronological: {names}"
+    # spot-pin the motivating case: BENCH_r16 sits after the r16
+    # session snapshots and before anything from r17
+    i_bench16 = names.index("BENCH_r16.json")
+    i_snap16 = names.index("r16_louvain_episode.json")
+    i_snap17 = names.index("r17_ordinary.json")
+    assert i_snap16 < i_bench16 < i_snap17
+
+
+def test_refit_inside_committed_falls_back_to_p3_fits_without_trace():
+    """r18 ADVICE: _inside_committed must mirror band_check.check() —
+    a trace_median-keyed fit evaluated on a record with no trace median
+    falls back to the row's FITS_P3_FALLBACK probe_mean3 fit instead of
+    plugging a probe_mean3 value into trace-median coefficients."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    try:
+        import band_check
+        from refit_bands import _inside_committed
+    finally:
+        sys.path.pop(0)
+
+    row = "graph_connected_components"
+    fb = band_check.FITS_P3_FALLBACK[row]
+    p3 = 110.0
+    exp = fb["a"] + fb["b"] * p3 / 100.0
+    # dead-center of the FALLBACK band at p3: inside under the correct
+    # rule; the tm coefficients at x=110 would put the center elsewhere
+    assert _inside_committed(row, exp, p3, None)
+    assert not _inside_committed(row, exp + 2 * fb["sigma"] + 0.01, p3, None)
+    # with a trace median present, the tm fit governs
+    f = band_check.FITS[row]
+    tm = 130.0
+    exp_tm = f["a"] + f["b"] * tm / 100.0
+    assert _inside_committed(row, exp_tm, p3, tm)

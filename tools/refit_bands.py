@@ -116,17 +116,37 @@ def load_records(warnings: list[str] | None = None) -> list[tuple[str, float, fl
             cwd=REPO, capture_output=True, text=True, check=True,
         ).stdout.split()
     )
+    # `git diff --name-only -z HEAD` = tracked files whose working-tree
+    # content differs from the commit (staged or not), NUL-delimited so
+    # renamed and non-ASCII paths arrive verbatim (r18 ADVICE: parsing
+    # `status --porcelain` with line[3:] yielded 'old -> new' for
+    # renames and a core.quotePath-quoted string for non-ASCII names,
+    # which silently evaded this warning).
     modified = {
-        line[3:].strip()
-        for line in subprocess.run(
-            ["git", "status", "--porcelain", "--", "BENCH_r*.json",
-             "bench_snapshots/*.json"],
+        p for p in subprocess.run(
+            ["git", "diff", "--name-only", "-z", "HEAD", "--",
+             "BENCH_r*.json", "bench_snapshots/*.json"],
             cwd=REPO, capture_output=True, text=True, check=True,
-        ).stdout.splitlines()
-        if line[:2].strip() and not line.startswith("??")
+        ).stdout.split("\0")
+        if p
     }
-    candidates = sorted(REPO.glob("BENCH_r*.json")) + sorted(
-        (REPO / "bench_snapshots").glob("*.json")
+    # Chronological order, not filename order (r18 ADVICE: sorting all
+    # BENCH_r*.json before all snapshots meant a driver record's trims
+    # could never reach the flat-drift "recent" window). Within a round
+    # the driver record lands LAST — it is recorded at round end, after
+    # the builder session's snapshots — so the key is (round, is_driver,
+    # name); the name tiebreak keeps same-round snapshots stable.
+    def _chrono_key(f: Path) -> tuple[int, int, str]:
+        import re
+
+        m = re.match(r"(?:BENCH_)?r(\d+)", f.name)
+        rnd = int(m.group(1)) if m else 0
+        return (rnd, f.name.startswith("BENCH_"), f.name)
+
+    candidates = sorted(
+        list(REPO.glob("BENCH_r*.json"))
+        + list((REPO / "bench_snapshots").glob("*.json")),
+        key=_chrono_key,
     )
     out = []
     for f in candidates:
@@ -175,12 +195,24 @@ def ols(xs: list[float], ys: list[float]) -> tuple[float, float, float, float]:
 
 
 def _inside_committed(row: str, value: float, p3: float, tm: float | None) -> bool:
-    """Does the COMMITTED band read this reading inside?"""
+    """Does the COMMITTED band read this reading inside?
+
+    Mirrors band_check.check(): a trace_median-keyed fit evaluated on a
+    trace-less record falls back to the row's FITS_P3_FALLBACK
+    probe_mean3 fit (r18 ADVICE: evaluating tm coefficients at a
+    probe_mean3 value would misclassify pre-trace records if OLS-row
+    trimming is ever enabled; currently only FLAT rows reach the OLS
+    branch via the louvain-re-base candidate path).
+    """
     if row in band_check.FLAT:
         f = band_check.FLAT[row]
         return abs(value - f["mean"]) <= 2 * f["sigma"]
     f = band_check.FITS[row]
-    x = tm if f["x"] == "trace_median" and tm is not None else p3
+    if f["x"] == "trace_median" and tm is None:
+        f = band_check.FITS_P3_FALLBACK[row]
+        x = p3
+    else:
+        x = tm if f["x"] == "trace_median" else p3
     exp = f["a"] + f["b"] * x / 100.0
     return abs(value - exp) <= 2 * f["sigma"]
 
