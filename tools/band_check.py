@@ -79,30 +79,31 @@ import sys
 from pathlib import Path
 
 # value_s = a + b * (x / 100 ms); band = fit ± 2*sigma; "x" names the
-# regressor. Fitted 2026-08-16 (r19 refit after BENCH_r18 landed,
-# tools/refit_bands.py) on the 25 tracked probe-carrying records (13
-# carry a trace median). The CC fit widened honestly this refit (sigma
-# 0.36 -> 0.525, R2 0.66 -> 0.34): BENCH_r18's CC 5.783 at tm 128 is a
-# large residual and OLS rows keep every reading by design.
+# regressor. Fitted 2026-08-17 (r19 hunt-1 snapshot bundle,
+# tools/refit_bands.py) on the 26 tracked probe-carrying records (14
+# carry a trace median). The CC fit widened honestly at the r19
+# BENCH_r18 fold-in (sigma 0.36 -> ~0.51, R2 0.66 -> 0.33): its CC
+# 5.783 at tm 128 is a large residual and OLS rows keep every reading
+# by design.
 FITS = {
-    "graph_connected_components": {"a": 1.274, "b": 2.587, "sigma": 0.525,
+    "graph_connected_components": {"a": 1.396, "b": 2.491, "sigma": 0.506,
                                    "x": "trace_median"},
-    "graph_pagerank": {"a": -1.689, "b": 3.693, "sigma": 0.319,
+    "graph_pagerank": {"a": -1.341, "b": 3.421, "sigma": 0.345,
                        "x": "trace_median"},
-    "llm_semdedup": {"a": 0.298, "b": 2.908, "sigma": 0.36,
+    "llm_semdedup": {"a": -0.072, "b": 3.197, "sigma": 0.385,
                      "x": "trace_median"},
-    "star_load_seconds": {"a": 2.473, "b": 5.101, "sigma": 0.487,
+    "star_load_seconds": {"a": 2.502, "b": 5.087, "sigma": 0.482,
                           "x": "probe_mean3"},
 }
 # probe_mean3 fits for the trace_median rows, used on records that
 # carry no trace median (pre-r15 driver records, r12-r15 snapshots).
 FITS_P3_FALLBACK = {
-    "graph_connected_components": {"a": 1.27, "b": 3.131, "sigma": 0.452},
-    "graph_pagerank": {"a": -0.903, "b": 3.788, "sigma": 0.435},
-    "llm_semdedup": {"a": 1.567, "b": 2.413, "sigma": 0.454},
+    "graph_connected_components": {"a": 1.297, "b": 3.117, "sigma": 0.447},
+    "graph_pagerank": {"a": -0.894, "b": 3.784, "sigma": 0.427},
+    "llm_semdedup": {"a": 1.672, "b": 2.361, "sigma": 0.502},
 }
 # Probe-independent: flat band = mean ± 2σ of the flag-null in-band records.
-FLAT = {"graph_louvain": {"mean": 6.98, "sigma": 0.679}}
+FLAT = {"graph_louvain": {"mean": 6.999, "sigma": 0.668}}
 TM_RANGE_MS = (118.0, 161.3)
 PROBE_RANGE_MS = (94.2, 136.1)
 # Absolute floor for a row-local loud episode (r15 hunt log: episodes
