@@ -1,0 +1,143 @@
+"""r19 size-gated single-task kernels: local path == distributed path.
+
+The optimization round routed whole small-graph executions of louvain,
+connected_components, pagerank and kcenter_greedy through single-task
+mapInPandas kernels (one Spark job instead of a per-round job chain,
+guide §1.2). These tests force the distributed branch (monkeypatching
+the gate to 0) and pin it bit-equal to the default local branch on the
+same input — the gate picks a physical strategy, never a different
+result — including on the registered sf0.001 configuration of each
+bench row.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+from ut_data_engineering_group_project_2022_spark.operators import (
+    graph,
+    similarity,
+)
+
+
+def _edges(spark, pairs):
+    return spark.createDataFrame(pairs, "src string, dst string")
+
+
+def _cc_map(df):
+    return {r.node_id: r.component for r in df.collect()}
+
+
+def _pr_map(df):
+    return {r.node_id: r.pagerank for r in df.collect()}
+
+
+def test_cc_local_kernel_matches_distributed(spark, monkeypatch):
+    pairs = [
+        ("n1", "n2"), ("n2", "n3"), ("n3", "n4"),
+        ("x1", "x2"), ("x2", "x3"), ("x3", "x1"), ("x2", "x1"),
+        ("q", "q"),  # self-loop: dropped by normalization on both paths
+        ("z9", "z8"), ("z8", "z7"),
+    ]
+    for rounds in (1, 2, 3, 5):
+        local = _cc_map(
+            graph.connected_components(_edges(spark, pairs), rounds=rounds)
+        )
+        monkeypatch.setattr(graph, "LOCAL_MOVE_EDGES", 0)
+        dist = _cc_map(
+            graph.connected_components(_edges(spark, pairs), rounds=rounds)
+        )
+        monkeypatch.undo()
+        assert local == dist, f"rounds={rounds}"
+
+
+def test_cc_local_kernel_matches_distributed_bench_config(spark, monkeypatch):
+    # the registered graph_connected_components configuration at sf0.001
+    edges = graph.customer_supplier_edges(spark, SF_DIR).filter(
+        F.col("weight") >= 2
+    )
+    local = _cc_map(graph.connected_components(edges, rounds=5))
+    monkeypatch.setattr(graph, "LOCAL_MOVE_EDGES", 0)
+    dist = _cc_map(graph.connected_components(edges, rounds=5))
+    assert local == dist
+
+
+def test_pagerank_local_kernel_matches_distributed(spark):
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "a"),
+        ("e", "a"),  # e has no in-edges: contrib-less node
+    ]
+    und = graph.undirect(_edges(spark, pairs))
+    local = _pr_map(graph.pagerank_sized(und, 0, iterations=3, damping=0.85))
+    dist = _pr_map(graph.pagerank(und, iterations=3, damping=0.85))
+    assert local == dist
+
+
+def test_pagerank_local_kernel_matches_distributed_bench_config(spark):
+    # the registered graph_pagerank configuration at sf0.001
+    ed = graph.materialized(graph.customer_supplier_edges(spark, SF_DIR))
+    und = graph.undirect(ed)
+    n = 2 * ed.count()
+    assert n <= graph.LOCAL_MOVE_EDGES  # the bench SFs take the local path
+    local = _pr_map(graph.pagerank_sized(und, n, iterations=3, damping=0.85))
+    dist = _pr_map(graph.pagerank(und, iterations=3, damping=0.85))
+    assert local == dist
+
+
+def test_louvain_local_kernel_matches_distributed_bench_config(
+    spark, monkeypatch
+):
+    # the registered graph_louvain configuration at sf0.001 (the tiny-
+    # graph louvain local/distributed pins live in test_graph.py)
+    edges = graph.customer_supplier_edges(spark, SF_DIR)
+    local = {
+        r.node_id: r.community
+        for r in graph.louvain(edges, rounds=4, assume_simple=True).collect()
+    }
+    monkeypatch.setattr(graph, "LOCAL_MOVE_EDGES", 0)
+    dist = {
+        r.node_id: r.community
+        for r in graph.louvain(edges, rounds=4, assume_simple=True).collect()
+    }
+    assert local == dist
+
+
+def test_kcenter_local_kernel_matches_distributed(spark, monkeypatch):
+    emb = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 0.1, 0.0]),
+            (1, [1.0, 0.9, 0.0, 0.0]),
+            (2, [0.0, 0.1, 0.05, 0.0]),
+            (3, [-1.0, -0.9, 0.0, 0.2]),
+            (4, [1.0, 1.0, 0.0, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    local = similarity.kcenter_greedy(emb, k=3).collect()
+    monkeypatch.setattr(similarity, "LOCAL_KCENTER_ROWS", 0)
+    dist = similarity.kcenter_greedy(emb, k=3).collect()
+    assert [tuple(r) for r in local] == [tuple(r) for r in dist]
+
+
+def test_kcenter_local_kernel_matches_distributed_bench_config(
+    spark, monkeypatch
+):
+    # the registered llm_coreset_kcenter configuration at sf0.001
+    from ut_data_engineering_group_project_2022_spark.catalog import table
+
+    emb = table(spark, SF_DIR, "embeddings")
+    local = similarity.kcenter_greedy(emb, k=8).collect()
+    monkeypatch.setattr(similarity, "LOCAL_KCENTER_ROWS", 0)
+    dist = similarity.kcenter_greedy(emb, k=8).collect()
+    assert [tuple(r) for r in local] == [tuple(r) for r in dist]
+
+
+def test_kcenter_local_kernel_k_exceeding_pool(spark):
+    emb = spark.createDataFrame(
+        [(0, [0.0, 1.0]), (1, [1.0, 0.0])],
+        "vec_id bigint, embedding array<float>",
+    )
+    got = similarity.kcenter_greedy(emb, k=5).collect()
+    assert len(got) == 2
+    assert sorted(r.vec_id for r in got) == [0, 1]

@@ -44,13 +44,22 @@ def customer_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     # No broadcast hint: orders is FACT-sized, so the li-orders join must
     # stay a keyed shuffle join at scale (AQE still picks broadcast at
     # small SF where orders fits the threshold).
+    # Group on the RAW INT keys and build the prefixed string ids AFTER
+    # the aggregate (r19, guide §2.3 "shuffle fewer bytes"): the
+    # pre-shuffle rows then carry two ints instead of two strings, and
+    # the concat runs once per group instead of once per fact row. The
+    # (custkey, suppkey) -> ('c..', 's..') map is injective, so the
+    # groups — and therefore src/dst/weight — are unchanged. Measured
+    # r19 at sf0.1: 1.16 -> 0.85 s warm for the projection noop.
     return (
         li.join(o, li.l_orderkey == o.o_orderkey)
-        .groupBy(
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .select(
             F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
             F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            "weight",
         )
-        .agg(F.count(F.lit(1)).alias("weight"))
     )
 
 
@@ -180,6 +189,69 @@ def pagerank(
     return out
 
 
+def _pagerank_local(
+    edges: DataFrame, iterations: int, damping: float
+) -> DataFrame:
+    """Single-task PageRank for an edge list known to fit one executor
+    (``<= LOCAL_MOVE_EDGES`` rows — gated by :func:`pagerank_sized`,
+    r19). One ``mapInPandas`` job runs all iterations in memory,
+    replacing the per-iteration checkpoint jobs whose cost at this size
+    is job-dispatch latency (guide §1.2). The arithmetic mirrors
+    :func:`pagerank` term-for-term — same ``(1-d)/n`` base computed in
+    Python, same ``pr/d`` share, same per-edge contribution terms; the
+    only divergence is double-summation order inside each node's
+    contribution sum, which the distributed aggregate does not pin
+    either (partial-aggregate order varies run to run) — and the final
+    ROUND(pr, 6) stays a Spark-side expression so rounding semantics
+    are byte-identical to the distributed form. Equality with the
+    distributed loop and the unrolled SQL oracle is pinned by
+    tests/test_graph.py. Above the gate :func:`pagerank` runs
+    unchanged (the 100 TB path)."""
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        tabs = [pa.Table.from_batches([b]) for b in batches]
+        if tabs:
+            t = pa.concat_tables(tabs)
+            codes, names = _factorize_sorted_arrow(
+                [t.column("src"), t.column("dst")]
+            )
+            s, d = codes[: t.num_rows], codes[t.num_rows:]
+            n = len(names)
+            deg = np.bincount(s, minlength=n)
+            pr = np.full(n, 1.0 / n)
+            base = (1.0 - damping) / n
+            for _ in range(iterations):
+                share = np.where(deg > 0, pr / np.maximum(deg, 1), 0.0)
+                contrib = np.zeros(n)
+                np.add.at(contrib, d, share[s])
+                pr = base + damping * contrib
+            yield pa.RecordBatch.from_arrays(
+                [names, pa.array(pr, pa.float64())],
+                names=["node_id", "pr"],
+            )
+
+    out = edges.coalesce(1).mapInArrow(kernel, "node_id string, pr double")
+    return out.select("node_id", F.round("pr", 6).alias("pagerank"))
+
+
+def pagerank_sized(
+    edges: DataFrame,
+    n_edge_rows: int,
+    iterations: int = 3,
+    damping: float = 0.85,
+) -> DataFrame:
+    """Size-dispatched PageRank (r19): callers that already know the
+    edge-row count (e.g. from a materialized projection) route small
+    graphs to the single-task kernel and everything else to the
+    distributed loop."""
+    if n_edge_rows <= LOCAL_MOVE_EDGES:
+        return _pagerank_local(edges, iterations, damping)
+    return pagerank(edges, iterations=iterations, damping=damping)
+
+
 def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
     """Synchronous label propagation, min-label tiebreak (deterministic).
 
@@ -299,6 +371,242 @@ def _moves_py(
             new_label[v] = min(c for c in kin if score(c) == best_score)
         label = new_label
     return label
+
+
+def _hierarchy_py(
+    wmap: dict[tuple[str, str], int], rounds: int, levels: int
+) -> dict[str, str]:
+    """Pure-Python Louvain LEVEL loop over an in-memory weighted
+    directed-row map: local moves (:func:`_moves_py`), contract, move
+    again — the full hierarchical program. Shared verbatim by
+    :func:`louvain_exact` (driver-side test oracle) and
+    :func:`_louvain_local` (the size-gated single-task executor kernel,
+    r19), so the two are equal by construction."""
+    label = _moves_py(wmap, rounds)
+    for _ in range(levels - 1):
+        sup: dict[tuple[str, str], int] = {}
+        for (u, v), ww in wmap.items():
+            key = (label[u], label[v])
+            sup[key] = sup.get(key, 0) + ww
+        upper = _moves_py(sup, rounds)
+        label = {v: upper[c] for v, c in label.items()}
+        wmap = sup
+    return label
+
+
+#: Weight-total ceiling for the int64 vectorized kernel: the gain score
+#: two_m*kin - k*sigma is bounded by two_m^2, so two_m beyond ~3e9 risks
+#: int64 overflow; the arbitrary-precision dict kernel takes over there.
+_NP_TWO_M_MAX = 3_000_000_000
+
+
+def _moves_np(s, d, w, m, parity_even, rounds):
+    """Vectorized (numpy int64) Louvain local-moving rounds over code
+    arrays ``(s, d, w)`` in a lexicographically-ordered code space of
+    size ``m`` (code order == node-id string order, so integer min
+    tiebreaks reproduce the string min). Semantically identical to
+    :func:`_moves_py` — same singleton seed, integer gain score,
+    min-label tiebreak, md5-parity half-sweeps (``parity_even`` is the
+    per-code parity vector) — pinned equal by tests/test_local_kernels
+    and the unrolled SQL oracles. Duplicate (s, d) rows sum, mirroring
+    the dict accumulation. Returns the per-code label array."""
+    import numpy as np
+
+    k = np.zeros(m, np.int64)
+    np.add.at(k, s, w)
+    two_m = int(w.sum())
+    label = np.arange(m, dtype=np.int64)
+    ns = s != d  # self-loops move with the node: excluded from the scan
+    s2, d2, w2 = s[ns], d[ns], w[ns]
+    own_u = np.arange(m, dtype=np.int64)
+    zero_w = np.zeros(m, np.int64)
+    idx = None
+    for r in range(rounds):
+        sig = np.zeros(m, np.int64)
+        np.add.at(sig, label, k)
+        # candidate (node, community) kin sums: neighbor rows + a
+        # zero-kin own-community row per node (the distributed union)
+        keys = np.concatenate([s2 * m + label[d2], own_u * m + label])
+        ws = np.concatenate([w2, zero_w])
+        uk, inv = np.unique(keys, return_inverse=True)
+        kin = np.zeros(len(uk), np.int64)
+        np.add.at(kin, inv, ws)
+        u = uk // m
+        c = uk % m
+        score = two_m * kin - k[u] * (
+            sig[c] - np.where(c == label[u], k[u], 0)
+        )
+        # grouped argmax with min-c tiebreak: keys are sorted, so within
+        # each u group c ascends — the first index attaining the group
+        # max carries the smallest c
+        starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
+        counts = np.diff(np.r_[starts, len(u)])
+        gmax = np.repeat(np.maximum.reduceat(score, starts), counts)
+        if idx is None or len(idx) != len(u):
+            idx = np.arange(len(u), dtype=np.int64)
+        pos = np.where(score == gmax, idx, len(u))
+        win = np.minimum.reduceat(pos, starts)
+        gu = u[starts]
+        movers = parity_even[gu] == (r % 2 == 0)
+        new_label = label.copy()
+        new_label[gu[movers]] = c[win[movers]]
+        label = new_label
+    return label
+
+
+def _hierarchy_np(s, d, w, names, rounds, levels):
+    """Vectorized level loop: local moves, contract, recurse — the
+    numpy twin of :func:`_hierarchy_py` over code arrays. ``names`` is
+    the SORTED node-id array (so code order == string order at every
+    level; contraction keeps the invariant because the surviving
+    community codes are taken in ascending order). Returns
+    (per-original-node community codes, community name array)."""
+    import hashlib
+
+    import numpy as np
+
+    total = None
+    for lvl in range(levels):
+        m = len(names)
+        parity_even = np.fromiter(
+            (
+                hashlib.md5(x.encode()).hexdigest()[0] in _EVEN_HEX
+                for x in names
+            ),
+            dtype=bool,
+            count=m,
+        )
+        label = _moves_np(s, d, w, m, parity_even, rounds)
+        total = label if total is None else label[total]
+        if lvl == levels - 1:
+            break
+        cs, cd = label[s], label[d]
+        uniq = np.unique(np.concatenate([cs, cd]))
+        remap = np.zeros(m, np.int64)
+        remap[uniq] = np.arange(len(uniq))
+        mm = len(uniq)
+        keys = remap[cs] * mm + remap[cd]
+        uk, inv = np.unique(keys, return_inverse=True)
+        w2 = np.zeros(len(uk), np.int64)
+        np.add.at(w2, inv, w)
+        s, d, w = uk // mm, uk % mm, w2
+        names = names[uniq]
+        total = remap[total]
+    return total, names
+
+
+def _factorize_sorted(values):
+    """Codes + SORTED unique names for a string array — code order ==
+    lexicographic order, the invariant every numpy kernel's integer min
+    tiebreak relies on."""
+    import numpy as np
+    import pandas as pd
+
+    codes_raw, uniques = pd.factorize(values)
+    uniques = np.asarray(uniques, dtype=object)
+    order = np.argsort(uniques)
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order))
+    return rank[codes_raw], uniques[order]
+
+
+def _factorize_sorted_arrow(arrays):
+    """Arrow-native factorization of one-or-more string arrays into a
+    shared lexicographic code space (guide §4.2: keep bulk strings in
+    Arrow buffers, never materialize per-row Python objects). Returns
+    (codes ndarray int64 over the concatenation, names Arrow array
+    sorted ascending). Arrow's sort and Spark's UTF8String ordering are
+    both binary byte order, and the node-id alphabet here is ASCII, so
+    code order == the engine's string order — the min-tiebreak
+    invariant."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    flat = pa.concat_arrays(
+        [a.combine_chunks() if isinstance(a, pa.ChunkedArray) else a for a in arrays]
+    )
+    enc = pc.dictionary_encode(flat)
+    dictionary = enc.dictionary
+    order = pc.sort_indices(dictionary).to_numpy()
+    rank = np.empty(len(order), dtype=np.int64)
+    rank[order] = np.arange(len(order))
+    codes = rank[enc.indices.to_numpy(zero_copy_only=False).astype(np.int64)]
+    return codes, dictionary.take(pa.array(order))
+
+
+def _louvain_local(
+    edges_w: DataFrame, rounds: int, levels: int, mirror: bool
+) -> DataFrame:
+    """Single-task execution of the ENTIRE hierarchical Louvain program
+    for a graph known to fit one executor (``<= LOCAL_MOVE_EDGES``
+    undirected rows — gated by :func:`louvain` / :func:`louvain_weighted`
+    on the materialized projection's row count, r19). One Spark job
+    runs every level's local-moving rounds AND the contractions in
+    memory (vectorized int64 kernel; dict kernel above the overflow
+    bound), replacing ``levels`` x (``rounds`` checkpoint jobs +
+    contraction jobs) of sub-second stages whose cost at this size is
+    pure job-dispatch latency (guide §1.2: fix the distributed
+    algorithm's pass count first). ``mirror=True`` takes the DIRECTED
+    row list and adds both orientations in memory — half the Arrow
+    transfer, same accumulate-both semantics as ``louvain_exact``.
+    Above the gate the distributed `_louvain_hierarchy` runs unchanged
+    — the 100 TB path is untouched. Equality with the distributed loop
+    is pinned by tests/test_graph.py and tests/test_local_kernels.py
+    (both against ``louvain_exact``). Returns (node_id, community)."""
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        tabs = [pa.Table.from_batches([b]) for b in batches]
+        schema = pa.schema(
+            [pa.field("node_id", pa.string()), pa.field("community", pa.string())]
+        )
+        if not tabs:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.string())],
+                schema=schema,
+            )
+            return
+        t = pa.concat_tables(tabs)
+        codes, names = _factorize_sorted_arrow(
+            [t.column("src"), t.column("dst")]
+        )
+        n_rows = t.num_rows
+        s, d = codes[:n_rows], codes[n_rows:]
+        w = t.column("w").to_numpy(zero_copy_only=False).astype(np.int64)
+        if mirror:
+            s, d = np.concatenate([s, d]), np.concatenate([d, s])
+            w = np.concatenate([w, w])
+        if int(w.sum()) > _NP_TWO_M_MAX:
+            # arbitrary-precision fallback: gain scores would overflow
+            # int64 — accumulate into the shared dict kernel instead
+            names_py = names.to_pylist()
+            wmap: dict[tuple[str, str], int] = {}
+            for u, v, ww in zip(s, d, w):
+                key = (names_py[u], names_py[v])
+                wmap[key] = wmap.get(key, 0) + int(ww)
+            label = _hierarchy_py(wmap, rounds, levels)
+            items = list(label.items())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([x[0] for x in items], pa.string()),
+                    pa.array([x[1] for x in items], pa.string()),
+                ],
+                schema=schema,
+            )
+            return
+        total, cnames = _hierarchy_np(
+            s, d, w, names.to_numpy(zero_copy_only=False), rounds, levels
+        )
+        yield pa.RecordBatch.from_arrays(
+            [names, pa.array(cnames[total], pa.string())], schema=schema
+        )
+
+    return edges_w.coalesce(1).mapInArrow(
+        kernel, "node_id string, community string"
+    )
 
 
 def _louvain_moves_local(und_w: DataFrame, rounds: int) -> DataFrame:
@@ -571,10 +879,26 @@ def louvain(
     collide); the distinct is then a pure no-op shuffle of the edge
     list.
     """
-    und = undirect(materialized(edges))
+    ed = materialized(edges)
+    # Size-gated whole-program local path (r19): the directed projection
+    # is already eagerly checkpointed, so the gate count is one cheap
+    # job over materialized partitions; undirected rows = 2x directed.
+    small = 2 * ed.count() <= LOCAL_MOVE_EDGES
+    if small and assume_simple:
+        # unique directed pairs, no reverse duplicates: the kernel's
+        # in-memory mirroring IS the undirect — half the Arrow transfer
+        return _louvain_local(
+            ed.select("src", "dst", F.lit(1).cast("long").alias("w")),
+            rounds,
+            levels,
+            mirror=True,
+        )
+    und = undirect(ed)
     if not assume_simple:
         und = und.distinct()
     und = und.withColumn("w", F.lit(1).cast("long"))
+    if small:
+        return _louvain_local(und, rounds, levels, mirror=False)
     return _louvain_hierarchy(und, rounds, levels)
 
 
@@ -591,6 +915,11 @@ def louvain_weighted(
     contraction, levels) is identical to :func:`louvain`."""
     edges = materialized(edges)
     fwd = edges.select("src", "dst", F.col("weight").cast("long").alias("w"))
+    # Same size-gated local path as louvain() (r19); the count reads
+    # already-checkpointed partitions. mirror=True accumulates both
+    # orientations in memory — exactly louvain_exact's weighted loader.
+    if 2 * edges.count() <= LOCAL_MOVE_EDGES:
+        return _louvain_local(fwd, rounds, levels, mirror=True)
     rev = edges.select(
         F.col("dst").alias("src"),
         F.col("src").alias("dst"),
@@ -672,15 +1001,7 @@ def louvain_exact(
         for row in undirect(edges).distinct().collect():
             w[(row["src"], row["dst"])] = 1
 
-    label = _moves_py(w, rounds)
-    for _ in range(levels - 1):
-        sup: dict[tuple[str, str], int] = {}
-        for (u, v), ww in w.items():
-            key = (label[u], label[v])
-            sup[key] = sup.get(key, 0) + ww
-        upper = _moves_py(sup, rounds)
-        label = {v: upper[c] for v, c in label.items()}
-        w = sup
+    label = _hierarchy_py(w, rounds, levels)
 
     spark = edges.sparkSession
     rows = sorted(label.items())
@@ -962,6 +1283,86 @@ def kcore(edges: DataFrame, k: int = 30, rounds: int = 5) -> DataFrame:
     return out
 
 
+def _cc_star_np(s, d, m, rounds):
+    """Vectorized replay of :func:`connected_components`' alternating
+    large-star / small-star rounds over code arrays in a
+    lexicographically-ordered code space of size ``m`` (code order ==
+    node-id string order, so integer MINs reproduce the string MINs).
+    Every distributed consumer of the edge stream is (or feeds) a keyed
+    MIN aggregate, so the per-round ``np.unique`` dedup reproduces the
+    multiset rounds exactly (multiplicity never changes a MIN — the
+    same argument that lets the distributed form skip intermediate
+    distincts). Returns the per-code component array, component =
+    round-``rounds`` star root coalesced to the node itself — identical
+    to the distributed output by construction (pinned by
+    tests/test_local_kernels.py)."""
+    import numpy as np
+
+    own = np.arange(m, dtype=np.int64)
+    e = np.unique(s.astype(np.int64) * m + d)
+    for _ in range(rounds):
+        a, b = e // m, e % m
+        # large-star over both edge directions
+        u = np.concatenate([a, b])
+        v = np.concatenate([b, a])
+        mn = np.full(m, m, np.int64)  # sentinel above any code
+        np.minimum.at(mn, u, v)
+        mroot = np.minimum(mn, own)
+        mask = v > u
+        ls = np.unique(mroot[u[mask]] * m + v[mask])  # (a=min, b=larger)
+        # small-star over large->small directed edges
+        su, sv = ls % m, ls // m
+        mn2 = np.full(m, m, np.int64)
+        np.minimum.at(mn2, su, sv)
+        m2 = np.minimum(mn2, own)
+        cu = np.concatenate([su, su])
+        cx = np.concatenate([sv, su])
+        keep = cx != m2[cu]
+        e = np.unique(m2[cu[keep]] * m + cx[keep])
+    roots = np.full(m, m, np.int64)
+    np.minimum.at(roots, e % m, e // m)
+    return np.where(roots < m, roots, own)
+
+
+def _cc_local(base: DataFrame, rounds: int) -> DataFrame:
+    """Single-task execution of the star rounds for an edge list known
+    to fit one executor (``<= LOCAL_MOVE_EDGES`` normalized rows —
+    gated by :func:`connected_components` on the already-checkpointed
+    ``base``, r19). ``coalesce(1)`` funnels the edge list into one
+    ``mapInPandas`` task running :func:`_cc_star_np`: one Spark job for
+    all ``rounds`` star pairs + the root aggregate, instead of ~10
+    lazily-checkpointed jobs of sub-second stages (the bench row's 49
+    jobs at sf0.1 are job-dispatch latency, not compute — guide §1.2).
+    Above the gate the distributed round loop runs unchanged (the
+    100 TB path). Equality is pinned by tests/test_graph.py."""
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        tabs = [pa.Table.from_batches([b]) for b in batches]
+        if not tabs:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.string())],
+                names=["node_id", "component"],
+            )
+            return
+        t = pa.concat_tables(tabs)
+        codes, names = _factorize_sorted_arrow(
+            [t.column("a"), t.column("b")]
+        )
+        comp = _cc_star_np(
+            codes[: t.num_rows], codes[t.num_rows:], len(names), rounds
+        )
+        yield pa.RecordBatch.from_arrays(
+            [names, names.take(pa.array(comp))],
+            names=["node_id", "component"],
+        )
+
+    return base.coalesce(1).mapInArrow(
+        kernel, "node_id string, component string"
+    )
+
+
 def connected_components(
     edges: DataFrame, rounds: int = 3, dedup_every: int = 2
 ) -> DataFrame:
@@ -1052,6 +1453,10 @@ def connected_components(
         .distinct()
         .localCheckpoint(eager=True)
     )
+    # Size-gated single-task path (r19): base is eagerly checkpointed,
+    # so the gate count is one cheap job over materialized partitions.
+    if base.count() <= LOCAL_MOVE_EDGES:
+        return _cc_local(base, rounds)
     e = base
     for r in range(rounds):
         # large-star over both edge directions

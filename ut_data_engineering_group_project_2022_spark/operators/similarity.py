@@ -601,6 +601,75 @@ def knn_pq_rerank(
     )
 
 
+#: Row ceiling under which :func:`kcenter_greedy` runs its k selection
+#: rounds as ONE single-task executor kernel instead of k sequential
+#: TakeOrdered driver round-trips. 250k rows x 64 int64 dims is ~128 MB
+#: of numpy — comfortably inside an executor; above it the distributed
+#: per-round scan loop runs unchanged (the 100 TB path). The arithmetic
+#: is exact int64 on the fixed-point grid either way, so the two paths
+#: are equal by construction (pinned in tests/test_llm_ops.py).
+LOCAL_KCENTER_ROWS = 250_000
+
+
+def _kcenter_local(v: DataFrame, k: int) -> DataFrame:
+    """Single-task greedy k-center over the quantized vector frame
+    ``v = (vec_id bigint, x array<bigint>)`` — same seed (smallest
+    salted md5, vec_id tiebreak), same exact-integer distances, same
+    argmax tiebreaks as the distributed round loop in
+    :func:`kcenter_greedy`; one Spark job instead of ``k`` driver
+    round-trips whose cost at this size is job-dispatch latency
+    (guide §1.2)."""
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        ids_l: list = []
+        xs_l: list = []
+        for pdf in batches:
+            ids_l.extend(int(i) for i in pdf["vec_id"])
+            xs_l.extend(np.asarray(x, dtype=np.int64) for x in pdf["x"])
+        out: list[tuple[int, int, int]] = []
+        if ids_l:
+            ids = np.asarray(ids_l, dtype=np.int64)
+            X = np.stack(xs_l)
+            h = np.asarray(
+                [
+                    int(hashlib.md5(f"kc|{i}".encode()).hexdigest()[:15], 16)
+                    for i in ids_l
+                ],
+                dtype=np.int64,
+            )
+            # seed: smallest (h, vec_id) — ORDER BY h, vec_id LIMIT 1
+            s = int(np.lexsort((ids, h))[0])
+            out.append((0, int(ids[s]), 0))
+            alive = np.ones(len(ids), dtype=bool)
+            alive[s] = False
+            diff = X - X[s]
+            mind = np.einsum("ij,ij->i", diff, diff)
+            for r in range(1, k):
+                if not alive.any():
+                    break
+                # argmax mind, ties to the smallest vec_id (DESC mind,
+                # ASC vec_id LIMIT 1 over the not-picked pool)
+                mx = mind[alive].max()
+                cand = alive & (mind == mx)
+                far = int(np.flatnonzero(cand)[np.argmin(ids[cand])])
+                out.append((r, int(ids[far]), int(mind[far])))
+                alive[far] = False
+                diff = X - X[far]
+                mind = np.minimum(mind, np.einsum("ij,ij->i", diff, diff))
+        yield pd.DataFrame(
+            out, columns=["sel_order", "vec_id", "radius2"]
+        ).astype({"sel_order": "int32", "vec_id": "int64", "radius2": "int64"})
+
+    return v.coalesce(1).mapInPandas(
+        kernel, "sel_order INT, vec_id BIGINT, radius2 BIGINT"
+    )
+
+
 def kcenter_greedy(
     emb: DataFrame,
     k: int = 8,
@@ -638,6 +707,11 @@ def kcenter_greedy(
         lambda v: F.floor(v.cast("double") * scale).cast("bigint") + offset,
     )
     v = emb.select(F.col(id_col).cast("bigint").alias("vec_id"), x.alias("x"))
+    # Size-gated single-task path (r19): limit+count stops scanning as
+    # soon as the pool is provably larger than the gate, so the big
+    # path pays a bounded partial scan, not a full count.
+    if v.limit(LOCAL_KCENTER_ROWS + 1).count() <= LOCAL_KCENTER_ROWS:
+        return _kcenter_local(v, k)
 
     def d2_to(center: list) -> Column:
         arr = F.array(*[F.lit(int(c)) for c in center])

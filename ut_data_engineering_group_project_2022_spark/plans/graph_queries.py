@@ -94,8 +94,13 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    edges = graph.undirect(graph.materialized(graph.customer_supplier_edges(spark, sf_dir)))
-    return graph.pagerank(edges, iterations=3, damping=0.85)
+    ed = graph.materialized(graph.customer_supplier_edges(spark, sf_dir))
+    # Size-dispatched (r19): the directed projection is already
+    # checkpointed, so the gate count is one cheap job; undirected rows
+    # = 2x directed.
+    return graph.pagerank_sized(
+        graph.undirect(ed), 2 * ed.count(), iterations=3, damping=0.85
+    )
 
 
 @register(
