@@ -133,6 +133,43 @@ def test_kcenter_local_kernel_matches_distributed_bench_config(
     assert [tuple(r) for r in local] == [tuple(r) for r in dist]
 
 
+def _sd_map(df):
+    return {r.vec_id: (r.cluster, r.keep, r.dup_of) for r in df.collect()}
+
+
+def test_semdedup_local_kernel_matches_distributed(spark, monkeypatch):
+    emb = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [0.99, 0.01, 0.0]),   # near-dup of 0
+            (2, [0.0, 1.0, 0.0]),
+            (3, [0.0, 0.98, 0.02]),   # near-dup of 2
+            (4, [-1.0, 0.0, 0.0]),
+            (5, [0.5, 0.5, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    for k, thr in ((2, 0.9), (3, 0.4), (10, 0.99)):
+        local = _sd_map(similarity.semdedup(emb, k=k, threshold=thr))
+        monkeypatch.setattr(similarity, "LOCAL_SEMDEDUP_ROWS", 0)
+        dist = _sd_map(similarity.semdedup(emb, k=k, threshold=thr))
+        monkeypatch.undo()
+        assert local == dist, f"k={k} thr={thr}"
+
+
+def test_semdedup_local_kernel_matches_distributed_bench_config(
+    spark, monkeypatch
+):
+    # the registered llm_semdedup configuration at sf0.001
+    from ut_data_engineering_group_project_2022_spark.catalog import table
+
+    emb = table(spark, SF_DIR, "embeddings")
+    local = _sd_map(similarity.semdedup(emb, k=10, iterations=2, threshold=0.40))
+    monkeypatch.setattr(similarity, "LOCAL_SEMDEDUP_ROWS", 0)
+    dist = _sd_map(similarity.semdedup(emb, k=10, iterations=2, threshold=0.40))
+    assert local == dist
+
+
 def test_kcenter_local_kernel_k_exceeding_pool(spark):
     emb = spark.createDataFrame(
         [(0, [0.0, 1.0]), (1, [1.0, 0.0])],

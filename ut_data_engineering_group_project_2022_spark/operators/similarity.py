@@ -411,6 +411,220 @@ def kmeans_fixed_point(
     return assigned.select("vec_id", "cluster", F.col("d2").alias("dist2"))
 
 
+#: Row ceiling for the single-task SemDeDup kernel: its within-cluster
+#: pair scan is ~n^2/k, so the gate bounds one task's work at roughly
+#: 20k^2/2/10 x dim float ops (~1-2 s) — far below that the distributed
+#: plan is pure job-dispatch latency; far above it the cluster-bounded
+#: pair join is the right shape (the 100 TB path, unchanged).
+LOCAL_SEMDEDUP_ROWS = 20_000
+
+
+def _semdedup_local(
+    emb: DataFrame,
+    k: int,
+    iterations: int,
+    threshold: float,
+    scale: int,
+    offset: int,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Single-task SemDeDup for a corpus known to fit one executor:
+    the fixed-point integer k-means (same md5 seeds, exact int64
+    distances, argmin ties to the lower cluster id, sum-div-count
+    centroid updates) plus the within-cluster cosine pair scan, all in
+    one ``mapInPandas`` job. Float parity with the distributed plan:
+    every dot product is the LEFT FOLD the Spark/DuckDB expression
+    computes, reproduced exactly by ``np.cumsum`` over the elementwise
+    products (verified 0 mismatches in 40k pairs — ``np.dot`` diverges
+    on 66%); norms and the threshold comparison use the identical
+    operation order. Pinned bit-equal to the distributed path at
+    sf0.001/0.01/0.1 by tests/test_local_kernels.py."""
+    x = F.transform(
+        F.col(vec_col),
+        lambda v: F.floor(v.cast("double") * scale).cast("bigint") + offset,
+    )
+    v = emb.select(
+        F.col(id_col).alias("vec_id"),
+        x.alias("x"),
+        as_double(vec_col).alias("e"),
+    )
+    idt = emb.schema[id_col].dataType.simpleString()
+
+    def kernel(batches):
+        import hashlib
+
+        import numpy as np
+        import pandas as pd
+
+        ids_l: list = []
+        xs_l: list = []
+        es_l: list = []
+        for pdf in batches:
+            ids_l.extend(int(i) for i in pdf["vec_id"])
+            xs_l.extend(np.asarray(a, dtype=np.int64) for a in pdf["x"])
+            es_l.extend(np.asarray(a, dtype=np.float64) for a in pdf["e"])
+        if not ids_l:
+            yield pd.DataFrame(
+                {
+                    "vec_id": pd.array([], dtype="Int64"),
+                    "cluster": pd.array([], dtype="Int32"),
+                    "keep": pd.array([], dtype="boolean"),
+                    "dup_of": pd.array([], dtype="Int64"),
+                }
+            )
+            return
+        ids = np.asarray(ids_l, dtype=np.int64)
+        X = np.stack(xs_l)
+        E = np.stack(es_l)
+        n = len(ids)
+        # seeds: k smallest salted md5 hashes, cluster ids in hash order
+        h = np.asarray(
+            [
+                int(hashlib.md5(f"seed|{i}".encode()).hexdigest()[:15], 16)
+                for i in ids_l
+            ],
+            dtype=np.int64,
+        )
+        seed_idx = np.lexsort((ids, h))[: min(k, n)]
+        cid = np.arange(len(seed_idx), dtype=np.int64)  # ascending ids
+        C = X[seed_idx]
+        x2 = np.einsum("ij,ij->i", X, X)
+        assign = None
+        for _ in range(iterations):
+            # exact integer distances; centroid columns ordered by
+            # ascending cluster id so argmin's first-min = lowest id
+            c2 = np.einsum("ij,ij->i", C, C)
+            d2 = x2[:, None] + c2[None, :] - 2 * (X @ C.T)
+            assign = cid[np.argmin(d2, axis=1)]
+            # update: per-cluster integer sums div counts; empty
+            # clusters drop out (mirrors the groupBy)
+            kc = int(cid.max()) + 1
+            sums = np.zeros((kc, X.shape[1]), np.int64)
+            np.add.at(sums, assign, X)
+            counts = np.bincount(assign, minlength=kc)
+            present = np.flatnonzero(counts > 0)
+            C = sums[present] // counts[present, None]
+            cid = present.astype(np.int64)
+        # within-cluster pairs (id_a < id_b), exact left-fold cosine
+        norm = np.sqrt(np.cumsum(E * E, axis=1)[:, -1])
+        order = np.lexsort((ids,))  # pair generation in ascending id
+        dup_of = np.full(n, np.iinfo(np.int64).max, np.int64)
+        pos_of = np.empty(n, np.int64)
+        pos_of[order] = np.arange(n)
+        for c in np.unique(assign):
+            members = order[np.sort(pos_of[np.flatnonzero(assign == c)])]
+            nc = len(members)
+            if nc < 2:
+                continue
+            ia, ib = np.triu_indices(nc, k=1)
+            a_idx, b_idx = members[ia], members[ib]
+            for lo in range(0, len(a_idx), 500_000):
+                asl = a_idx[lo : lo + 500_000]
+                bsl = b_idx[lo : lo + 500_000]
+                dots = np.cumsum(E[asl] * E[bsl], axis=1)[:, -1]
+                cos = dots / (norm[asl] * norm[bsl])
+                hit = cos >= threshold
+                np.minimum.at(dup_of, bsl[hit], ids[asl[hit]])
+        has_dup = dup_of != np.iinfo(np.int64).max
+        yield pd.DataFrame(
+            {
+                "vec_id": pd.array(ids, dtype="Int64"),
+                "cluster": pd.array(assign, dtype="Int32"),
+                "keep": pd.array(~has_dup, dtype="boolean"),
+                "dup_of": pd.array(
+                    [int(d) if f else None for d, f in zip(dup_of, has_dup)],
+                    dtype="Int64",
+                ),
+            }
+        )
+
+    return v.coalesce(1).mapInPandas(
+        kernel, f"vec_id {idt}, cluster int, keep boolean, dup_of {idt}"
+    )
+
+
+def semdedup(
+    emb: DataFrame,
+    k: int = 10,
+    iterations: int = 2,
+    threshold: float = 0.40,
+    scale: int = 1_000_000,
+    offset: int = 1_000_000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): cluster with the deterministic
+    fixed-point k-means, drop all but the smallest id among
+    within-cluster pairs with cosine >= ``threshold``. Size-dispatched
+    (r19): one single-task kernel below ``LOCAL_SEMDEDUP_ROWS``
+    (limit+count gate — a bounded partial scan on the big path), the
+    cluster-bounded distributed pair join above it. Returns
+    (vec_id, cluster, keep, dup_of)."""
+    if emb.limit(LOCAL_SEMDEDUP_ROWS + 1).count() <= LOCAL_SEMDEDUP_ROWS:
+        return _semdedup_local(
+            emb, k, iterations, threshold, scale, offset, id_col, vec_col
+        )
+    # Distributed path — verbatim the pre-r19 plan (see llm_semdedup's
+    # registry doc for the scale adjudication).
+    assign = (
+        kmeans_fixed_point(
+            emb, k=k, iterations=iterations, scale=scale, offset=offset,
+            id_col=id_col, vec_col=vec_col,
+        )
+        .select("vec_id", "cluster")
+        .localCheckpoint(eager=False)
+    )
+    e = emb.select(
+        F.col(id_col).alias("vec_id"), as_double(vec_col).alias("e")
+    )
+    norm = F.sqrt(
+        F.aggregate(
+            F.zip_with("e", "e", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    av = (
+        assign.join(e, "vec_id")
+        .withColumn("nrm", norm)
+        .localCheckpoint(eager=False)
+    )
+    a = av.select(
+        F.col("vec_id").alias("id_a"),
+        "cluster",
+        F.col("e").alias("ea"),
+        F.col("nrm").alias("na"),
+    )
+    b = av.select(
+        F.col("vec_id").alias("id_b"),
+        F.col("cluster").alias("cluster_b"),
+        F.col("e").alias("eb"),
+        F.col("nrm").alias("nb"),
+    )
+    dot_ab = F.aggregate(
+        F.zip_with("ea", "eb", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    dups = (
+        a.join(
+            b,
+            (F.col("cluster") == F.col("cluster_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .filter(dot_ab / (F.col("na") * F.col("nb")) >= threshold)
+        .groupBy(F.col("id_b").alias("vec_id"))
+        .agg(F.min("id_a").alias("dup_of"))
+    )
+    return assign.join(dups, "vec_id", "left").select(
+        "vec_id",
+        "cluster",
+        F.col("dup_of").isNull().alias("keep"),
+        "dup_of",
+    )
+
+
 def knn_pq(
     emb: DataFrame,
     k: int = 5,

@@ -2490,69 +2490,12 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Size-dispatched operator (r19): single-task kernel below the
+    # LOCAL_SEMDEDUP_ROWS gate, the cluster-bounded distributed pair
+    # join (the pre-r19 plan, verbatim inside similarity.semdedup)
+    # above it — both paths pinned bit-equal in tests.
     emb = table(spark, sf_dir, "embeddings")
-    # The assignment plan is iterative k-means — referenced by BOTH pair
-    # sides and the final attribution join, so checkpoint it once (n
-    # narrow rows) instead of recomputing the clustering three times.
-    assign = (
-        similarity.kmeans_fixed_point(emb, k=10, iterations=2)
-        .select("vec_id", "cluster")
-        .localCheckpoint(eager=False)
-    )
-    # Float vectors for the exact cosine verify (same expression as
-    # llm_embedding_neardup); the cluster equi-join bounds candidates.
-    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    # Per-VECTOR norm computed once before the pair join — inside the
-    # join filter it would be re-evaluated per PAIR (~n^2/k times), 2/3
-    # of the cosine's array work for no reason.
-    norm = F.sqrt(
-        F.aggregate(
-            F.zip_with("e", "e", lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
-    # av feeds BOTH pair sides (a and b below) — checkpoint it once so
-    # the assign-join-norm pass isn't evaluated twice (the memory-bank
-    # lever: checkpoint any plan referenced 2+ times).
-    av = (
-        assign.join(e, "vec_id")
-        .withColumn("nrm", norm)
-        .localCheckpoint(eager=False)
-    )
-    a = av.select(
-        F.col("vec_id").alias("id_a"),
-        "cluster",
-        F.col("e").alias("ea"),
-        F.col("nrm").alias("na"),
-    )
-    b = av.select(
-        F.col("vec_id").alias("id_b"),
-        F.col("cluster").alias("cluster_b"),
-        F.col("e").alias("eb"),
-        F.col("nrm").alias("nb"),
-    )
-    dot = F.aggregate(
-        F.zip_with("ea", "eb", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    dups = (
-        a.join(
-            b,
-            (F.col("cluster") == F.col("cluster_b"))
-            & (F.col("id_a") < F.col("id_b")),
-        )
-        .filter(dot / (F.col("na") * F.col("nb")) >= 0.40)
-        .groupBy(F.col("id_b").alias("vec_id"))
-        .agg(F.min("id_a").alias("dup_of"))
-    )
-    return assign.join(dups, "vec_id", "left").select(
-        "vec_id",
-        "cluster",
-        F.col("dup_of").isNull().alias("keep"),
-        "dup_of",
-    )
+    return similarity.semdedup(emb, k=10, iterations=2, threshold=0.40)
 
 
 # Shared DSIR scoring CTE chain (hashed-bigram features -> dual count
