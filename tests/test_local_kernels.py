@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 from tests.conftest import SF_DIR
 from ut_data_engineering_group_project_2022_spark.operators import (
+    dedup,
     graph,
     similarity,
 )
@@ -167,6 +168,57 @@ def test_semdedup_local_kernel_matches_distributed_bench_config(
     local = _sd_map(similarity.semdedup(emb, k=10, iterations=2, threshold=0.40))
     monkeypatch.setattr(similarity, "LOCAL_SEMDEDUP_ROWS", 0)
     dist = _sd_map(similarity.semdedup(emb, k=10, iterations=2, threshold=0.40))
+    assert local == dist
+
+
+def test_minhash_lsh_local_kernel_matches_distributed(spark, monkeypatch):
+    # the registered llm_minhash_lsh configuration at sf0.001, plus a
+    # whitespace-edge synthetic (leading tab, trailing newline, dup doc)
+    from collections import Counter
+
+    from ut_data_engineering_group_project_2022_spark.catalog import table
+
+    def pairs(df):
+        return Counter((r.doc_a, r.doc_b, r.jaccard) for r in df.collect())
+
+    docs = table(spark, SF_DIR, "documents")
+    syn = spark.createDataFrame(
+        [
+            (1, "the quick brown fox jumps over the lazy dog"),
+            (2, "the quick brown fox jumps over the lazy cat"),
+            (3, "\tthe quick brown fox jumps over the lazy dog\n"),
+            (4, "the quick brown fox jumps over the lazy dog"),
+            (5, "completely different text with no shared shingles at all"),
+            (6, "ab"),  # < k tokens: empty shingle set, never paired
+        ],
+        "doc_id bigint, text string",
+    )
+    for df in (docs, syn):
+        local = pairs(dedup.minhash_lsh_dedup(df))
+        monkeypatch.setattr(dedup, "LOCAL_DEDUP_DOCS", 0)
+        dist = pairs(dedup.minhash_lsh_dedup(df))
+        monkeypatch.undo()
+        assert local == dist
+
+
+def test_incremental_neardup_local_kernel_matches_distributed(
+    spark, monkeypatch
+):
+    # the registered llm_incremental_dedup configuration at sf0.001
+    from ut_data_engineering_group_project_2022_spark.catalog import table
+
+    docs = table(spark, SF_DIR, "documents")
+    batch = docs.filter(F.col("doc_id") % 10 == 0)
+    corpus = docs.filter(F.col("doc_id") % 10 != 0)
+
+    def res(df):
+        return {
+            r.doc_id: (r.is_dup, r.n_matches, r.match_id) for r in df.collect()
+        }
+
+    local = res(dedup.incremental_neardup(batch, corpus, min_jaccard=0.8))
+    monkeypatch.setattr(dedup, "LOCAL_DEDUP_DOCS", 0)
+    dist = res(dedup.incremental_neardup(batch, corpus, min_jaccard=0.8))
     assert local == dist
 
 

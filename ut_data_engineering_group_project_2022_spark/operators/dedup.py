@@ -164,6 +164,206 @@ def lsh_candidate_pairs(
     )
 
 
+#: Row ceiling for the single-task text-dedup kernels (r19): below it a
+#: corpus's whole shingle->minhash->band->verify pipeline is job-
+#: dispatch-bound (13-18 Spark jobs of tens-of-ms stages at sf0.1), so
+#: the full pass runs inside ONE mapInPandas task; above it the
+#: banded/bucketed distributed plans (the 100 TB shapes) are unchanged.
+#: 20k docs bounds the kernel at ~2M shingle hashes (~1-2 s one core).
+LOCAL_DEDUP_DOCS = 20_000
+
+
+def _shingle_set_py(text, k: int):
+    """Python replica of word_shingles()'s JVM semantics, as a set.
+
+    Set form is lossless here: every consumer is MIN-aggregate or
+    array_intersect/size — set semantics. Parity notes (pinned by
+    tests/test_local_kernels.py on real data AND a whitespace-edge
+    synthetic): Spark lower->trim->split means ASCII-space-only trim,
+    and F.split's default limit=-1 KEEPS leading and trailing empty
+    tokens when the trimmed text starts/ends with \\t\\n\\x0b\\f\\r
+    (unlike Java String.split) — Python re.split has exactly these
+    semantics, including "" -> [""]. concat_ws keeps empty strings.
+    NULL text -> size(NULL)=-1 -> empty shingles."""
+    import re
+
+    if text is None:
+        return frozenset()
+    s = text.lower().strip(" ")
+    toks = re.split(r"[ \t\n\x0b\f\r]+", s)
+    if len(toks) < k:
+        return frozenset()
+    return frozenset(
+        " ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)
+    )
+
+
+def _minhash_sigs_np(id_list, set_list, n_perm: int):
+    """(ids_with_shingles, n x n_perm int64 signature matrix) via the
+    exact md5_int60 % p hash and (a*h+b) % p permutation mins —
+    integer-exact, so bit-parity with the JVM path is structural."""
+    import hashlib
+
+    import numpy as np
+
+    params = _perm_params(n_perm)
+    hash_cache: dict = {}
+
+    def h_of(s: str) -> int:
+        v = hash_cache.get(s)
+        if v is None:
+            v = int(hashlib.md5(s.encode()).hexdigest()[:15], 16) % HASH_P
+            hash_cache[s] = v
+        return v
+
+    keep_ids, offs, flat = [], [], []
+    for did, ss in zip(id_list, set_list):
+        if not ss:
+            continue
+        keep_ids.append(did)
+        offs.append(len(flat))
+        flat.extend(h_of(s) for s in ss)
+    if not keep_ids:
+        return [], np.empty((0, n_perm), np.int64)
+    H = np.asarray(flat, np.int64)
+    offsets = np.asarray(offs, np.int64)
+    M = np.empty((len(keep_ids), n_perm), np.int64)
+    for i, (a, b) in enumerate(params):
+        M[:, i] = np.minimum.reduceat((a * H + b) % HASH_P, offsets)
+    return keep_ids, M
+
+
+def _band_buckets(ids, M, n_perm: int, band_rows: int):
+    """(band, 4-int signature tuple) -> member doc ids. Tuple equality
+    == the JVM concat_ws('-') string equality (non-negative ints)."""
+    buckets: dict = {}
+    n_bands = n_perm // band_rows
+    for row, did in enumerate(ids):
+        m = M[row]
+        for b in range(n_bands):
+            key = (b, tuple(int(x) for x in m[b * band_rows : (b + 1) * band_rows]))
+            buckets.setdefault(key, []).append(did)
+    return buckets
+
+
+def _minhash_lsh_local(docs: DataFrame, k: int) -> DataFrame:
+    """Single-task MinHash-LSH near-dup pass (shingle -> signatures ->
+    band buckets -> exact-Jaccard verify) for a corpus known to fit one
+    executor. Same integer hashes/permutations and the same double
+    division as the distributed plan; pinned bit-equal at
+    sf0.001/0.01/0.1 by tests/test_local_kernels.py."""
+    idt = docs.schema["doc_id"].dataType.simpleString()
+
+    def kernel(batches):
+        import pandas as pd
+
+        ids, sets = [], []
+        for pdf in batches:
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                ids.append(int(i))
+                sets.append(_shingle_set_py(t, k))
+        keep_ids, M = _minhash_sigs_np(ids, sets, N_PERM)
+        pairs = set()
+        for members in _band_buckets(keep_ids, M, N_PERM, BAND_ROWS).values():
+            if len(members) > 1:
+                ms = sorted(members)
+                for i in range(len(ms)):
+                    for j in range(i + 1, len(ms)):
+                        pairs.add((ms[i], ms[j]))
+        setmap = dict(zip(ids, sets))
+        da, db, jac = [], [], []
+        for a, b in pairs:
+            sa, sb = setmap[a], setmap[b]
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            da.append(a)
+            db.append(b)
+            jac.append(float(inter) / union)
+        yield pd.DataFrame(
+            {
+                "doc_a": pd.array(da, dtype="Int64"),
+                "doc_b": pd.array(db, dtype="Int64"),
+                "jaccard": pd.array(jac, dtype="float64"),
+            }
+        )
+
+    return (
+        docs.select("doc_id", "text")
+        .coalesce(1)
+        .mapInPandas(kernel, f"doc_a {idt}, doc_b {idt}, jaccard double")
+    )
+
+
+def _incremental_neardup_local(
+    tagged: DataFrame, k: int, min_jaccard: float
+) -> DataFrame:
+    """Single-task batch-vs-corpus near-dup check over the flag-tagged
+    union of both sides (``__is_batch``). Same signatures/bands as the
+    distributed plan; candidates are batch-band probes into the corpus
+    band buckets; one output row per BATCH doc (empty-shingle batch
+    docs included, as the distributed left join does)."""
+    idt = tagged.schema["doc_id"].dataType.simpleString()
+
+    def kernel(batches):
+        import pandas as pd
+
+        b_ids, b_sets, c_ids, c_sets = [], [], [], []
+        for pdf in batches:
+            for i, t, fb in zip(pdf["doc_id"], pdf["text"], pdf["__is_batch"]):
+                if fb:
+                    b_ids.append(int(i))
+                    b_sets.append(_shingle_set_py(t, k))
+                else:
+                    c_ids.append(int(i))
+                    c_sets.append(_shingle_set_py(t, k))
+        kb, Mb = _minhash_sigs_np(b_ids, b_sets, N_PERM)
+        kc, Mc = _minhash_sigs_np(c_ids, c_sets, N_PERM)
+        c_buckets = _band_buckets(kc, Mc, N_PERM, BAND_ROWS)
+        b_setmap = dict(zip(b_ids, b_sets))
+        c_setmap = dict(zip(c_ids, c_sets))
+        n_bands = N_PERM // BAND_ROWS
+        matches: dict = {}
+        for row, bid in enumerate(kb):
+            m = Mb[row]
+            cands = set()
+            for b in range(n_bands):
+                key = (
+                    b,
+                    tuple(int(x) for x in m[b * BAND_ROWS : (b + 1) * BAND_ROWS]),
+                )
+                cands.update(c_buckets.get(key, ()))
+            sa = b_setmap[bid]
+            hits = []
+            for cid in cands:
+                sb = c_setmap[cid]
+                inter = len(sa & sb)
+                union = len(sa) + len(sb) - inter
+                if union > 0 and float(inter) / union >= min_jaccard:
+                    hits.append(cid)
+            if hits:
+                matches[bid] = (len(hits), min(hits))
+        out_id, out_dup, out_n, out_m = [], [], [], []
+        for bid in b_ids:
+            hit = matches.get(bid)
+            out_id.append(bid)
+            out_dup.append(hit is not None)
+            out_n.append(hit[0] if hit else 0)
+            out_m.append(hit[1] if hit else None)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(out_id, dtype="Int64"),
+                "is_dup": pd.array(out_dup, dtype="boolean"),
+                "n_matches": pd.array(out_n, dtype="Int64"),
+                "match_id": pd.array(out_m, dtype="Int64"),
+            }
+        )
+
+    return tagged.coalesce(1).mapInPandas(
+        kernel,
+        f"doc_id {idt}, is_dup boolean, n_matches bigint, match_id {idt}",
+    )
+
+
 def minhash_lsh_dedup(docs: DataFrame, k: int = 3) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates + exact-Jaccard verify.
 
@@ -172,7 +372,13 @@ def minhash_lsh_dedup(docs: DataFrame, k: int = 3) -> DataFrame:
     band join) — cache both so the expensive shingle+md5 scan runs once.
     At cluster scale these are exactly the artifacts you'd persist
     between stages (signatures are |docs| x 33 ints, tiny next to the
-    exploded shingle stream)."""
+    exploded shingle stream).
+
+    Size-dispatched (r19): below LOCAL_DEDUP_DOCS (limit+count gate — a
+    bounded partial scan on the big path) the whole pass runs as one
+    single-task kernel; the distributed plan below is unchanged."""
+    if docs.limit(LOCAL_DEDUP_DOCS + 1).count() <= LOCAL_DEDUP_DOCS:
+        return _minhash_lsh_local(docs, k)
     shingled = shingle_docs(docs, k).cache()
     shingled.count()  # force: lazy cache would be raced by the join branches
     signatures = minhash_signatures(shingled).cache()
@@ -425,6 +631,13 @@ def incremental_neardup(
     be compared against the same-record `job_latency_ms_*` probes
     (in the bench payload as of r12).
     """
+    tagged = batch.select(
+        "doc_id", "text", F.lit(True).alias("__is_batch")
+    ).unionByName(
+        corpus.select("doc_id", "text", F.lit(False).alias("__is_batch"))
+    )
+    if tagged.limit(LOCAL_DEDUP_DOCS + 1).count() <= LOCAL_DEDUP_DOCS:
+        return _incremental_neardup_local(tagged, k, min_jaccard)
     sh_b = shingle_docs(batch, k).cache()
     sh_b.count()
     sh_c = shingle_docs(corpus, k).cache()
