@@ -230,3 +230,89 @@ def test_kcenter_local_kernel_k_exceeding_pool(spark):
     got = similarity.kcenter_greedy(emb, k=5).collect()
     assert len(got) == 2
     assert sorted(r.vec_id for r in got) == [0, 1]
+
+
+def _star_tables(state):
+    from dataclasses import fields
+
+    from ut_data_engineering_group_project_2022_spark.operators import star
+
+    return {
+        f.name: sorted(map(tuple, getattr(state, f.name).collect()))
+        for f in fields(star.StarState)
+    }
+
+
+def test_star_local_kernel_matches_distributed(spark, monkeypatch):
+    """First-batch star load: the single-task kernel == the distributed
+    loader on fixture batch 1 (null year/type/doi sentinels, multi-author
+    bridges) and on a carry-conflict batch (gender first-wins = min)."""
+    from tests.fixtures import staging_batch_1
+    from ut_data_engineering_group_project_2022_spark.operators import star
+    from ut_data_engineering_group_project_2022_spark.schemas import (
+        STAGING_AUTHORS,
+        STAGING_MAIN,
+    )
+
+    m1, a1 = staging_batch_1(spark)
+    a_conflict = spark.createDataFrame(
+        [
+            ("Zed", "Q", "X", "male", "Zed Q", "0701.0001"),
+            ("Zed", "Q", "Y", "nonbinary", "Zed Q", "0701.0001"),
+            ("Zed", "Q", None, "female", "Zed Q", "0701.0002"),
+            # id with no matching paper: dim row with NULL h/g, no bridge
+            ("Ann", "B", "Z", "female", "Ann B", "0799.9999"),
+        ],
+        STAGING_AUTHORS,
+    )
+    # versions edges: NULL -> latest_version_nr NULL; bare digits (no
+    # 'v' prefix) parse as-is. (A non-numeric versions string is out of
+    # contract: under ANSI sessions the distributed loader's cast throws
+    # on it, under non-ANSI it yields NULL — the kernel matches the
+    # tolerant non-ANSI behavior.)
+    m_edge = spark.createDataFrame(
+        [
+            (2001, "A", "t", "V", "P", "e1", "d", "T", "12", 1),
+            (2002, "B", "t", "V", "P", "e2", "d", "T", None, 0),
+        ],
+        STAGING_MAIN,
+    )
+    for m, a in [(m1, a1), (m1, a_conflict), (m_edge, a1)]:
+        local = _star_tables(star.load_batch(star.empty_star(spark), m, a))
+        monkeypatch.setattr(star, "LOCAL_STAR_ROWS", -1)
+        dist = _star_tables(star.load_batch(star.empty_star(spark), m, a))
+        monkeypatch.undo()
+        assert local == dist
+
+
+def test_star_local_kernel_matches_distributed_bench_config(
+    spark, monkeypatch
+):
+    """The bench configuration: synthetic_staging at sf0.001 through the
+    kernel vs the distributed loader — all nine tables bit-equal."""
+    from ut_data_engineering_group_project_2022_spark.operators import star
+    from ut_data_engineering_group_project_2022_spark.plans.star_queries import (
+        synthetic_staging,
+    )
+
+    m, a = synthetic_staging(spark, SF_DIR)
+    local = _star_tables(star.load_batch(star.empty_star(spark), m, a))
+    monkeypatch.setattr(star, "LOCAL_STAR_ROWS", -1)
+    dist = _star_tables(star.load_batch(star.empty_star(spark), m, a))
+    assert local == dist
+
+
+def test_star_local_gate_skips_non_bootstrap_state(spark):
+    """A state that already holds rows must NEVER take the first-batch
+    kernel: batch 2 over a kernel-built state runs distributed and keys
+    continue past max(existing)."""
+    from tests.fixtures import staging_batch_1, staging_batch_2
+    from ut_data_engineering_group_project_2022_spark.operators import star
+
+    m1, a1 = staging_batch_1(spark)
+    state = star.load_batch(star.empty_star(spark), m1, a1)
+    assert not star._bootstrap_only(state)
+    m2, a2 = staging_batch_2(spark)
+    state2 = star.load_batch(state, m2, a2)
+    keys = sorted(r.author_key for r in state2.dim_author.collect())
+    assert keys == list(range(1, len(keys) + 1))

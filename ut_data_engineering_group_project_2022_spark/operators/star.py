@@ -47,7 +47,6 @@ from ut_data_engineering_group_project_2022_spark.schemas import (
     DIM_DOMAIN,
     DIM_TYPE,
     DIM_VENUE,
-    DIM_YEAR,
     PAPER_FACT,
     UNKNOWN,
 )
@@ -153,7 +152,16 @@ def empty_star(spark: SparkSession) -> StarState:
         F.col("id").cast("int").alias("year_key"),
         F.col("id").cast("int").alias("publication_year"),
     )
-    sentinel = spark.createDataFrame([(0, 0)], DIM_YEAR)
+    # JVM-native 1-row sentinel, NOT createDataFrame([(0, 0)]): the
+    # local-list form parallelizes into defaultParallelism Python-pickled
+    # partitions, and every later evaluation of dim_year pays one Python
+    # worker roundtrip PER partition to deserialize them — measured r19
+    # at ~0.5 s per scan (and ~5 s under coalesce(1), where the 32
+    # roundtrips serialize into one task).
+    sentinel = spark.range(1).select(
+        F.lit(0).cast("int").alias("year_key"),
+        F.lit(0).cast("int").alias("publication_year"),
+    )
 
     def empty(schema):
         # NOT createDataFrame([], schema): that parallelizes the empty
@@ -537,6 +545,324 @@ def _upsert_all_dims(
     return out
 
 
+# Size gate for the first-batch single-task loader kernel (r19, guide
+# §1.2/§4.2): combined staging rows at or below this run the whole load
+# as ONE executor task. 200k rows keeps the worst-case kernel under ~1 s
+# single-threaded; the 100x bulk-load scenario (1.5M combined rows) and
+# anything larger take the distributed plan unchanged.
+LOCAL_STAR_ROWS = 200_000
+
+_BATCH_TABLES = (
+    "dim_domain",
+    "dim_type",
+    "dim_venue",
+    "dim_author",
+    "dim_affiliation",
+    "paper_fact",
+    "bridge_author_group",
+    "bridge_affiliation_group",
+)
+
+
+def _bootstrap_only(state: StarState) -> bool:
+    """True when every batch-loaded table is plan-visibly empty — the
+    first-batch shape. ``empty_star`` builds them from a 0-partition
+    ``emptyRDD``, so the check is plan-side (no job). Any other state
+    (materialized, incrementally loaded, hand-built) reads non-zero or
+    raises and falls through to the distributed loader — a missed
+    optimization at worst, never a wrong result."""
+    try:
+        return all(
+            getattr(state, name).rdd.getNumPartitions() == 0
+            for name in _BATCH_TABLES
+        )
+    except Exception:  # noqa: BLE001 — non-classic backend etc.
+        return False
+
+
+def _cast_int_like_spark(s: str | None) -> int | None:
+    """Spark's non-ANSI CAST(string AS INT): trim, parse as a decimal
+    number, truncate toward zero; anything unparsable or out of int32
+    range is NULL."""
+    if s is None:
+        return None
+    from decimal import Decimal, InvalidOperation
+
+    try:
+        v = int(Decimal(s.strip()))
+    except (InvalidOperation, ValueError, ArithmeticError):
+        return None
+    return v if -(2**31) <= v <= 2**31 - 1 else None
+
+
+def _star_local_tables(y_rows, m_rows, a_rows):
+    """Pure-python first-batch star load over row lists — the in-memory
+    twin of ``load_batch``'s distributed plan for an empty (bootstrap)
+    warehouse. Exactness is structural: every step is set/sort/integer
+    arithmetic over imputed (non-null) naturals, and python's code-point
+    string order equals Spark's UTF8 binary order, so the dense
+    surrogate keys, first-wins carries, group keys and h/g metrics
+    reproduce the distributed results bit-for-bit (pinned by
+    tests/test_local_kernels.py and the 15 star/bi DuckDB oracles).
+
+    ``y_rows``: (year_key, publication_year) from the existing dim_year;
+    ``m_rows``: (published-year, is-referenced-by-count, id, subject,
+    type, container-title, publisher, doi, title, versions) — imputed;
+    ``a_rows``: (id, full_name, affiliation, gender) — imputed.
+
+    Duplicate ``id`` values within one batch get distinct group keys in
+    input order (the distributed form's tie order is sampler-dependent
+    there — same contract, documented).
+    """
+    # -- dims: distinct naturals, first-wins carry, sorted dense keys --
+    dkey = {v: i + 1 for i, v in enumerate(sorted({m[3] for m in m_rows}))}
+    tkey = {v: i + 1 for i, v in enumerate(sorted({m[4] for m in m_rows}))}
+    vkey = {
+        v: i + 1
+        for i, v in enumerate(sorted({(m[5], m[6]) for m in m_rows}))
+    }
+    carry: dict[str, str] = {}
+    for a in a_rows:
+        fn, g = a[1], a[3]
+        if fn not in carry or g < carry[fn]:
+            carry[fn] = g
+    akey = {v: i + 1 for i, v in enumerate(sorted(carry))}
+    fkey = {v: i + 1 for i, v in enumerate(sorted({a[2] for a in a_rows}))}
+    ymap: dict[int, int] = {}
+    for yk, py in y_rows:
+        ymap.setdefault(py, yk)
+
+    # -- fact: dense group keys in id order (J3 lookups always hit the
+    # just-upserted dims; year lookup may miss -> NULL year_key) --------
+    facts = []
+    for seq, m in enumerate(sorted(m_rows, key=lambda m: m[2]), start=1):
+        versions = m[9]
+        lvn = _cast_int_like_spark(
+            versions[1:] if versions is not None and versions.startswith("v")
+            else versions
+        )
+        facts.append(
+            (
+                ymap.get(m[0]),
+                dkey[m[3]],
+                tkey[m[4]],
+                vkey[(m[5], m[6])],
+                seq,
+                seq,
+                m[2],
+                m[7],
+                m[8],
+                lvn,
+                m[1],
+            )
+        )
+
+    # -- bridges: authors x new facts on id, dim lookups, DISTINCT -----
+    groups_by_id: dict[str, list[tuple[int, int]]] = {}
+    for f in facts:
+        groups_by_id.setdefault(f[6], []).append((f[4], f[5]))
+    pa_pairs: set[tuple[int, int]] = set()
+    pf_pairs: set[tuple[int, int]] = set()
+    for a in a_rows:
+        for agk, fgk in groups_by_id.get(a[0], ()):
+            pa_pairs.add((agk, akey[a[1]]))
+            pf_pairs.add((fgk, fkey[a[2]]))
+
+    # -- metrics: h/g over each author's DISTINCT bridge pairs ---------
+    fact_cc = {f[4]: f[10] for f in facts}
+    cites: dict[int, list[int]] = {}
+    for agk, ak in pa_pairs:
+        cites.setdefault(ak, []).append(fact_cc[agk])
+    dim_author = []
+    for fn in sorted(carry):
+        ak = akey[fn]
+        h = g = None
+        if ak in cites:
+            cs = sorted(cites[ak], reverse=True)
+            h = max((i + 1 for i, c in enumerate(cs) if c >= i + 1), default=0)
+            nz = [c for c in cs if c > 0]
+            if nz:
+                g, cum = 0, 0
+                for i, c in enumerate(nz):
+                    cum += c
+                    if cum >= (i + 1) ** 2:
+                        g = i + 1
+        dim_author.append((ak, fn, carry[fn], h, g))
+
+    return {
+        "dim_year": list(y_rows),
+        "dim_domain": [(k, v) for v, k in dkey.items()],
+        "dim_type": [(k, v) for v, k in tkey.items()],
+        "dim_venue": [(k, v[0], v[1]) for v, k in vkey.items()],
+        "dim_author": dim_author,
+        "dim_affiliation": [(k, v) for v, k in fkey.items()],
+        "paper_fact": facts,
+        "bridge_author_group": sorted(pa_pairs),
+        "bridge_affiliation_group": sorted(pf_pairs),
+    }
+
+
+_STAR_OUT_SCHEMA = (
+    "tbl string, i1 int, i2 int, i3 int, i4 int, i5 int, i6 int, i7 int, "
+    "i8 int, s1 string, s2 string, s3 string"
+)
+
+# table -> [(superset column, table column)] — the packing map shared by
+# the kernel (writer) and the slice selects (reader).
+_STAR_SLICES = {
+    "dim_year": [("i1", "year_key"), ("i2", "publication_year")],
+    "dim_domain": [("i1", "domain_key"), ("s1", "scientific_domain")],
+    "dim_type": [("i1", "type_key"), ("s1", "publication_type")],
+    "dim_venue": [("i1", "venue_key"), ("s1", "pub_venue"), ("s2", "publisher")],
+    "dim_author": [
+        ("i1", "author_key"),
+        ("s1", "full_name"),
+        ("s2", "gender"),
+        ("i2", "h_index"),
+        ("i3", "g_index"),
+    ],
+    "dim_affiliation": [("i1", "affiliation_key"), ("s1", "affiliation_name")],
+    "paper_fact": [
+        ("i1", "year_key"),
+        ("i2", "domain_key"),
+        ("i3", "type_key"),
+        ("i4", "venue_key"),
+        ("i5", "author_group_key"),
+        ("i6", "affiliation_group_key"),
+        ("s1", "arxiv_ID"),
+        ("s2", "doi"),
+        ("s3", "title"),
+        ("i7", "latest_version_nr"),
+        ("i8", "citation_count"),
+    ],
+    "bridge_author_group": [("i1", "author_group_key"), ("i2", "author_key")],
+    "bridge_affiliation_group": [
+        ("i1", "affiliation_group_key"),
+        ("i2", "affiliation_key"),
+    ],
+}
+
+
+def _star_kernel(batches):
+    """mapInArrow kernel: consume the tagged (dim_year + imputed staging)
+    union, run :func:`_star_local_tables`, emit all nine tables as one
+    tagged superset batch."""
+    import pyarrow as pa
+
+    tabs = [pa.Table.from_batches([b]) for b in batches]
+    icols = [f"i{k}" for k in range(1, 9)]
+    scols = [f"s{k}" for k in range(1, 4)]
+    if tabs:
+        t = pa.concat_tables(tabs)
+        tags = t.column("tag").to_pylist()
+        i1 = t.column("i1").to_pylist()
+        i2 = t.column("i2").to_pylist()
+        ss = [t.column(f"s{k}").to_pylist() for k in range(1, 9)]
+        y_rows, m_rows, a_rows = [], [], []
+        for r, tag in enumerate(tags):
+            if tag == "y":
+                y_rows.append((i1[r], i2[r]))
+            elif tag == "m":
+                m_rows.append(
+                    (
+                        i1[r],
+                        i2[r],
+                        ss[0][r],
+                        ss[1][r],
+                        ss[2][r],
+                        ss[3][r],
+                        ss[4][r],
+                        ss[5][r],
+                        ss[6][r],
+                        ss[7][r],
+                    )
+                )
+            else:
+                a_rows.append((ss[0][r], ss[1][r], ss[2][r], ss[3][r]))
+        tables = _star_local_tables(y_rows, m_rows, a_rows)
+    else:  # pragma: no cover — the union always carries dim_year rows
+        tables = {name: [] for name in _STAR_SLICES}
+    out: dict[str, list] = {c: [] for c in ["tbl", *icols, *scols]}
+    for name, slots in _STAR_SLICES.items():
+        for row in tables[name]:
+            out["tbl"].append(name)
+            filled = {slot: row[i] for i, (slot, _) in enumerate(slots)}
+            for c in icols + scols:
+                out[c].append(filled.get(c))
+    yield pa.RecordBatch.from_arrays(
+        [pa.array(out["tbl"], pa.string())]
+        + [pa.array(out[c], pa.int32()) for c in icols]
+        + [pa.array(out[c], pa.string()) for c in scols],
+        names=["tbl", *icols, *scols],
+    )
+
+
+def _star_local(
+    state: StarState, staging_main: DataFrame, staging_authors: DataFrame
+) -> StarState:
+    """Single-task execution of the ENTIRE first-batch star load for a
+    staging batch known to fit one executor (``<= LOCAL_STAR_ROWS``
+    combined rows, empty bootstrap warehouse — gated by
+    :func:`load_batch`). One Spark job computes dims, fact, bridges and
+    the h/g metric refresh in memory, replacing the ~18-checkpoint
+    distributed batch whose cost at this size is pure job-dispatch
+    latency (measured r19: 32 driver jobs, 9.0-12.1 s at sf0.1 on
+    ordinary weather for <1 s of real work; guide §1.2). Above the gate
+    (or on any non-bootstrap state) the distributed loader runs
+    unchanged — the 100 TB path is untouched.
+
+    The returned tables are tag-filters over ONE eagerly checkpointed
+    superset frame: depth-1 lineage, deterministic, trivially cheap to
+    re-evaluate — the same contract ``materialize()`` provides."""
+    e = F.lit(None).cast("string")
+    ni = F.lit(None).cast("int")
+    main = impute_sentinels(staging_main)
+    authors = impute_author_sentinels(staging_authors)
+    y = state.dim_year.select(
+        F.lit("y").alias("tag"),
+        F.col("year_key").cast("int").alias("i1"),
+        F.col("publication_year").cast("int").alias("i2"),
+        *[e.alias(f"s{k}") for k in range(1, 9)],
+    )
+    m = main.select(
+        F.lit("m").alias("tag"),
+        F.col("published-year").cast("int").alias("i1"),
+        F.col("is-referenced-by-count").cast("int").alias("i2"),
+        F.col("id").alias("s1"),
+        F.col("subject").alias("s2"),
+        F.col("type").alias("s3"),
+        F.col("container-title").alias("s4"),
+        F.col("publisher").alias("s5"),
+        F.col("doi").alias("s6"),
+        F.col("title").alias("s7"),
+        F.col("versions").alias("s8"),
+    )
+    a = authors.select(
+        F.lit("a").alias("tag"),
+        ni.alias("i1"),
+        ni.alias("i2"),
+        F.col("id").alias("s1"),
+        F.col("full_name").alias("s2"),
+        F.col("affiliation").alias("s3"),
+        F.col("gender").alias("s4"),
+        *[e.alias(f"s{k}") for k in range(5, 9)],
+    )
+    out = (
+        y.unionByName(m)
+        .unionByName(a)
+        .coalesce(1)
+        .mapInArrow(_star_kernel, _STAR_OUT_SCHEMA)
+        .localCheckpoint(eager=True)
+    )
+    frames = {
+        name: out.filter(F.col("tbl") == name).select(
+            *[F.col(slot).alias(col) for slot, col in slots]
+        )
+        for name, slots in _STAR_SLICES.items()
+    }
+    return StarState(**frames)
+
+
 def load_batch(
     state: StarState, staging_main: DataFrame, staging_authors: DataFrame
 ) -> StarState:
@@ -555,6 +881,20 @@ def load_batch(
     surrogate keys stay dense (max == count == countDistinct) at 819k
     author-dim rows and 550k fact rows.
     """
+    # Size-gated first-batch kernel (r19): an empty bootstrap warehouse
+    # plus a small staging batch runs as one single-task job
+    # (_star_local) instead of the ~18-checkpoint distributed batch.
+    # The gate count is one bounded partial scan (limit(N+1)); any
+    # non-bootstrap state skips the count entirely.
+    if _bootstrap_only(state):
+        n = (
+            staging_main.select(F.lit(1).alias("one"))
+            .unionAll(staging_authors.select(F.lit(1).alias("one")))
+            .limit(LOCAL_STAR_ROWS + 1)
+            .count()
+        )
+        if n <= LOCAL_STAR_ROWS:
+            return _star_local(state, staging_main, staging_authors)
     # The two staging checkpoints are independent — run them as
     # concurrent jobs (r9: they were two serial driver syncs).
     with ThreadPoolExecutor(max_workers=2) as pool:
