@@ -316,3 +316,32 @@ def test_star_local_gate_skips_non_bootstrap_state(spark):
     state2 = star.load_batch(state, m2, a2)
     keys = sorted(r.author_key for r in state2.dim_author.collect())
     assert keys == list(range(1, len(keys) + 1))
+
+
+def test_knn_local_kernels_match_distributed_bench_config(spark, monkeypatch):
+    """knn_bruteforce / knn_pq / knn_pq_rerank: the single-task kernels
+    == the distributed plans on the registered bench configurations at
+    sf0.001 — scores (left-fold cosine, HALF_UP round), exact int64 ADC
+    distances, and (dist/score, neighbor_id) tie order all bit-equal."""
+    from ut_data_engineering_group_project_2022_spark.catalog import table
+
+    emb = table(spark, SF_DIR, "embeddings")
+    q = emb.filter(F.col("vec_id") < 10)
+    c = emb.filter(F.col("vec_id") >= 10)
+
+    def rows(df):
+        return sorted(map(tuple, df.collect()))
+
+    local = [
+        rows(similarity.knn_bruteforce(q, c, k=5)),
+        rows(similarity.knn_pq(emb, k=5, m=16)),
+        rows(similarity.knn_pq_rerank(emb, k=5, shortlist=100, m=16)),
+    ]
+    monkeypatch.setattr(similarity, "LOCAL_KNN_ROWS", -1)
+    monkeypatch.setattr(similarity, "LOCAL_KNN_QUERIES", -1)
+    dist = [
+        rows(similarity.knn_bruteforce(q, c, k=5)),
+        rows(similarity.knn_pq(emb, k=5, m=16)),
+        rows(similarity.knn_pq_rerank(emb, k=5, shortlist=100, m=16)),
+    ]
+    assert local == dist

@@ -48,6 +48,11 @@ def knn_bruteforce(
     corpus scan stays shuffle-free; the only shuffle is the per-query top-k
     window, partitioned by query id.
     """
+    if (
+        queries.limit(LOCAL_KNN_QUERIES + 1).count() <= LOCAL_KNN_QUERIES
+        and corpus.limit(LOCAL_KNN_ROWS + 1).count() <= LOCAL_KNN_ROWS
+    ):
+        return _knn_bruteforce_local(queries, corpus, k, id_col, vec_col)
     q = queries.select(
         F.col(id_col).alias("query_id"), as_double(vec_col).alias("qv")
     )
@@ -677,6 +682,12 @@ def knn_pq(
     """
     if dim % m != 0:
         raise ValueError(f"dim={dim} must divide into m={m} subspaces")
+    # Size-gated single-task kernel (r19): one bounded partial scan,
+    # then the whole encode/LUT/ADC/top-k chain as one job.
+    if emb.limit(LOCAL_KNN_ROWS + 1).count() <= LOCAL_KNN_ROWS:
+        return _knn_pq_local(
+            emb, k, m, n_codes, n_queries, scale, dim, id_col, vec_col
+        )
     # Validate dim against the DATA, not just the parameter: a shorter
     # real embedding would make F.slice silently emit short/empty
     # subvectors and zero distances, degrading recall with no
@@ -787,6 +798,22 @@ def knn_pq_rerank(
     neighbor_id, score, rn), ranked by unrounded cosine (the
     knn_bruteforce convention), rounded to 6 on output.
     """
+    # Size-gated single-task kernel (r19): the ADC shortlist AND the
+    # exact re-rank in one job (the distributed form below would pay
+    # the ~10-job PQ chain plus the rerank join/window).
+    if emb.limit(LOCAL_KNN_ROWS + 1).count() <= LOCAL_KNN_ROWS:
+        return _knn_pq_local(
+            emb,
+            shortlist,
+            m,
+            n_codes,
+            n_queries,
+            1_000_000,
+            64,
+            id_col,
+            vec_col,
+            rerank_k=k,
+        )
     cand = knn_pq(
         emb,
         k=shortlist,
@@ -812,6 +839,256 @@ def knn_pq_rerank(
         .select(
             "query_id", "neighbor_id", F.round("s", 6).alias("score"), "rn"
         )
+    )
+
+
+#: Size gates for the single-task knn kernels (r19, guide §1.2/§4.2).
+#: The query ceiling bounds the exact-fold score matrix (queries x
+#: corpus doubles: 128 x 100k = ~100 MB, ~1.6G flops worst case); above
+#: either gate the distributed plans run unchanged (the 100 TB path).
+LOCAL_KNN_QUERIES = 128
+LOCAL_KNN_ROWS = 100_000
+
+
+def _vec_matrix(col, dim=None, gate_msg=None):
+    """Arrow list column -> (n x d) float64 matrix. With ``gate_msg``
+    a NULL entry or a length != ``dim`` hard-fails the task with the
+    distributed plan's dim-gate message (same contract, same trigger
+    point: execution)."""
+    import numpy as np
+    import pyarrow.compute as pc
+
+    col = col.combine_chunks()
+    lengths = pc.list_value_length(col).to_numpy(zero_copy_only=False)
+    if gate_msg is not None:
+        bad = None
+        if col.null_count:
+            bad = "NULL"
+        else:
+            off = [int(x) for x in set(lengths.tolist()) if int(x) != dim]
+            if off:
+                bad = str(off[0])
+        if bad is not None:
+            raise ValueError(gate_msg + bad)
+    flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.float64)
+    d = int(lengths[0]) if len(lengths) else 0
+    return flat.reshape(len(col), d)
+
+
+def _fold_scores(Q, C):
+    """Exact left-fold cosine of every (query, corpus) pair: the
+    accumulator adds one dimension's product at a time in index order,
+    reproducing ``F.aggregate(zip_with(a, b, *), 0.0, +)`` bit-for-bit
+    for every pair simultaneously (the np.dot/np.einsum orderings
+    diverge in the last ulp; cf. the semdedup kernel's cumsum note)."""
+    import numpy as np
+
+    d = Q.shape[1]
+    acc = np.zeros((Q.shape[0], C.shape[0]))
+    qn = np.zeros(Q.shape[0])
+    cn = np.zeros(C.shape[0])
+    for j in range(d):
+        acc += Q[:, j : j + 1] * C[:, j]
+        qn += Q[:, j] * Q[:, j]
+        cn += C[:, j] * C[:, j]
+    return acc / (np.sqrt(qn)[:, None] * np.sqrt(cn)[None, :])
+
+
+def _round_half_up6(x: float) -> float:
+    """Spark ROUND(double, 6): BigDecimal(shortest-repr) HALF_UP —
+    python's repr is the same shortest decimal form."""
+    import decimal
+
+    return float(
+        decimal.Decimal(repr(x)).quantize(
+            decimal.Decimal("0.000001"), rounding=decimal.ROUND_HALF_UP
+        )
+    )
+
+
+def _knn_bruteforce_local(
+    queries: DataFrame, corpus: DataFrame, k: int, id_col: str, vec_col: str
+) -> DataFrame:
+    """Single-task exact knn for a (queries, corpus) pair known to fit
+    one executor (gated by :func:`knn_bruteforce`). One Spark job
+    replaces the broadcast join + fold-expression scan + top-k window
+    (~6 jobs of mostly dispatch latency at bench scale); the score is
+    the identical left-fold cosine (:func:`_fold_scores`) with the
+    identical (desc score, asc neighbor id) tie order, rounded with
+    Spark's HALF_UP. Assumes the documented embedding contract
+    (uniform-length, non-null vectors)."""
+    idt = queries.schema[id_col].dataType.simpleString()
+    tagged = queries.select(
+        F.lit(True).alias("is_q"),
+        F.col(id_col).alias("vid"),
+        as_double(vec_col).alias("v"),
+    ).unionByName(
+        corpus.select(
+            F.lit(False).alias("is_q"),
+            F.col(id_col).alias("vid"),
+            as_double(vec_col).alias("v"),
+        )
+    )
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        tabs = [pa.Table.from_batches([b]) for b in batches]
+        out_schema = pa.schema(
+            [
+                pa.field("query_id", pa.int64()),
+                pa.field("neighbor_id", pa.int64()),
+                pa.field("score", pa.float64()),
+                pa.field("rn", pa.int32()),
+            ]
+        )
+        qids_o, nids_o, scores_o, rns_o = [], [], [], []
+        if tabs:
+            t = pa.concat_tables(tabs)
+            is_q = t.column("is_q").to_numpy(zero_copy_only=False)
+            vids = t.column("vid").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            V = _vec_matrix(t.column("v"))
+            qm = np.flatnonzero(is_q)
+            cm = np.flatnonzero(~is_q)
+            if len(qm) and len(cm):
+                scores = _fold_scores(V[qm], V[cm])
+                cids = vids[cm]
+                for qi, qid in enumerate(vids[qm]):
+                    row = scores[qi]
+                    order = np.lexsort((cids, -row))[:k]
+                    for rn, j in enumerate(order, start=1):
+                        qids_o.append(int(qid))
+                        nids_o.append(int(cids[j]))
+                        scores_o.append(_round_half_up6(float(row[j])))
+                        rns_o.append(rn)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(qids_o, pa.int64()),
+                pa.array(nids_o, pa.int64()),
+                pa.array(scores_o, pa.float64()),
+                pa.array(rns_o, pa.int32()),
+            ],
+            schema=out_schema,
+        )
+
+    return tagged.coalesce(1).mapInArrow(
+        kernel, f"query_id {idt}, neighbor_id {idt}, score double, rn int"
+    )
+
+
+def _knn_pq_local(
+    emb: DataFrame,
+    k: int,
+    m: int,
+    n_codes: int,
+    n_queries: int,
+    scale: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+    rerank_k: int | None = None,
+) -> DataFrame:
+    """Single-task PQ ADC scan (and, with ``rerank_k``, the exact
+    cosine re-rank of the shortlist) for a corpus known to fit one
+    executor (gated by :func:`knn_pq` / :func:`knn_pq_rerank`). One
+    Spark job replaces the ~10-job encode/LUT/ADC/window/rerank chain.
+    All PQ arithmetic is the same exact int64 fixed-point grid as the
+    distributed plan (order-free sums), the re-rank cosine is the
+    identical left fold (:func:`_fold_scores` per shortlist pair), and
+    the dim gate fires with the distributed plan's message and timing
+    (execution, not build)."""
+    sub_d = dim // m
+    idt = emb.schema[id_col].dataType.simpleString()
+    v = emb.select(F.col(id_col).alias("vid"), as_double(vec_col).alias("v"))
+    gate_msg = f"knn_pq: dim={dim} does not match embedding length "
+    out_t = "double" if rerank_k is not None else "bigint"
+    score_col = "score" if rerank_k is not None else "dist2"
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        tabs = [pa.Table.from_batches([b]) for b in batches]
+        out_schema = pa.schema(
+            [
+                pa.field("query_id", pa.int64()),
+                pa.field("neighbor_id", pa.int64()),
+                pa.field(
+                    score_col,
+                    pa.float64() if rerank_k is not None else pa.int64(),
+                ),
+                pa.field("rn", pa.int32()),
+            ]
+        )
+        qids_o, nids_o, sc_o, rns_o = [], [], [], []
+        if tabs:
+            t = pa.concat_tables(tabs)
+            vids = t.column("vid").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            V = _vec_matrix(t.column("v"), dim=dim, gate_msg=gate_msg)
+            X = np.floor(V * float(scale)).astype(np.int64)
+            cb_m = np.flatnonzero(vids < n_codes)
+            cb_m = cb_m[np.argsort(vids[cb_m], kind="stable")]
+            q_m = np.flatnonzero(vids < n_queries)
+            c_m = np.flatnonzero(vids >= n_queries)
+            if len(cb_m) and len(q_m) and len(c_m):
+                CB = X[cb_m].reshape(len(cb_m), m, sub_d)
+                XC = X[c_m].reshape(len(c_m), m, sub_d)
+                XQ = X[q_m].reshape(len(q_m), m, sub_d)
+                # encode: per (corpus row, subspace) the argmin code;
+                # codebook rows sorted by code id so first-min == lowest
+                codes = np.empty((len(c_m), m), np.int64)
+                lut = np.empty((len(q_m), m, len(cb_m)), np.int64)
+                for s in range(m):
+                    dc = XC[:, s, None, :] - CB[None, :, s, :]
+                    codes[:, s] = np.argmin(
+                        np.einsum("ijk,ijk->ij", dc, dc), axis=1
+                    )
+                    dq = XQ[:, s, None, :] - CB[None, :, s, :]
+                    lut[:, s, :] = np.einsum("ijk,ijk->ij", dq, dq)
+                adc = np.zeros((len(q_m), len(c_m)), np.int64)
+                for s in range(m):
+                    adc += lut[:, s, :][:, codes[:, s]]
+                cids = vids[c_m]
+                for qi, qrow in enumerate(q_m):
+                    qid = int(vids[qrow])
+                    order = np.lexsort((cids, adc[qi]))[:k]
+                    if rerank_k is None:
+                        for rn, j in enumerate(order, start=1):
+                            qids_o.append(qid)
+                            nids_o.append(int(cids[j]))
+                            sc_o.append(int(adc[qi, j]))
+                            rns_o.append(rn)
+                    else:
+                        cand = c_m[order]
+                        scores = _fold_scores(
+                            V[qrow : qrow + 1], V[cand]
+                        )[0]
+                        top = np.lexsort((vids[cand], -scores))[:rerank_k]
+                        for rn, j in enumerate(top, start=1):
+                            qids_o.append(qid)
+                            nids_o.append(int(vids[cand[j]]))
+                            sc_o.append(_round_half_up6(float(scores[j])))
+                            rns_o.append(rn)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(qids_o, pa.int64()),
+                pa.array(nids_o, pa.int64()),
+                pa.array(
+                    sc_o, pa.float64() if rerank_k is not None else pa.int64()
+                ),
+                pa.array(rns_o, pa.int32()),
+            ],
+            schema=out_schema,
+        )
+
+    return v.coalesce(1).mapInArrow(
+        kernel,
+        f"query_id {idt}, neighbor_id {idt}, {score_col} {out_t}, rn int",
     )
 
 
