@@ -345,3 +345,19 @@ def test_knn_local_kernels_match_distributed_bench_config(spark, monkeypatch):
         rows(similarity.knn_pq_rerank(emb, k=5, shortlist=100, m=16)),
     ]
     assert local == dist
+
+
+def test_global_dense_rank_gate_matches_two_phase_bench_config(
+    spark, monkeypatch
+):
+    """The r19 size-gated single-window rank == the two-phase form on a
+    registered bench configuration (bi_rank_customers_by_order_count at
+    sf0.001)."""
+    from ut_data_engineering_group_project_2022_spark.operators import star
+    from ut_data_engineering_group_project_2022_spark.plans import get_query
+
+    build = get_query("bi_rank_customers_by_order_count").spark
+    local = sorted(map(tuple, build(spark, SF_DIR).collect()))
+    monkeypatch.setattr(star, "LOCAL_RANK_ROWS", -1)
+    dist = sorted(map(tuple, build(spark, SF_DIR).collect()))
+    assert local == dist

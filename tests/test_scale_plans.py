@@ -325,6 +325,15 @@ _GLOBAL_WINDOW_EXEMPT = {
     "llm_kmeans_clusters": "row_number over k centroid seeds",
     "llm_shuffle_shards": "running-sum offsets over the 8-row shard counts",
     "op_surrogate_keys": "row_number over DISTINCT dim naturals",
+    # Size-gated single-window rank (r19): global_dense_rank runs one
+    # global window only when its checkpointed group-grain input counts
+    # <= LOCAL_RANK_ROWS (operators/star.py); above the gate these four
+    # plans revert to the two-phase range-partition + offsets form the
+    # audit was written for (equality pinned both ways in this file).
+    "bi_rank_customers_by_order_count": "gated rank over customer-grain collapse",
+    "bi_rank_customers_by_revenue": "gated rank over customer-grain collapse",
+    "bi_rank_parts_by_shipped_qty": "gated rank over part-grain collapse",
+    "bi_rank_suppliers_by_region_revenue": "gated rank over supplier-grain collapse",
 }
 
 
@@ -414,13 +423,17 @@ def test_pseudonymized_activity_has_partial_aggregation(spark):
     assert "partial_count" in plan, plan
 
 
-def test_global_dense_rank_matches_window_on_random_data(spark):
+def test_global_dense_rank_matches_window_on_random_data(spark, monkeypatch):
     """Property check for the two-phase rank: on randomized key
     distributions (heavy ties, negatives, skew) the result must equal
-    the single-window DENSE_RANK exactly."""
+    the single-window DENSE_RANK exactly. The r19 size gate is forced
+    OFF so the two-phase machinery itself stays under test (the gated
+    branch IS the single-window form)."""
     import random
 
     from pyspark.sql import Window
+
+    monkeypatch.setattr(star, "LOCAL_RANK_ROWS", -1)
 
     rng = random.Random(20260813)
     for case in range(5):
@@ -444,11 +457,14 @@ def test_global_dense_rank_matches_window_on_random_data(spark):
         assert got == exp, f"case {case}: n_rows={n_rows} k={n_distinct}"
 
 
-def test_global_dense_rank_null_keys_both_directions(spark):
+def test_global_dense_rank_null_keys_both_directions(spark, monkeypatch):
     """NULL order keys must form their own rank group in either sort
     direction (the r5 advice trap: countDistinct-based offsets dropped
-    the NULL group; max(__lrnk) offsets count it)."""
+    the NULL group; max(__lrnk) offsets count it). Two-phase branch
+    forced (r19 size gate off)."""
     from pyspark.sql import Window
+
+    monkeypatch.setattr(star, "LOCAL_RANK_ROWS", -1)
 
     rows = [(0, None), (1, 1.0), (2, 1.0), (3, 2.0), (4, None), (5, 3.0)]
     df = spark.createDataFrame(rows, "id long, v double")
@@ -540,11 +556,14 @@ def test_dense_ids_null_keys_empty_partitions_and_tiny_inputs(spark):
     assert star.global_dense_rank(empty, "v").count() == 0
 
 
-def test_global_dense_rank_tiny_inputs_leave_empty_partitions(spark):
+def test_global_dense_rank_tiny_inputs_leave_empty_partitions(spark, monkeypatch):
     """n_rows << defaultParallelism: the per-partition offset aggregate
     sees only non-empty partitions and must still produce dense 1..k
-    ranks in both directions."""
+    ranks in both directions. Two-phase branch forced (r19 size gate
+    off)."""
     from pyspark.sql import Window
+
+    monkeypatch.setattr(star, "LOCAL_RANK_ROWS", -1)
 
     df = spark.createDataFrame(
         [(0, 5.0), (1, None), (2, 5.0)], "id long, v double"
