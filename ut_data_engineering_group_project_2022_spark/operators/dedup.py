@@ -364,6 +364,135 @@ def _incremental_neardup_local(
     )
 
 
+def curation_local(docs: DataFrame) -> DataFrame:
+    """Single-task execution of the ENTIRE llm_curation_pipeline
+    composition for a corpus known to fit one executor (gated by the
+    query builder at ``LOCAL_DEDUP_DOCS``): exact-dup groups (md5,
+    min-id keeper), the MinHash near-dup pass (same shingle/signature/
+    band helpers as :func:`_minhash_lsh_local`, jaccard >= 0.8, doc_b
+    drops), the quality score (same char-class counts, same float
+    expression order, Spark HALF_UP rounding) and the \\bthe\\b-vs-\\ba\\b
+    langid gate, with the distributed form's verdict precedence and
+    three-valued ``keep``. Java and python regex agree on these ASCII
+    patterns (``\\b`` is ASCII-word-boundary in both); parity is pinned
+    at sf0.001/0.01/0.1 by tests/test_local_kernels.py. Above the gate
+    the distributed composition runs unchanged."""
+    from ut_data_engineering_group_project_2022_spark.operators.similarity import (
+        _round_half_up6,
+    )
+
+    idt = docs.schema["doc_id"].dataType.simpleString()
+
+    def kernel(batches):
+        import hashlib
+        import re
+
+        import pandas as pd
+
+        ids, texts = [], []
+        for pdf in batches:
+            for i, t in zip(pdf["doc_id"], pdf["text"]):
+                ids.append(int(i))
+                texts.append(t)
+        # -- exact-dup groups: md5 keeper = min doc_id; NULL text joins
+        # nothing (NULL hash never equi-matches) --------------------------
+        md5s = [
+            None if t is None else hashlib.md5(t.encode()).hexdigest()
+            for t in texts
+        ]
+        keeper: dict = {}
+        for i, h in zip(ids, md5s):
+            if h is not None and (h not in keeper or i < keeper[h]):
+                keeper[h] = i
+        exact_drop = {
+            i for i, h in zip(ids, md5s) if h is not None and keeper[h] != i
+        }
+        # -- near-dup drop list: banded candidates, exact jaccard -------
+        sets = [_shingle_set_py(t, 3) for t in texts]
+        keep_ids, M = _minhash_sigs_np(ids, sets, N_PERM)
+        pairs = set()
+        for members in _band_buckets(keep_ids, M, N_PERM, BAND_ROWS).values():
+            if len(members) > 1:
+                ms = sorted(members)
+                for i in range(len(ms)):
+                    for j in range(i + 1, len(ms)):
+                        pairs.add((ms[i], ms[j]))
+        setmap = dict(zip(ids, sets))
+        near_drop = set()
+        for a, b in pairs:
+            sa, sb = setmap[a], setmap[b]
+            inter = len(sa & sb)
+            union = len(sa) + len(sb) - inter
+            if float(inter) / union >= 0.8:
+                near_drop.add(b)
+        # -- quality + langid gates (same exprs as the standalone ops) --
+        r_the = re.compile(r"\bthe\b")
+        r_a = re.compile(r"\ba\b")
+        r_ws = re.compile(r"[ \t\n\x0b\f\r]+")
+        out_id, out_v, out_k, out_q = [], [], [], []
+        for i, t in zip(ids, texts):
+            if t is None or len(t) == 0:
+                q = None
+                en = None if t is None else False
+            else:
+                n = len(t)
+                alpha = sum(
+                    1 for c in t if "a" <= c <= "z" or "A" <= c <= "Z"
+                )
+                space = t.count(" ")
+                ntok = len(r_ws.split(t.strip(" ")))
+                low = t.lower()
+                n_the = len(r_the.findall(low))
+                n_a = len(r_a.findall(low))
+                q = _round_half_up6(
+                    0.5 * (alpha / n)
+                    + 0.3 * (1 if 20 <= ntok <= 500 else 0)
+                    + 0.2 * (1.0 - space / n)
+                )
+                en = n_the >= n_a and n_the > 0
+            is_exact = i in exact_drop
+            is_near = i in near_drop
+            if is_exact:
+                v = "exact_dup"
+            elif is_near:
+                v = "near_dup"
+            elif q is not None and q < 0.5:
+                v = "low_quality"
+            elif en is False:  # when(~is_en): NULL is_en skips the branch
+                v = "non_english"
+            else:
+                v = "kept"
+            # three-valued AND: False wins, then NULL, else True
+            terms = (not is_exact, not is_near, None if q is None else q >= 0.5, en)
+            if any(x is False for x in terms):
+                keep = False
+            elif any(x is None for x in terms):
+                keep = None
+            else:
+                keep = True
+            out_id.append(i)
+            out_v.append(v)
+            out_k.append(keep)
+            out_q.append(q)
+        yield pd.DataFrame(
+            {
+                "doc_id": pd.array(out_id, dtype="Int64"),
+                "verdict": pd.array(out_v, dtype="string"),
+                "keep": pd.array(out_k, dtype="boolean"),
+                "quality_score": pd.array(out_q, dtype="float64"),
+            }
+        )
+
+    return (
+        docs.select("doc_id", "text")
+        .coalesce(1)
+        .mapInPandas(
+            kernel,
+            f"doc_id {idt}, verdict string, keep boolean, quality_score double",
+        )
+    )
+
+
 def minhash_lsh_dedup(docs: DataFrame, k: int = 3) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates + exact-Jaccard verify.
 

@@ -2358,6 +2358,12 @@ def llm_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
+    # Size-gated single-task kernel (r19): the whole composition —
+    # exact groups, MinHash near-dup, quality, langid, verdicts — as
+    # one job (operators/dedup.py:curation_local); the distributed
+    # composition below is unchanged above the gate.
+    if d.limit(dedup.LOCAL_DEDUP_DOCS + 1).count() <= dedup.LOCAL_DEDUP_DOCS:
+        return dedup.curation_local(d)
     # (1) exact-dup drop list: every doc whose md5 group keeper isn't it.
     groups = dedup.exact_dup_groups(d)
     exact_drop = (
