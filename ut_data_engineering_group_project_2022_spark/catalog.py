@@ -12,6 +12,38 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 
+#: Session-process schema cache (r19, guide §1.2 "per-task work" at the
+#: smallest grain: job count). Every bare ``spark.read.parquet(path)``
+#: runs a one-task schema-inference JOB before the query proper — ~165 ms
+#: of pure dispatch latency at bench scale, paid once PER TABLE PER QUERY
+#: (tpch_q5 touches six tables: ~1 s of its 1.2 s warm time was footer
+#: jobs). The FIRST read of a path still infers (one job, honest), then
+#: the StructType is reused via ``spark.read.schema(...)`` which runs
+#: ZERO jobs. Keyed by (path, mtime_ns, size) so a rewritten file
+#: re-infers; the cache holds metadata only (never rows), is process-
+#: local, and the schema a reuse supplies is byte-identical to what
+#: inference would return — so plans, pushdowns and results are
+#: unchanged. At 100 TB the same trick amortizes footer listing across
+#: a session's queries, exactly like Spark's own file-index cache
+#: (guide §6 "file listing").
+_SCHEMA_CACHE: dict = {}
+
+
+def _stat_key(path: str):
+    st = os.stat(path)
+    return (path, st.st_mtime_ns, st.st_size)
+
+
+def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
+    key = _stat_key(path)
+    schema = _SCHEMA_CACHE.get(key)
+    if schema is None:
+        df = spark.read.parquet(path)
+        _SCHEMA_CACHE[key] = df.schema
+        return df
+    return spark.read.schema(schema).parquet(path)
+
+
 TABLES = (
     "region",
     "nation",
@@ -33,7 +65,7 @@ def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
         return _events(spark, sf_dir)
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    return _read_parquet(spark, f"{sf_dir}/{name}.parquet")
 
 
 def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -50,7 +82,7 @@ def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import types as T
 
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw = spark.read.parquet(f"{sf_dir}/events.parquet")
+    raw = _read_parquet(spark, f"{sf_dir}/events.parquet")
     ts_type = raw.schema["ts"].dataType
     if isinstance(ts_type, T.LongType):
         # Integer DIV, not `/`: float division of ~1.7e18 ns exceeds
