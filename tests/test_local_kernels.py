@@ -399,3 +399,74 @@ def test_curation_local_kernel_matches_distributed(spark, monkeypatch):
     assert verdicts[4] == "low_quality" and verdicts[5] == "non_english"
     assert verdicts[1] == "kept" and verdicts[7] == "kept"
     assert syn_local[6][2] is None and syn_local[6][3] is None
+
+
+def _q1_rows(df):
+    import math
+
+    def tok(v):
+        if isinstance(v, float):
+            return ("f", math.copysign(1.0, v), repr(v))
+        return v
+
+    return sorted(tuple(tok(v) for v in r) for r in df.collect())
+
+
+def test_tpch_q1_local_kernel_matches_distributed_bench_config(
+    spark, monkeypatch
+):
+    from ut_data_engineering_group_project_2022_spark.operators import (
+        relational,
+    )
+    from ut_data_engineering_group_project_2022_spark.plans.tpch_queries import (
+        tpch_q1_pricing_summary as build,
+    )
+
+    local_df = build(spark, SF_DIR)
+    local = _q1_rows(local_df)
+    monkeypatch.setattr(relational, "LOCAL_TPCH_ROWS", 0)
+    dist_df = build(spark, SF_DIR)
+    dist = _q1_rows(dist_df)
+    assert local == dist
+    # names+types must match (nullability differs: mapInArrow output is
+    # all-nullable, like the knn/star kernels — invisible to the driver)
+    assert [(f.name, f.dataType) for f in local_df.schema] == [
+        (f.name, f.dataType) for f in dist_df.schema
+    ]
+
+
+def test_tpch_q1_local_kernel_decimal_fallback_path(spark, monkeypatch, tmp_path):
+    # values that are NOT 4-decimal money force _dec_scaled's per-element
+    # Decimal path; parity must hold against the distributed aggregate
+    from ut_data_engineering_group_project_2022_spark.operators import (
+        relational,
+    )
+    from ut_data_engineering_group_project_2022_spark.plans.tpch_queries import (
+        tpch_q1_pricing_summary as build,
+    )
+
+    rows = [
+        (1, 1, 1, 1, 17.0, 36485.92, 0.05, 0.03, "N", "O", "1996-01-10"),
+        (2, 1, 1, 1, 3.141592653589793, 0.000049999, 0.06999999, 0.00125,
+         "N", "O", "1996-02-10"),
+        (3, 1, 1, 1, 25.5, 123456789.123456789, 0.1, 0.08, "R", "F",
+         "1995-06-01"),
+        (4, 1, 1, 1, 50.0, 104949.5, 0.0, 0.0, "A", "F", "1999-01-01"),
+        (5, 1, 1, 1, 1.0, 0.015, 0.025, 0.045, "R", "F", "1992-03-04"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, ship string",
+    ).withColumn("l_shipdate", F.col("ship").cast("timestamp")).drop("ship")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    local = _q1_rows(build(spark, str(tmp_path)))
+    monkeypatch.setattr(relational, "LOCAL_TPCH_ROWS", 0)
+    dist = _q1_rows(build(spark, str(tmp_path)))
+    assert local == dist
+    # rows 1,2 -> (N,O); rows 3,5 -> (R,F); row 4 shipdate-filtered
+    assert len(local) == 2

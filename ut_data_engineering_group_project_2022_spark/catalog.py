@@ -34,6 +34,50 @@ def _stat_key(path: str):
     return (path, st.st_mtime_ns, st.st_size)
 
 
+#: Process-wide path of the package zip shipped to executors (below).
+_PKG_ZIP: str | None = None
+
+
+def _ensure_worker_importable(spark: SparkSession) -> None:
+    """Ship this package to executor Python workers via ``addPyFile``
+    (r19 correctness hardening, found while optimizing). The single-task
+    kernels are nested functions whose module-level helpers cloudpickle
+    serializes BY REFERENCE (module + qualname), so the executor worker
+    must be able to import this package. That holds when the driver's
+    working directory is the repo (local-mode workers inherit the CWD)
+    but NOT for a driver that only put the repo on its own ``sys.path``
+    — reproduced with tools/driver_sim.py run from /tmp: every gated
+    kernel dies with ModuleNotFoundError. ``addPyFile`` is Spark's
+    standard fix: the zip lands on every worker's ``sys.path`` for all
+    subsequently launched tasks. One zip per process, one addPyFile per
+    SparkContext, a no-op flag check afterwards."""
+    sc = spark.sparkContext
+    if getattr(sc, "_utdwh_pkg_shipped", False):
+        return
+    global _PKG_ZIP
+    if _PKG_ZIP is None or not os.path.exists(_PKG_ZIP):
+        import tempfile
+        import zipfile
+
+        pkg_root = os.path.dirname(os.path.abspath(__file__))
+        pkg_name = os.path.basename(pkg_root)
+        fd, zpath = tempfile.mkstemp(prefix="utdwh_pkg_", suffix=".zip")
+        os.close(fd)
+        with zipfile.ZipFile(zpath, "w") as zf:
+            for dirpath, dirnames, filenames in os.walk(pkg_root):
+                dirnames[:] = [d for d in dirnames if d != "__pycache__"]
+                for fn in sorted(filenames):
+                    if fn.endswith(".py"):
+                        full = os.path.join(dirpath, fn)
+                        arc = os.path.join(
+                            pkg_name, os.path.relpath(full, pkg_root)
+                        )
+                        zf.write(full, arc)
+        _PKG_ZIP = zpath
+    sc.addPyFile(_PKG_ZIP)
+    sc._utdwh_pkg_shipped = True
+
+
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     key = _stat_key(path)
     schema = _SCHEMA_CACHE.get(key)
@@ -42,6 +86,40 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
         _SCHEMA_CACHE[key] = df.schema
         return df
     return spark.read.schema(schema).parquet(path)
+
+
+def parquet_row_count(sf_dir: str, name: str) -> int | None:
+    """Exact row count of a catalog table from parquet FOOTER metadata —
+    driver-side, zero Spark jobs (r19). The size-dispatch gates
+    (operators/{graph,dedup,similarity,relational}.py) previously paid a
+    ``limit(N+1).count()`` job that, on a one-row-group bench file, scans
+    the whole table a second time (~0.35 s for lineitem). The footer
+    already stores num_rows per row group; Spark's own cost-based
+    statistics read the same metadata. Returns None when the layout is
+    unexpected (caller falls back to the bounded limit-count gate), and
+    is stat-keyed like the schema cache so rewrites re-read."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
+    try:
+        key = ("rows",) + _stat_key(path)
+        n = _SCHEMA_CACHE.get(key)
+        if n is None:
+            import pyarrow.parquet as pq
+
+            if os.path.isdir(path):
+                n = 0
+                for f in sorted(os.listdir(path)):
+                    if f.endswith(".parquet"):
+                        n += pq.ParquetFile(
+                            os.path.join(path, f)
+                        ).metadata.num_rows
+            else:
+                n = pq.ParquetFile(path).metadata.num_rows
+            _SCHEMA_CACHE[key] = n
+        return n
+    except Exception:  # noqa: BLE001 — gates fall back to limit-count
+        return None
 
 
 TABLES = (
@@ -63,6 +141,7 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 def table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _ensure_worker_importable(spark)
     if name == "events":
         return _events(spark, sf_dir)
     return _read_parquet(spark, f"{sf_dir}/{name}.parquet")
