@@ -470,3 +470,84 @@ def test_tpch_q1_local_kernel_decimal_fallback_path(spark, monkeypatch, tmp_path
     assert local == dist
     # rows 1,2 -> (N,O); rows 3,5 -> (R,F); row 4 shipdate-filtered
     assert len(local) == 2
+
+
+def _rows_hex(df):
+    import struct
+
+    def tok(v):
+        if isinstance(v, float):
+            return struct.pack(">d", v).hex()
+        return v
+
+    return sorted(tuple(tok(v) for v in r) for r in df.collect())
+
+
+def test_ccnet_buckets_local_kernel_matches_distributed_bench_config(
+    spark, monkeypatch
+):
+    from ut_data_engineering_group_project_2022_spark.operators import textml
+    from ut_data_engineering_group_project_2022_spark.plans.llm_ops import (
+        llm_ccnet_buckets as build,
+    )
+
+    local = _rows_hex(build(spark, SF_DIR))
+    monkeypatch.setattr(textml, "LOCAL_TEXT_DOCS", -1)
+    dist = _rows_hex(build(spark, SF_DIR))
+    assert local == dist and len(local) > 0
+
+
+def test_span_dedup_local_kernel_matches_distributed_bench_config(
+    spark, monkeypatch
+):
+    from ut_data_engineering_group_project_2022_spark.operators import textml
+    from ut_data_engineering_group_project_2022_spark.plans.llm_ops import (
+        llm_span_dedup_rebuild as build,
+    )
+
+    local = _rows_hex(build(spark, SF_DIR))
+    monkeypatch.setattr(textml, "LOCAL_TEXT_DOCS", -1)
+    dist = _rows_hex(build(spark, SF_DIR))
+    assert local == dist and len(local) > 0
+
+
+def test_text_kernels_whitespace_and_null_edges(spark, monkeypatch, tmp_path):
+    # NULL text, empty text, trailing java-\s whitespace, shared spans,
+    # a null lang: the parity traps the r19 minhash kernel documented
+    from ut_data_engineering_group_project_2022_spark.operators import textml
+    from ut_data_engineering_group_project_2022_spark.plans.llm_ops import (
+        llm_ccnet_buckets,
+        llm_span_dedup_rebuild,
+    )
+
+    long_a = " ".join(f"w{i}" for i in range(40))
+    rows = [
+        (1, "en", "the cat sat on the mat"),
+        (2, "en", "the cat sat on the mat"),
+        (3, "et", long_a + " tail one"),
+        (4, "et", long_a + " tail two"),
+        (5, None, "mixed lang doc\t\n"),
+        (6, "en", ""),
+        (7, "en", None),
+        (8, "en", "  leading and trailing  "),
+    ]
+    df = spark.createDataFrame(rows, "doc_id bigint, lang string, text string")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    sfd = str(tmp_path)
+    for build in (llm_ccnet_buckets, llm_span_dedup_rebuild):
+        monkeypatch.setattr(textml, "LOCAL_TEXT_DOCS", 20_000)
+        local = _rows_hex(build(spark, sfd))
+        monkeypatch.setattr(textml, "LOCAL_TEXT_DOCS", -1)
+        dist = _rows_hex(build(spark, sfd))
+        assert local == dist, build.__name__
+    # NULL text: absent from ccnet (explode of NULL), present in span
+    # output with NULL n_chunks / 0 kept / '' rebuild
+    monkeypatch.setattr(textml, "LOCAL_TEXT_DOCS", 20_000)
+    ccnet_ids = {r[0] for r in llm_ccnet_buckets(spark, sfd).collect()}
+    assert 7 not in ccnet_ids and 6 in ccnet_ids
+    span = {r[0]: r for r in llm_span_dedup_rebuild(spark, sfd).collect()}
+    assert span[7][1] is None and span[7][2] == 0 and span[7][3] == ""
+    # doc 2 duplicates doc 1's only span: fully deduped away
+    assert span[2][2] == 0 and span[2][3] == ""

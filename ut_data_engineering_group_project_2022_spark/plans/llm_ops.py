@@ -22,12 +22,28 @@ from ut_data_engineering_group_project_2022_spark.functions.text import (
     word_count,
     word_shingles,
 )
+from ut_data_engineering_group_project_2022_spark.catalog import (
+    parquet_row_count,
+)
 from ut_data_engineering_group_project_2022_spark.operators import (
     dedup,
     multimodal,
     similarity,
+    textml,
 )
 from ut_data_engineering_group_project_2022_spark.plans.registry import register
+
+
+def _table_is_small(
+    sf_dir: str, name: str, df: DataFrame, ceiling: int
+) -> bool:
+    """Size gate for the single-task kernels: parquet footer row count
+    when readable (driver-side, zero Spark jobs — catalog.py r19), else
+    the bounded ``limit(N+1).count()`` partial scan."""
+    n = parquet_row_count(sf_dir, name)
+    if n is not None:
+        return n <= ceiling
+    return df.limit(ceiling + 1).count() <= ceiling
 
 # DuckDB shingle-set expression shared by the jaccard/minhash oracles.
 _SHINGLES_SQL = """
@@ -2362,7 +2378,7 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     # exact groups, MinHash near-dup, quality, langid, verdicts — as
     # one job (operators/dedup.py:curation_local); the distributed
     # composition below is unchanged above the gate.
-    if d.limit(dedup.LOCAL_DEDUP_DOCS + 1).count() <= dedup.LOCAL_DEDUP_DOCS:
+    if _table_is_small(sf_dir, "documents", d, dedup.LOCAL_DEDUP_DOCS):
         return dedup.curation_local(d)
     # (1) exact-dup drop list: every doc whose md5 group keeper isn't it.
     groups = dedup.exact_dup_groups(d)
@@ -2662,6 +2678,13 @@ def llm_ccnet_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     d = table(spark, sf_dir, "documents")
+    # Size-gated single-task kernel (r19): the whole corpus-LM ->
+    # perplexity -> tercile program as one job (operators/textml.py:
+    # ccnet_buckets_local — exactness argument there, parity pinned at
+    # three SFs by tests/test_local_kernels.py); the class-level
+    # distributed plan below is unchanged above the gate.
+    if _table_is_small(sf_dir, "documents", d, textml.LOCAL_TEXT_DOCS):
+        return textml.ccnet_buckets_local(d)
     tok = d.select("doc_id", "lang", F.explode(tokens("text")).alias("t"))
     cf = tok.groupBy("t").agg(F.count(F.lit(1)).alias("c"))
     tot = tok.agg(F.count(F.lit(1)).cast("double").alias("tt"))
@@ -2832,6 +2855,13 @@ def llm_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_span_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
+    # Size-gated single-task kernel (r19): chunk -> global-first-keep
+    # -> rebuild as one job (operators/textml.py:
+    # span_dedup_rebuild_local — all-integer/string, structurally
+    # exact); the span-keyed distributed plan below is unchanged
+    # above the gate.
+    if _table_is_small(sf_dir, "documents", d, textml.LOCAL_TEXT_DOCS):
+        return textml.span_dedup_rebuild_local(d)
     w = d.select("doc_id", tokens("text").alias("toks"))
     n_chunks = F.ceil(F.size("toks") / F.lit(16.0)).cast("bigint")
     ch = w.select(
