@@ -190,7 +190,7 @@ def pagerank(
 
 
 def _pagerank_local(
-    edges: DataFrame, iterations: int, damping: float
+    edges: DataFrame, iterations: int, damping: float, mirror: bool = False
 ) -> DataFrame:
     """Single-task PageRank for an edge list known to fit one executor
     (``<= LOCAL_MOVE_EDGES`` rows — gated by :func:`pagerank_sized`,
@@ -219,6 +219,14 @@ def _pagerank_local(
                 [t.column("src"), t.column("dst")]
             )
             s, d = codes[: t.num_rows], codes[t.num_rows:]
+            if mirror:
+                # in-memory undirect (the louvain kernel's mirror=True):
+                # the caller passed the DIRECTED list — half the Arrow
+                # transfer. Concat order [fwd srcs, fwd dsts] is exactly
+                # the row order undirect()'s union produces through
+                # coalesce(1), so the np.add.at contribution order — the
+                # one documented divergence surface — is unchanged.
+                s, d = np.concatenate([s, d]), np.concatenate([d, s])
             n = len(names)
             deg = np.bincount(s, minlength=n)
             pr = np.full(n, 1.0 / n)
@@ -242,14 +250,18 @@ def pagerank_sized(
     n_edge_rows: int,
     iterations: int = 3,
     damping: float = 0.85,
+    mirror: bool = False,
 ) -> DataFrame:
     """Size-dispatched PageRank (r19): callers that already know the
     edge-row count (e.g. from a materialized projection) route small
     graphs to the single-task kernel and everything else to the
-    distributed loop."""
+    distributed loop. ``mirror=True`` means ``edges`` is the DIRECTED
+    list of a simple undirected graph: the kernel mirrors it in memory
+    (half the Arrow transfer) and the distributed path unions it."""
     if n_edge_rows <= LOCAL_MOVE_EDGES:
-        return _pagerank_local(edges, iterations, damping)
-    return pagerank(edges, iterations=iterations, damping=damping)
+        return _pagerank_local(edges, iterations, damping, mirror=mirror)
+    und = undirect(edges) if mirror else edges
+    return pagerank(und, iterations=iterations, damping=damping)
 
 
 def label_propagation(edges: DataFrame, max_iter: int = 5) -> DataFrame:
@@ -852,6 +864,7 @@ def louvain(
     rounds: int = 4,
     levels: int = 2,
     assume_simple: bool = False,
+    n_edge_rows: int | None = None,
 ) -> DataFrame:
     """Hierarchical Louvain: local moves, coarsen, move again (SURVEY G6).
 
@@ -879,11 +892,18 @@ def louvain(
     collide); the distinct is then a pure no-op shuffle of the edge
     list.
     """
+    # Size-gated whole-program local path (r19): ``n_edge_rows`` is an
+    # optional caller-supplied UPPER BOUND on the directed rows (e.g. a
+    # parquet footer fact count — edges <= fact rows): it can only
+    # PROVE smallness — skipping the count job — never force the
+    # distributed path. The checkpoint stays either way: it runs the
+    # projection's final aggregate 32-way parallel, where the kernel's
+    # coalesce(1) would serialize it (measured r19: eliding it made
+    # louvain SLOWER).
     ed = materialized(edges)
-    # Size-gated whole-program local path (r19): the directed projection
-    # is already eagerly checkpointed, so the gate count is one cheap
-    # job over materialized partitions; undirected rows = 2x directed.
-    small = 2 * ed.count() <= LOCAL_MOVE_EDGES
+    small = (
+        n_edge_rows is not None and 2 * n_edge_rows <= LOCAL_MOVE_EDGES
+    ) or 2 * ed.count() <= LOCAL_MOVE_EDGES
     if small and assume_simple:
         # unique directed pairs, no reverse duplicates: the kernel's
         # in-memory mirroring IS the undirect — half the Arrow transfer
@@ -903,7 +923,10 @@ def louvain(
 
 
 def louvain_weighted(
-    edges: DataFrame, rounds: int = 4, levels: int = 2
+    edges: DataFrame,
+    rounds: int = 4,
+    levels: int = 2,
+    n_edge_rows: int | None = None,
 ) -> DataFrame:
     """Weight-aware hierarchical Louvain: the edge ``weight`` column
     (projection multiplicity — lineitem count per customer-supplier
@@ -913,12 +936,16 @@ def louvain_weighted(
     variant ignores). Weights are integer counts, so the gain scores
     stay integer-exact; everything else (seed, parity sweeps,
     contraction, levels) is identical to :func:`louvain`."""
+    # Same size-gated local path as louvain() (r19): the footer bound
+    # proves smallness without the count job; the checkpoint stays (it
+    # keeps the projection's final aggregate parallel — see louvain()).
+    # mirror=True accumulates both orientations in memory — exactly
+    # louvain_exact's weighted loader.
     edges = materialized(edges)
     fwd = edges.select("src", "dst", F.col("weight").cast("long").alias("w"))
-    # Same size-gated local path as louvain() (r19); the count reads
-    # already-checkpointed partitions. mirror=True accumulates both
-    # orientations in memory — exactly louvain_exact's weighted loader.
-    if 2 * edges.count() <= LOCAL_MOVE_EDGES:
+    if (
+        n_edge_rows is not None and 2 * n_edge_rows <= LOCAL_MOVE_EDGES
+    ) or 2 * edges.count() <= LOCAL_MOVE_EDGES:
         return _louvain_local(fwd, rounds, levels, mirror=True)
     rev = edges.select(
         F.col("dst").alias("src"),
@@ -1364,7 +1391,10 @@ def _cc_local(base: DataFrame, rounds: int) -> DataFrame:
 
 
 def connected_components(
-    edges: DataFrame, rounds: int = 3, dedup_every: int = 2
+    edges: DataFrame,
+    rounds: int = 3,
+    dedup_every: int = 2,
+    n_edge_rows: int | None = None,
 ) -> DataFrame:
     """Connected components via alternating large-star / small-star
     (Kiveris et al. 2014, "Connected Components in MapReduce and
@@ -1451,11 +1481,17 @@ def connected_components(
         )
         .filter(F.col("a") != F.col("b"))
         .distinct()
-        .localCheckpoint(eager=True)
     )
-    # Size-gated single-task path (r19): base is eagerly checkpointed,
-    # so the gate count is one cheap job over materialized partitions.
-    if base.count() <= LOCAL_MOVE_EDGES:
+    # Size-gated single-task path (r19). ``n_edge_rows`` (optional
+    # caller bound, e.g. a parquet footer fact count; base rows <=
+    # input edge rows) can only PROVE smallness — skipping the count
+    # job — never force the distributed path. The checkpoint stays
+    # either way: it keeps the normalize+distinct reduce side parallel,
+    # where the kernel's coalesce(1) would serialize it.
+    base = base.localCheckpoint(eager=True)
+    if (
+        n_edge_rows is not None and n_edge_rows <= LOCAL_MOVE_EDGES
+    ) or base.count() <= LOCAL_MOVE_EDGES:
         return _cc_local(base, rounds)
     e = base
     for r in range(rounds):

@@ -14,7 +14,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ut_data_engineering_group_project_2022_spark.catalog import table
+from ut_data_engineering_group_project_2022_spark.catalog import (
+    parquet_row_count as catalog_row_count,
+    table,
+)
 from ut_data_engineering_group_project_2022_spark.operators import graph
 from ut_data_engineering_group_project_2022_spark.plans.registry import register
 
@@ -94,13 +97,22 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ed = graph.materialized(graph.customer_supplier_edges(spark, sf_dir))
-    # Size-dispatched (r19): the directed projection is already
-    # checkpointed, so the gate count is one cheap job; undirected rows
-    # = 2x directed.
-    return graph.pagerank_sized(
-        graph.undirect(ed), 2 * ed.count(), iterations=3, damping=0.85
-    )
+    eds = graph.customer_supplier_edges(spark, sf_dir)
+    # Size-dispatched (r19): undirected rows = 2x directed, and directed
+    # edges <= lineitem rows (each edge comes from >= 1 lineitem), so a
+    # parquet footer count can PROVE the graph small with zero jobs.
+    # mirror=True hands the kernel the DIRECTED list — half the Arrow
+    # transfer, same contribution order (see _pagerank_local). The
+    # checkpoint stays: it keeps the projection aggregate parallel
+    # (eliding it measured slower — the kernel's coalesce(1) serializes
+    # everything upstream of it).
+    ed = graph.materialized(eds)
+    n_li = catalog_row_count(sf_dir, "lineitem")
+    if n_li is not None and 2 * n_li <= graph.LOCAL_MOVE_EDGES:
+        n = 2 * n_li  # footer-proven small: no count job
+    else:
+        n = 2 * ed.count()
+    return graph.pagerank_sized(ed, n, iterations=3, damping=0.85, mirror=True)
 
 
 @register(
@@ -337,8 +349,14 @@ def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = graph.customer_supplier_edges(spark, sf_dir)
     # The projection groupBy emits unique (c*, s*) pairs in disjoint node
     # namespaces, so the undirected union is duplicate-free by
-    # construction — skip the no-op distinct shuffle.
-    return graph.louvain(edges, rounds=4, assume_simple=True)
+    # construction — skip the no-op distinct shuffle. The footer fact
+    # count bounds the edge count (zero-job smallness proof, r19).
+    return graph.louvain(
+        edges,
+        rounds=4,
+        assume_simple=True,
+        n_edge_rows=catalog_row_count(sf_dir, "lineitem"),
+    )
 
 
 @register(
@@ -353,7 +371,9 @@ def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def graph_louvain_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = graph.customer_supplier_edges(spark, sf_dir)
-    return graph.louvain_weighted(edges, rounds=4)
+    return graph.louvain_weighted(
+        edges, rounds=4, n_edge_rows=catalog_row_count(sf_dir, "lineitem")
+    )
 
 
 def _betweenness_oracle(max_depth: int = 8) -> str:
@@ -940,4 +960,6 @@ def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = graph.customer_supplier_edges(spark, sf_dir).filter(
         F.col("weight") >= 2
     )
-    return graph.connected_components(edges, rounds=5)
+    return graph.connected_components(
+        edges, rounds=5, n_edge_rows=catalog_row_count(sf_dir, "lineitem")
+    )
