@@ -551,3 +551,17 @@ def test_text_kernels_whitespace_and_null_edges(spark, monkeypatch, tmp_path):
     assert span[7][1] is None and span[7][2] == 0 and span[7][3] == ""
     # doc 2 duplicates doc 1's only span: fully deduped away
     assert span[2][2] == 0 and span[2][3] == ""
+
+
+def test_covariance_local_kernel_matches_distributed_bench_config(
+    spark, monkeypatch
+):
+    from ut_data_engineering_group_project_2022_spark.operators import stats
+    from ut_data_engineering_group_project_2022_spark.plans.llm_ops import (
+        llm_embedding_covariance as build,
+    )
+
+    local = _rows_hex(build(spark, SF_DIR))
+    monkeypatch.setattr(stats, "LOCAL_MOMENT_ROWS", -1)
+    dist = _rows_hex(build(spark, SF_DIR))
+    assert local == dist and len(local) == 2080

@@ -23,6 +23,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from ut_data_engineering_group_project_2022_spark.operators import bounded_small
 from ut_data_engineering_group_project_2022_spark.functions.text import (
     HASH_P,
     md5_int60,
@@ -493,7 +494,9 @@ def curation_local(docs: DataFrame) -> DataFrame:
     )
 
 
-def minhash_lsh_dedup(docs: DataFrame, k: int = 3) -> DataFrame:
+def minhash_lsh_dedup(
+    docs: DataFrame, k: int = 3, known_docs: int | None = None
+) -> DataFrame:
     """Full MinHash-LSH near-dup pipeline: candidates + exact-Jaccard verify.
 
     The shingle set is consumed three times (signatures + both sides of
@@ -503,10 +506,11 @@ def minhash_lsh_dedup(docs: DataFrame, k: int = 3) -> DataFrame:
     between stages (signatures are |docs| x 33 ints, tiny next to the
     exploded shingle stream).
 
-    Size-dispatched (r19): below LOCAL_DEDUP_DOCS (limit+count gate — a
-    bounded partial scan on the big path) the whole pass runs as one
-    single-task kernel; the distributed plan below is unchanged."""
-    if docs.limit(LOCAL_DEDUP_DOCS + 1).count() <= LOCAL_DEDUP_DOCS:
+    Size-dispatched (r19): below LOCAL_DEDUP_DOCS (``known_docs``
+    footer bound or a bounded limit+count — operators.bounded_small)
+    the whole pass runs as one single-task kernel; the distributed
+    plan below is unchanged."""
+    if bounded_small(docs, LOCAL_DEDUP_DOCS, known_docs):
         return _minhash_lsh_local(docs, k)
     shingled = shingle_docs(docs, k).cache()
     shingled.count()  # force: lazy cache would be raced by the join branches
@@ -731,6 +735,7 @@ def incremental_neardup(
     corpus: DataFrame,
     k: int = 3,
     min_jaccard: float = 0.8,
+    known_docs: int | None = None,
 ) -> DataFrame:
     """Near-dup check of a NEW batch against an EXISTING corpus.
 
@@ -765,7 +770,9 @@ def incremental_neardup(
     ).unionByName(
         corpus.select("doc_id", "text", F.lit(False).alias("__is_batch"))
     )
-    if tagged.limit(LOCAL_DEDUP_DOCS + 1).count() <= LOCAL_DEDUP_DOCS:
+    # known_docs: caller-known upper bound on batch+corpus rows (footer
+    # counts) — proves smallness with zero jobs (operators.bounded_small)
+    if bounded_small(tagged, LOCAL_DEDUP_DOCS, known_docs):
         return _incremental_neardup_local(tagged, k, min_jaccard)
     sh_b = shingle_docs(batch, k).cache()
     sh_b.count()

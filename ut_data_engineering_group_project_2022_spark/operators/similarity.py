@@ -16,6 +16,7 @@ from pyspark.sql import Column, DataFrame, Window as W
 from pyspark.sql import functions as F
 
 from ut_data_engineering_group_project_2022_spark.functions.text import md5_int60
+from ut_data_engineering_group_project_2022_spark.operators import bounded_small
 
 
 def as_double(col: Column | str) -> Column:
@@ -41,16 +42,19 @@ def knn_bruteforce(
     k: int,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    query_rows: int | None = None,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Exact cosine top-k of `corpus` rows for every `queries` row.
 
     Broadcast the query side (it is the small side by construction) so the
     corpus scan stays shuffle-free; the only shuffle is the per-query top-k
-    window, partitioned by query id.
+    window, partitioned by query id. ``query_rows``/``corpus_rows`` are
+    optional caller-known upper bounds (footer counts) that skip the
+    gate-count jobs (operators.bounded_small).
     """
-    if (
-        queries.limit(LOCAL_KNN_QUERIES + 1).count() <= LOCAL_KNN_QUERIES
-        and corpus.limit(LOCAL_KNN_ROWS + 1).count() <= LOCAL_KNN_ROWS
+    if bounded_small(queries, LOCAL_KNN_QUERIES, query_rows) and bounded_small(
+        corpus, LOCAL_KNN_ROWS, corpus_rows
     ):
         return _knn_bruteforce_local(queries, corpus, k, id_col, vec_col)
     q = queries.select(
@@ -558,15 +562,16 @@ def semdedup(
     offset: int = 1_000_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """SemDeDup (Abbas et al. 2023): cluster with the deterministic
     fixed-point k-means, drop all but the smallest id among
     within-cluster pairs with cosine >= ``threshold``. Size-dispatched
     (r19): one single-task kernel below ``LOCAL_SEMDEDUP_ROWS``
-    (limit+count gate — a bounded partial scan on the big path), the
-    cluster-bounded distributed pair join above it. Returns
-    (vec_id, cluster, keep, dup_of)."""
-    if emb.limit(LOCAL_SEMDEDUP_ROWS + 1).count() <= LOCAL_SEMDEDUP_ROWS:
+    (``corpus_rows`` footer bound or a bounded limit+count —
+    operators.bounded_small), the cluster-bounded distributed pair
+    join above it. Returns (vec_id, cluster, keep, dup_of)."""
+    if bounded_small(emb, LOCAL_SEMDEDUP_ROWS, corpus_rows):
         return _semdedup_local(
             emb, k, iterations, threshold, scale, offset, id_col, vec_col
         )
@@ -640,6 +645,7 @@ def knn_pq(
     dim: int = 64,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Product-quantization ANN with an ADC scan (the Jégou et al. 2011
     PQ recipe, the standard memory-bounded retrieval path at corpus
@@ -682,9 +688,10 @@ def knn_pq(
     """
     if dim % m != 0:
         raise ValueError(f"dim={dim} must divide into m={m} subspaces")
-    # Size-gated single-task kernel (r19): one bounded partial scan,
-    # then the whole encode/LUT/ADC/top-k chain as one job.
-    if emb.limit(LOCAL_KNN_ROWS + 1).count() <= LOCAL_KNN_ROWS:
+    # Size-gated single-task kernel (r19): a footer bound or one
+    # bounded partial scan, then the whole encode/LUT/ADC/top-k chain
+    # as one job.
+    if bounded_small(emb, LOCAL_KNN_ROWS, corpus_rows):
         return _knn_pq_local(
             emb, k, m, n_codes, n_queries, scale, dim, id_col, vec_col
         )
@@ -786,6 +793,7 @@ def knn_pq_rerank(
     n_queries: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """PQ shortlist + exact re-rank (the production IVFADC recipe): the
     ADC scan of :func:`knn_pq` yields a ``shortlist``-sized candidate
@@ -801,7 +809,7 @@ def knn_pq_rerank(
     # Size-gated single-task kernel (r19): the ADC shortlist AND the
     # exact re-rank in one job (the distributed form below would pay
     # the ~10-job PQ chain plus the rerank join/window).
-    if emb.limit(LOCAL_KNN_ROWS + 1).count() <= LOCAL_KNN_ROWS:
+    if bounded_small(emb, LOCAL_KNN_ROWS, corpus_rows):
         return _knn_pq_local(
             emb,
             shortlist,
@@ -1168,6 +1176,7 @@ def kcenter_greedy(
     offset: int = 1_000_000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Greedy k-center coreset selection (farthest-point traversal);
     returns the k selected rows as (sel_order, vec_id, radius2).
@@ -1198,10 +1207,10 @@ def kcenter_greedy(
         lambda v: F.floor(v.cast("double") * scale).cast("bigint") + offset,
     )
     v = emb.select(F.col(id_col).cast("bigint").alias("vec_id"), x.alias("x"))
-    # Size-gated single-task path (r19): limit+count stops scanning as
-    # soon as the pool is provably larger than the gate, so the big
-    # path pays a bounded partial scan, not a full count.
-    if v.limit(LOCAL_KCENTER_ROWS + 1).count() <= LOCAL_KCENTER_ROWS:
+    # Size-gated single-task path (r19): a footer bound skips the gate
+    # job; otherwise limit+count stops scanning as soon as the pool is
+    # provably larger than the gate (a bounded partial scan).
+    if bounded_small(v, LOCAL_KCENTER_ROWS, corpus_rows):
         return _kcenter_local(v, k)
 
     def d2_to(center: list) -> Column:

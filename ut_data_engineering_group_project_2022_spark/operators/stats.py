@@ -110,8 +110,79 @@ def _summed_moments(emb: DataFrame, vec_col: str, dim: int) -> DataFrame:
     )
 
 
+#: Corpus-row ceiling for the single-task covariance kernel: ~50 MB of
+#: Arrow vector transfer at dim=64. Above it the batch-partials +
+#: decimal-sum plan (the 100 TB shape, module docstring) is unchanged.
+LOCAL_MOMENT_ROWS = 100_000
+
+
+def _moments_local(emb: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Single-task covariance for a corpus known to fit one executor
+    (r19): the distributed row ran 6 jobs / 14 Exchange mentions around
+    ~10 ms of numpy at bench scale (2000 x 64). Identical arithmetic:
+    the same floor(x*SCALE) int64 quantization and overflow-chunked
+    X.T @ X (exact integer partials, summed as python ints so the
+    totals cannot overflow), the same
+    ROUND((n*Sxy - Sx_i*Sx_j)/n^2/SCALE^2, 6) + 0.0 finalization —
+    int->double conversion and HALF_UP rounding are correctly rounded
+    in both engines (the shortest-repr equivalence), so the output is
+    bit-identical to the distributed form by construction."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import decimal
+
+        import numpy as np
+
+        iu, ju = np.triu_indices(dim)
+        n = 0
+        sx = np.zeros(dim, dtype=object)
+        sxy = np.zeros(len(iu), dtype=object)
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            x = np.stack(pdf[vec_col].to_numpy()).astype("float64")
+            q = np.floor(x * float(SCALE)).astype("int64")
+            maxq = int(np.abs(q).max()) or 1
+            step = max(1, (1 << 62) // (maxq * maxq))
+            for lo in range(0, q.shape[0], step):
+                c = q[lo : lo + step]
+                sxy += (c.T @ c)[iu, ju]
+                sx += c.sum(axis=0)
+                n += c.shape[0]
+        if n == 0:
+            return
+        q6 = decimal.Decimal("0.000001")
+        den = float(n * n)
+        cov = []
+        for k in range(len(iu)):
+            num = float(n * int(sxy[k]) - int(sx[iu[k]]) * int(sx[ju[k]]))
+            v = num / den / float(SCALE2)
+            cov.append(
+                float(
+                    decimal.Decimal(repr(v)).quantize(
+                        q6, rounding=decimal.ROUND_HALF_UP
+                    )
+                )
+                + 0.0
+            )
+        yield pd.DataFrame(
+            {
+                "i": pd.array(iu, dtype="int32"),
+                "j": pd.array(ju, dtype="int32"),
+                "cov": pd.array(cov, dtype="float64"),
+            }
+        )
+
+    return emb.select(vec_col).coalesce(1).mapInPandas(
+        kernel, schema="i int, j int, cov double"
+    )
+
+
 def embedding_moments(
-    emb: DataFrame, vec_col: str = "embedding", dim: int = 64
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    dim: int = 64,
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Upper-triangle covariance of ``vec_col``: rows ``(i, j, cov)``.
 
@@ -126,7 +197,16 @@ def embedding_moments(
     flip on partitioning.  ``+ 0.0`` after the ROUND collapses IEEE
     negative zero (DuckDB's ROUND can emit ``-0.0`` where Spark emits
     ``0.0`` — numerically equal but repr/hash-distinct).
+
+    ``corpus_rows`` (r19): optional caller-known row count (e.g. a
+    parquet footer read) — at or below ``LOCAL_MOMENT_ROWS`` the whole
+    computation runs as one single-task kernel (:func:`_moments_local`,
+    identical arithmetic); unknown sizes pay a bounded limit-count.
     """
+    if corpus_rows is None:
+        corpus_rows = emb.limit(LOCAL_MOMENT_ROWS + 1).count()
+    if corpus_rows <= LOCAL_MOMENT_ROWS:
+        return _moments_local(emb, vec_col, dim)
     summed = _summed_moments(emb, vec_col, dim)
     n = summed.filter((F.col("i") == -1) & (F.col("j") == -1)).select(
         F.col("s").alias("n")

@@ -140,7 +140,10 @@ _MINHASH_PAIRS_SQL = f"""
     bench=True,
 )
 def llm_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return dedup.minhash_lsh_dedup(table(spark, sf_dir, "documents"))
+    return dedup.minhash_lsh_dedup(
+        table(spark, sf_dir, "documents"),
+        known_docs=parquet_row_count(sf_dir, "documents"),
+    )
 
 
 @register(
@@ -284,8 +287,13 @@ def llm_simhash_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
+    n_emb = parquet_row_count(sf_dir, "embeddings")
     return similarity.knn_bruteforce(
-        emb.filter(F.col("vec_id") < 10), emb.filter(F.col("vec_id") >= 10), k=5
+        emb.filter(F.col("vec_id") < 10),
+        emb.filter(F.col("vec_id") >= 10),
+        k=5,
+        query_rows=n_emb,
+        corpus_rows=n_emb,
     )
 
 
@@ -774,7 +782,9 @@ def llm_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ut_data_engineering_group_project_2022_spark.operators import graph
 
     docs = table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_dedup(docs).filter(F.col("jaccard") >= 0.8)
+    pairs = dedup.minhash_lsh_dedup(
+        docs, known_docs=parquet_row_count(sf_dir, "documents")
+    ).filter(F.col("jaccard") >= 0.8)
     edges = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     labels = graph.label_propagation(edges, max_iter=5)
     return docs.join(
@@ -1574,7 +1584,15 @@ def llm_embedding_covariance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     emb = table(spark, sf_dir, "embeddings")
-    m = embedding_moments(emb, vec_col="embedding", dim=64)
+    # r19: the footer row count routes bench-scale corpora to the
+    # single-task kernel (operators/stats.py:_moments_local) with zero
+    # gate jobs; the batch-partials plan is unchanged above the gate.
+    m = embedding_moments(
+        emb,
+        vec_col="embedding",
+        dim=64,
+        corpus_rows=parquet_row_count(sf_dir, "embeddings"),
+    )
     return m.select(
         F.col("i").cast("bigint").alias("i"),
         F.col("j").cast("bigint").alias("j"),
@@ -1904,7 +1922,13 @@ def llm_incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = table(spark, sf_dir, "documents")
     batch = docs.filter(F.col("doc_id") % 10 == 0)
     corpus = docs.filter(F.col("doc_id") % 10 != 0)
-    return dedup.incremental_neardup(batch, corpus, min_jaccard=0.8)
+    n_docs = parquet_row_count(sf_dir, "documents")
+    return dedup.incremental_neardup(
+        batch,
+        corpus,
+        min_jaccard=0.8,
+        known_docs=None if n_docs is None else 2 * n_docs,
+    )
 
 
 @register(
@@ -2196,7 +2220,9 @@ def llm_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_cross_source_dups(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = table(spark, sf_dir, "documents")
-    pairs = dedup.minhash_lsh_dedup(d).filter(F.col("jaccard") >= 0.5)
+    pairs = dedup.minhash_lsh_dedup(
+        d, known_docs=parquet_row_count(sf_dir, "documents")
+    ).filter(F.col("jaccard") >= 0.5)
     src = d.select("doc_id", "source")
     sa = src.select(F.col("doc_id").alias("doc_a"), F.col("source").alias("sa"))
     sb = src.select(F.col("doc_id").alias("doc_b"), F.col("source").alias("sb"))
@@ -2390,7 +2416,9 @@ def llm_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # (2) near-dup drop list: greedy smaller-id-survives over verified pairs.
     near_drop = (
-        dedup.minhash_lsh_dedup(d)
+        dedup.minhash_lsh_dedup(
+            d, known_docs=parquet_row_count(sf_dir, "documents")
+        )
         .filter(F.col("jaccard") >= 0.8)
         .select(F.col("doc_b").alias("doc_id"))
         .distinct()
@@ -2517,7 +2545,13 @@ def llm_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # join (the pre-r19 plan, verbatim inside similarity.semdedup)
     # above it — both paths pinned bit-equal in tests.
     emb = table(spark, sf_dir, "embeddings")
-    return similarity.semdedup(emb, k=10, iterations=2, threshold=0.40)
+    return similarity.semdedup(
+        emb,
+        k=10,
+        iterations=2,
+        threshold=0.40,
+        corpus_rows=parquet_row_count(sf_dir, "embeddings"),
+    )
 
 
 # Shared DSIR scoring CTE chain (hashed-bigram features -> dual count
@@ -2956,7 +2990,9 @@ def llm_span_dedup_rebuild(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    return similarity.knn_pq(emb, k=5)
+    return similarity.knn_pq(
+        emb, k=5, corpus_rows=parquet_row_count(sf_dir, "embeddings")
+    )
 
 
 @register(
@@ -3034,7 +3070,13 @@ def llm_knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def llm_knn_pq_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    return similarity.knn_pq_rerank(emb, k=5, shortlist=100, m=16)
+    return similarity.knn_pq_rerank(
+        emb,
+        k=5,
+        shortlist=100,
+        m=16,
+        corpus_rows=parquet_row_count(sf_dir, "embeddings"),
+    )
 
 
 @register(
@@ -4004,8 +4046,13 @@ def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", F.col("rank").alias("lex_rank"))
     )
     emb = table(spark, sf_dir, "embeddings")
+    n_emb = parquet_row_count(sf_dir, "embeddings")
     vec = similarity.knn_bruteforce(
-        emb.filter(F.col("vec_id") == 0), emb.filter(F.col("vec_id") > 0), k=20
+        emb.filter(F.col("vec_id") == 0),
+        emb.filter(F.col("vec_id") > 0),
+        k=20,
+        query_rows=n_emb,
+        corpus_rows=n_emb,
     ).select(F.col("neighbor_id").alias("doc_id"), F.col("rn").alias("vec_rank"))
     fused = lex.join(vec, "doc_id", "full_outer")
     rrf = F.coalesce(
@@ -4086,7 +4133,9 @@ def _kcenter_oracle(k: int = 8) -> str:
 )
 def llm_coreset_kcenter(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    return similarity.kcenter_greedy(emb, k=8)
+    return similarity.kcenter_greedy(
+        emb, k=8, corpus_rows=parquet_row_count(sf_dir, "embeddings")
+    )
 
 
 @register(
