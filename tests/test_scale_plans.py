@@ -284,15 +284,25 @@ def test_sequence_packing_window_is_source_partitioned(spark):
     assert "hashpartitioning(source" in plan, plan
 
 
-def test_covariance_partials_aggregate_before_shuffle(spark):
+def test_covariance_partials_aggregate_before_shuffle(spark, monkeypatch):
     """The moment partials (one row per Arrow batch) must partial-sum
     map-side before the (i, j) shuffle, and the finalize joins against
-    the 1-row count / 64-row means must broadcast, never sort-merge."""
+    the 1-row count / 64-row means must broadcast, never sort-merge.
+    Distributed branch forced (the r19 size gate routes bench-scale
+    corpora to the single-task kernel, whose plan has no shuffle at
+    all — the scale machinery must stay under test regardless)."""
+    from ut_data_engineering_group_project_2022_spark.operators import stats
     from ut_data_engineering_group_project_2022_spark.plans import get_query
 
+    monkeypatch.setattr(stats, "LOCAL_MOMENT_ROWS", -1)
     plan = _plan(get_query("llm_embedding_covariance").spark(spark, SF_DIR))
     assert "partial_sum" in plan, plan
     assert "SortMergeJoin" not in plan, plan
+    # and the DEFAULT (gated) plan is the kernel: single MapInPandas,
+    # zero Exchange
+    monkeypatch.undo()
+    gated = _plan(get_query("llm_embedding_covariance").spark(spark, SF_DIR))
+    assert "MapInPandas" in gated and "Exchange" not in gated, gated
 
 
 # -- Registry-wide global-window audit ------------------------------------
