@@ -407,9 +407,15 @@ def test_ols_trace_conditioned_adjudication():
     assert entry[1] == "confirm" and "needs a re-run" in entry[2]
     # slow miss with quiet local weather (140 < gate 156) -> OUTSIDE
     assert bc.outside_rows(rec(hi_at(120.0) + 0.3, 140.0)) == ["graph_pagerank"]
-    # fast-side miss is never weather-adjudicated, even at loud weather
+    # fast-side miss (r19): never weather-adjudicated, surfaced with its
+    # own "fast" status (the deliberate post-optimization population
+    # shift), and EXCLUDED from band_outside — that list is the
+    # slow-side investigate-these-regressions set
     lo = f["a"] + f["b"] * 1.2 - 2 * f["sigma"]
-    assert bc.outside_rows(rec(lo - 0.3, 170.0)) == ["graph_pagerank"]
+    fast = rec(lo - 0.3, 170.0)
+    assert bc.outside_rows(fast) == []
+    (entry,) = [t for t in bc.check(fast) if t[0] == "graph_pagerank"]
+    assert entry[1] == "fast" and "FAST-side" in entry[2]
     # inside stays inside
     assert bc.outside_rows(rec(f["a"] + f["b"] * 1.2, 170.0)) == []
 

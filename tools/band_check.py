@@ -220,8 +220,21 @@ def check(payload: dict) -> list[tuple[str | None, str, str]]:
       "confirm"       outside, with a row-local episode louder than the
                       fit's calibrated reach — not self-adjudicable,
                       needs a re-run (included in band_outside),
-      "outside"       outside with no in-record weather explanation —
-                      investigate.
+      "outside"       SLOW-side outside with no in-record weather
+                      explanation — investigate,
+      "fast"          FAST-side outside: the reading undercuts every
+                      fitted (pre-r19-plan) record. The r19
+                      optimization round deliberately changed these
+                      rows' execution, so new-code records read below
+                      the old bands by design (the population-shift
+                      re-base case, README discipline) — rendered for
+                      the log, excluded from band_outside, which is an
+                      investigate-these-regressions list. Weather can
+                      slow a row, never speed it past the quiet
+                      population, so a fast miss is not maskable host
+                      noise; the residual risk (a measurement bug that
+                      computes less) is covered by the oracle gates,
+                      not by a latency band.
     """
     sf = payload.get("sf")
     if sf != 0.1:
@@ -312,8 +325,13 @@ def check(payload: dict) -> list[tuple[str | None, str, str]]:
             results.append((row, "outside",
                 f"{prefix} — local weather {w:.0f} ms under the episode "
                 f"gate {gate:.0f} — OUTSIDE"))
+        elif v < lo:
+            results.append((row, "fast",
+                f"{prefix} — FAST-side miss (below the pre-r19-plan "
+                "band; expected after the r19 optimization — re-base "
+                "pending on new-code records)"))
         else:
-            # fast-side miss, or no trace on this record
+            # slow-side miss with no trace on this record
             results.append((row, "outside", f"{prefix} — OUTSIDE"))
     for row, f in FLAT.items():
         v = queries.get(row)
@@ -338,6 +356,11 @@ def check(payload: dict) -> list[tuple[str | None, str, str]]:
             results.append((row, "outside",
                 f"{prefix} — local weather {w:.0f} ms under the episode gate "
                 f"{gate:.0f} (ambient median {tm:.0f}) — OUTSIDE"))
+        elif v < lo:
+            results.append((row, "fast",
+                f"{prefix} — FAST-side miss (below the pre-r19-plan "
+                "band; expected after the r19 optimization — re-base "
+                "pending on new-code records)"))
         else:
             results.append((row, "outside", f"{prefix} — OUTSIDE"))
     return results
