@@ -462,10 +462,12 @@ def test_refit_bands_reproduces_committed_constants():
     assert flat == band_check.FLAT
     assert tm_range == band_check.TM_RANGE_MS
     assert p3_range == band_check.PROBE_RANGE_MS
-    # the two r16 louvain episode readings and the r18 loud-ambient
-    # reading are trimmed, with provenance
+    # the two r16 louvain episode readings, the r18 loud-ambient
+    # reading, and the two post-optimization r19 driver readings
+    # (BENCH_r19 / BENCH_r19_c8 — fast-side, the deliberate population
+    # shift awaiting the r20 re-base) are trimmed, with provenance
     trims = [ln for ln in lines if ln.startswith("# EXCLUDED")]
-    assert len(trims) == 3 and all("graph_louvain" in ln for ln in trims)
+    assert len(trims) == 5 and all("graph_louvain" in ln for ln in trims)
     # r17 ADVICE: flat-trim drift is surfaced, not silent — the refit
     # prints how many recent flag-null readings were trimmed
     (drift,) = [ln for ln in lines if "trim drift" in ln]

@@ -79,36 +79,37 @@ import sys
 from pathlib import Path
 
 # value_s = a + b * (x / 100 ms); band = fit ± 2*sigma; "x" names the
-# regressor. Fitted 2026-08-17 (r19 optimization-baseline bundle,
-# tools/refit_bands.py) on the 27 tracked probe-carrying records (15
-# carry a trace median). NOTE (r19 optimization round): every fit row
-# below describes the PRE-r19 plans — the optimization round
-# deliberately changed the graph/semdedup execution (size-gated
-# single-task kernels), so post-optimization records WILL read fast
-# OUTSIDE on these rows until the bands are re-based on new-code
-# records (the deliberate population-shift re-base case, README
-# discipline).
+# regressor. Fitted 2026-08-18 (r20 inherited-state refresh,
+# tools/refit_bands.py) on the 29 tracked probe-carrying records (17
+# carry a trace median): the r19-close driver commit added
+# BENCH_r19/BENCH_r19_c8 to the tracked population, so the committed
+# constants were no longer the refit's fixed point; this paste is the
+# documented interim procedure, NOT the deliberate re-base. NOTE: the
+# OLS rows still mix pre- and post-r19-plan readings (R² 0.22-0.44),
+# so they adjudicate nothing sharp — post-optimization records keep
+# reading fast OUTSIDE until the r20 re-base on >=10 new-code records
+# (VERDICT r19 task #3) lands at round close.
 FITS = {
-    "graph_connected_components": {"a": 1.938, "b": 2.105, "sigma": 0.491,
+    "graph_connected_components": {"a": 1.043, "b": 2.523, "sigma": 1.031,
                                    "x": "trace_median"},
-    "graph_pagerank": {"a": -0.152, "b": 2.573, "sigma": 0.368,
+    "graph_pagerank": {"a": 0.185, "b": 2.234, "sigma": 0.688,
                        "x": "trace_median"},
-    "llm_semdedup": {"a": 3.128, "b": 0.916, "sigma": 0.568,
+    "llm_semdedup": {"a": 0.493, "b": 2.465, "sigma": 1.246,
                      "x": "trace_median"},
-    "star_load_seconds": {"a": 2.218, "b": 5.349, "sigma": 0.478,
+    "star_load_seconds": {"a": 0.628, "b": 6.505, "sigma": 1.203,
                           "x": "probe_mean3"},
 }
 # probe_mean3 fits for the trace_median rows, used on records that
 # carry no trace median (pre-r15 driver records, r12-r15 snapshots).
 FITS_P3_FALLBACK = {
-    "graph_connected_components": {"a": 1.171, "b": 3.234, "sigma": 0.439},
-    "graph_pagerank": {"a": -0.931, "b": 3.818, "sigma": 0.418},
-    "llm_semdedup": {"a": 2.428, "b": 1.662, "sigma": 0.531},
+    "graph_connected_components": {"a": 0.247, "b": 3.902, "sigma": 0.788},
+    "graph_pagerank": {"a": -0.964, "b": 3.774, "sigma": 0.564},
+    "llm_semdedup": {"a": 0.386, "b": 3.263, "sigma": 0.991},
 }
 # Probe-independent: flat band = mean ± 2σ of the flag-null in-band records.
 FLAT = {"graph_louvain": {"mean": 6.999, "sigma": 0.668}}
-TM_RANGE_MS = (118.0, 196.9)
-PROBE_RANGE_MS = (94.2, 141.8)
+TM_RANGE_MS = (70.3, 196.9)
+PROBE_RANGE_MS = (73.7, 141.8)
 # Absolute floor for a row-local loud episode (r15 hunt log: episodes
 # read 212-633 ms vs a 118-144 ms ordinary-band floor).
 TRACE_LOUD_MS = 150.0
