@@ -49,3 +49,22 @@ def test_rewritten_file_busts_cache(spark, tmp_path):
 def test_unknown_table_still_rejected(spark):
     with pytest.raises(KeyError):
         catalog.table(spark, SF_DIR, "nope")
+
+
+def test_row_count_unexpected_layouts_return_none(tmp_path):
+    """r20 (r19 ADVICE): a hive-partitioned/nested directory or a
+    directory with no top-level parquet file must return None (gates
+    fall back to the bounded limit-count), never 0 — 0 falsely 'proves'
+    an arbitrarily large dataset small."""
+    # the real flat layouts still count exactly
+    n = catalog.parquet_row_count(SF_DIR, "lineitem")
+    assert isinstance(n, int) and n > 0
+    # hive-partitioned: any subdirectory entry -> None
+    d = tmp_path / "lineitem.parquet"
+    (d / "l_shipmode=AIR").mkdir(parents=True)
+    assert catalog.parquet_row_count(str(tmp_path), "lineitem") is None
+    # directory with no top-level *.parquet files -> None
+    d2 = tmp_path / "orders.parquet"
+    d2.mkdir()
+    (d2 / "_SUCCESS").write_text("")
+    assert catalog.parquet_row_count(str(tmp_path), "orders") is None

@@ -472,6 +472,52 @@ def test_tpch_q1_local_kernel_decimal_fallback_path(spark, monkeypatch, tmp_path
     assert len(local) == 2
 
 
+def test_tpch_q1_magnitude_gate_falls_back_to_distributed(spark, tmp_path):
+    """r20 (r19 ADVICE): decimal(18,4) in-type magnitudes can wrap the
+    kernel's int64 scaled-integer multiplies while the distributed
+    decimal plan stays exact — the gate must prove the Q1_SAFE_ABS
+    bound from footer stats and otherwise take the distributed plan;
+    the kernel itself must refuse loudly rather than wrap."""
+    import pytest
+
+    from ut_data_engineering_group_project_2022_spark.operators import (
+        relational,
+    )
+    from ut_data_engineering_group_project_2022_spark.plans.tpch_queries import (
+        _q1_magnitudes_safe,
+        tpch_q1_pricing_summary as build,
+    )
+
+    # the real bench data is proven safe (the kernel path is unchanged)
+    assert _q1_magnitudes_safe(SF_DIR) is True
+
+    rows = [
+        (1, 1, 1, 1, 17.0, 2.0e11, -150.0, 500.0, "N", "O", "1996-01-10"),
+        (2, 1, 1, 1, 3.0, 36485.92, 0.05, 0.03, "N", "O", "1996-02-10"),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "l_orderkey bigint, l_partkey bigint, l_suppkey bigint, "
+        "l_linenumber int, l_quantity double, l_extendedprice double, "
+        "l_discount double, l_tax double, l_returnflag string, "
+        "l_linestatus string, ship string",
+    ).withColumn("l_shipdate", F.col("ship").cast("timestamp")).drop("ship")
+    df.coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "lineitem.parquet")
+    )
+    assert _q1_magnitudes_safe(str(tmp_path)) is False
+    out = build(spark, str(tmp_path))
+    # the magnitude gate routed around the kernel: distributed plan
+    assert "MapInArrow" not in out._jdf.queryExecution().executedPlan().toString()
+    assert len(_q1_rows(out)) == 1  # (N, O)
+    # a caller bypassing the gate gets a loud error, never a wrapped sum
+    li = df.filter(
+        F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp")
+    )
+    with pytest.raises(Exception, match="proven-safe"):
+        relational.tpch_q1_local(li).collect()
+
+
 def _rows_hex(df):
     import struct
 

@@ -108,17 +108,92 @@ def parquet_row_count(sf_dir: str, name: str) -> int | None:
             import pyarrow.parquet as pq
 
             if os.path.isdir(path):
+                # r20 (r19 ADVICE): a hive-partitioned/nested directory
+                # (any subdirectory entry) or a directory with no
+                # top-level *.parquet file used to return 0 — which
+                # falsely "proves" an arbitrarily large dataset small
+                # and routes it through a single-task kernel. Honor the
+                # "unexpected layout -> None" contract instead so the
+                # gates fall back to the bounded limit-count.
                 n = 0
+                found = False
                 for f in sorted(os.listdir(path)):
+                    full = os.path.join(path, f)
+                    if os.path.isdir(full):
+                        return None
                     if f.endswith(".parquet"):
-                        n += pq.ParquetFile(
-                            os.path.join(path, f)
-                        ).metadata.num_rows
+                        found = True
+                        n += pq.ParquetFile(full).metadata.num_rows
+                if not found:
+                    return None
             else:
                 n = pq.ParquetFile(path).metadata.num_rows
             _SCHEMA_CACHE[key] = n
         return n
     except Exception:  # noqa: BLE001 — gates fall back to limit-count
+        return None
+
+
+def parquet_column_minmax(
+    sf_dir: str, name: str, column: str
+) -> tuple[float, float] | None:
+    """(min, max) of a column over every row group, from parquet FOOTER
+    statistics — driver-side, zero Spark jobs (r20, r19 ADVICE). The
+    tpch_q1 kernel's scaled-integer multiplies are proven exact only up
+    to a magnitude bound (int64 headroom); the gate uses these stats to
+    prove the bound holds and otherwise takes the exact distributed
+    decimal aggregate. Returns None when any row group lacks stats for
+    the column or the layout is unexpected — callers must treat None as
+    "not proven safe". Stat-keyed like the schema cache."""
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    path = f"{sf_dir}/{name}.parquet"
+
+    def _file_minmax(fpath: str):
+        import pyarrow.parquet as pq
+
+        md = pq.ParquetFile(fpath).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        if column not in idx:
+            return None
+        lo = hi = None
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx[column]).statistics
+            if st is None or not st.has_min_max:
+                return None
+            lo = st.min if lo is None else min(lo, st.min)
+            hi = st.max if hi is None else max(hi, st.max)
+        return (lo, hi) if lo is not None else None
+
+    try:
+        key = ("minmax", column) + _stat_key(path)
+        mm = _SCHEMA_CACHE.get(key)
+        if mm is None:
+            if os.path.isdir(path):
+                lo = hi = None
+                found = False
+                for f in sorted(os.listdir(path)):
+                    full = os.path.join(path, f)
+                    if os.path.isdir(full):
+                        return None
+                    if not f.endswith(".parquet"):
+                        continue
+                    found = True
+                    sub = _file_minmax(full)
+                    if sub is None:
+                        return None
+                    lo = sub[0] if lo is None else min(lo, sub[0])
+                    hi = sub[1] if hi is None else max(hi, sub[1])
+                if not found:
+                    return None
+                mm = (lo, hi)
+            else:
+                mm = _file_minmax(path)
+                if mm is None:
+                    return None
+            _SCHEMA_CACHE[key] = mm
+        return mm
+    except Exception:  # noqa: BLE001 — callers treat None as unproven
         return None
 
 

@@ -52,6 +52,19 @@ from pyspark.sql import functions as F
 #: the unchanged distributed plan.
 LOCAL_TPCH_ROWS = 5_000_000
 
+#: Proven-safe input magnitude bounds for :func:`tpch_q1_local` (r20,
+#: r19 ADVICE): the kernel's ``ext_i * (10^4 - dis_i)`` product is
+#: numpy int64 and decimal(18,4) in-type magnitudes (|x| up to ~1e14)
+#: can silently wrap it, while the distributed decimal plan stays exact
+#: there. Within these bounds (checked against parquet footer column
+#: stats by the gate, and re-proven on the actual scaled ints inside
+#: the kernel): |ext_i| <= 1e12, factor (1e4 + |dis_i|) <= ~1.01e6, so
+#: |dp_i| <= ~1.01e18 < 2^63; the charge hi/lo split keeps each half
+#: under 2^63; (1 + tax) stays inside decimal(9,4) and dp inside
+#: decimal(28,8), so no distributed-plan cast overflows to NULL either;
+#: and at <= 5M rows every SUM stays far inside decimal(38,_).
+Q1_SAFE_ABS = {"l_extendedprice": 1e8, "l_discount": 1e2, "l_tax": 1e2}
+
 
 def _dec_scaled(x_arr, valid, scale: int):
     """Spark ``cast(double AS decimal(18,scale))`` over a numpy float64
@@ -171,6 +184,29 @@ def tpch_q1_local(filtered_li: DataFrame) -> DataFrame:
         ext_i, ext_null = _dec_scaled(ext, ext_ok, 4)
         dis_i, dis_null = _dec_scaled(dis, dis_ok, 4)
         tax_i, tax_null = _dec_scaled(tax, tax_ok, 4)
+        # r20 guard (r19 ADVICE): the multiplies below are int64 and
+        # would silently wrap at in-type decimal(18,4) magnitudes (and
+        # past the distributed plan's (9,4)/(28,8) cast headroom the
+        # two paths diverge via overflow-to-NULL). The gate proves the
+        # bound from footer column stats before choosing this kernel;
+        # re-prove it here on the actual scaled ints so a bypassing
+        # caller gets a loud error, never a wrapped sum.
+        m_ext = int(np.abs(ext_i[~ext_null]).max(initial=0))
+        m_dis = int(np.abs(dis_i[~dis_null]).max(initial=0))
+        m_tax = int(np.abs(tax_i[~tax_null]).max(initial=0))
+        i64 = 2**63 - 1
+        dp_max = m_ext * (10**4 + m_dis)
+        if (
+            dp_max > i64
+            or ((dp_max >> 20) + 1) * (10**4 + m_tax) > i64
+            or (2**20 - 1) * (10**4 + m_tax) > i64
+            or 10**4 + m_tax >= 10**9  # (1+tax) must fit decimal(9,4)
+        ):
+            raise ValueError(
+                "tpch_q1_local: input magnitudes exceed the proven-safe "
+                "int64 bound — the caller must take the distributed "
+                "decimal aggregate (operators/relational.py Q1_SAFE_ABS)"
+            )
         # disc_price (scale 8) / charge (scale 12): products of the
         # exact scaled ints; NULL if any factor is NULL (decimal mul)
         dp_i = ext_i * (10**4 - dis_i)

@@ -17,6 +17,7 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ut_data_engineering_group_project_2022_spark.catalog import (
+    parquet_column_minmax as catalog_column_minmax,
     parquet_row_count as catalog_row_count,
     table,
 )
@@ -34,6 +35,22 @@ def _fact_is_small(
     if n is not None:
         return n <= ceiling
     return df.limit(ceiling + 1).count() <= ceiling
+
+
+def _q1_magnitudes_safe(sf_dir: str) -> bool:
+    """r20 (r19 ADVICE): the q1 kernel's scaled-integer multiplies are
+    proven exact only inside Q1_SAFE_ABS; prove the bound from parquet
+    footer column stats (zero jobs). Missing stats, NaN/Inf bounds, or
+    out-of-range values all fail the proof -> the exact distributed
+    decimal aggregate runs instead."""
+    for colname, bound in relational.Q1_SAFE_ABS.items():
+        mm = catalog_column_minmax(sf_dir, "lineitem", colname)
+        if mm is None:
+            return False
+        lo, hi = mm
+        if not (-bound <= lo <= hi <= bound):  # False for NaN/Inf too
+            return False
+    return True
 
 
 def _dec(col: str) -> F.Column:
@@ -101,8 +118,15 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # shape: map-side partials + tiny final shuffle). The gate reads
     # the parquet footer row count — zero jobs; a limit-count job on
     # this one-row-group file would re-scan the whole table.
-    if relational.LOCAL_TPCH_ROWS and _fact_is_small(
-        spark, sf_dir, "lineitem", li, relational.LOCAL_TPCH_ROWS
+    # r20: the kernel additionally requires proven-safe magnitudes
+    # (footer column stats, zero jobs) — int64 headroom for the
+    # scaled-integer multiplies; see Q1_SAFE_ABS.
+    if (
+        relational.LOCAL_TPCH_ROWS
+        and _fact_is_small(
+            spark, sf_dir, "lineitem", li, relational.LOCAL_TPCH_ROWS
+        )
+        and _q1_magnitudes_safe(sf_dir)
     ):
         return relational.tpch_q1_local(li)
     cnt = F.count(F.lit(1))
