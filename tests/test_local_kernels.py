@@ -104,6 +104,97 @@ def test_louvain_local_kernel_matches_distributed_bench_config(
     assert local == dist
 
 
+def test_fused_pair_feeds_match_distributed_bench_config(spark, monkeypatch):
+    """r20: the fused raw-pair kernels (projection-dedup + whole
+    algorithm in ONE mapInArrow job) must be bit-equal to the
+    distributed plans for all four gated graph rows. The plan builders
+    dispatch on the lineitem footer bound, so monkeypatching the gate
+    to 0 forces the distributed branch of the SAME builder."""
+    from ut_data_engineering_group_project_2022_spark.plans import (
+        graph_queries as gq,
+    )
+
+    for name in (
+        "graph_louvain",
+        "graph_louvain_weighted",
+        "graph_pagerank",
+        "graph_connected_components",
+    ):
+        build = getattr(gq, name)
+        fused_df = build(spark, SF_DIR)
+        assert "MapInArrow" in (
+            fused_df._jdf.queryExecution().executedPlan().toString()
+        ), name
+        fused = sorted(map(tuple, fused_df.collect()))
+        monkeypatch.setattr(graph, "LOCAL_MOVE_EDGES", 0)
+        dist = sorted(map(tuple, build(spark, SF_DIR).collect()))
+        monkeypatch.undo()
+        assert fused == dist, name
+
+
+def test_pairs_dedup_and_codes_edge_cases():
+    """r20 synthetic edges for the fused feed's numpy groupBy twin:
+    multiplicity counts, the lexsort fallback for unpackable key
+    spaces, the NULL-key guard, and namespaced code order."""
+    import numpy as np
+    import pyarrow as pa
+    import pytest
+
+    # packed path: counts + ascending (custkey, suppkey) order
+    t = pa.table({"o_custkey": [5, 2, 5, 2], "l_suppkey": [7, 1, 7, 9]})
+    uc, us, w = graph._pairs_dedup(t)
+    assert uc.tolist() == [2, 2, 5] and us.tolist() == [1, 9, 7]
+    assert w.tolist() == [1, 1, 2]
+    # lexsort fallback: negative and huge keys (unpackable in int64)
+    t2 = pa.table(
+        {"o_custkey": [-3, 2**40, -3], "l_suppkey": [1, 2**40, 1]}
+    )
+    uc2, us2, w2 = graph._pairs_dedup(t2)
+    assert uc2.tolist() == [-3, 2**40] and us2.tolist() == [1, 2**40]
+    assert w2.tolist() == [2, 1]
+    # NULL keys refuse loudly (the projection would NULL-collapse them)
+    with pytest.raises(ValueError, match="NULL"):
+        graph._pairs_dedup(
+            pa.table({"o_custkey": [1, None], "l_suppkey": [1, 2]})
+        )
+    # codes: lexicographic over the namespaced ids ('c10' < 'c2' < 's1')
+    s, d, names = graph._pair_codes(
+        np.array([2, 10]), np.array([1, 1])
+    )
+    assert names.tolist() == ["c10", "c2", "s1"]
+    assert s.tolist() == [1, 0] and d.tolist() == [2, 2]
+
+
+def test_cc_pairs_local_thinning_matches_distributed(spark, monkeypatch):
+    """r20: the fused CC kernel's multiplicity thinning (min_weight)
+    must drop pairs AND their thinning-isolated nodes exactly like the
+    distributed filter-then-normalize base."""
+    pairs = spark.createDataFrame(
+        [(1, 10), (1, 10), (2, 20), (1, 30), (1, 30), (3, 10)],
+        "o_custkey bigint, l_suppkey bigint",
+    )
+    fused = sorted(
+        map(tuple, graph.cc_pairs_local(pairs, rounds=5, min_weight=2).collect())
+    )
+    edges = (
+        pairs.groupBy("o_custkey", "l_suppkey")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias("src"),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias("dst"),
+            "weight",
+        )
+        .filter(F.col("weight") >= 2)
+    )
+    monkeypatch.setattr(graph, "LOCAL_MOVE_EDGES", 0)
+    dist = sorted(
+        map(tuple, graph.connected_components(edges, rounds=5).collect())
+    )
+    assert fused == dist
+    # (c2, s20) and (c3, s10) are thinning-isolated: absent on both paths
+    assert ("c2", "c2") not in fused and ("s20", "s20") not in fused
+
+
 def test_kcenter_local_kernel_matches_distributed(spark, monkeypatch):
     emb = spark.createDataFrame(
         [

@@ -63,6 +63,82 @@ def customer_supplier_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def customer_supplier_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RAW ``(o_custkey, l_suppkey)`` int pairs — one row per lineitem
+    fact, i.e. :func:`customer_supplier_edges` BEFORE its aggregate.
+
+    Feed for the fused single-task graph kernels (r20, guide §1.2/§2.4):
+    below the size gates the projection's groupBy exchange, the
+    string-id concat, and the localCheckpoint are pure overhead — the
+    kernel dedups/counts the int pairs in numpy (~tens of ms) and
+    builds the namespaced node ids from the ~|V| DISTINCT keys instead
+    of factorizing 2|E| strings through Arrow. Orders' two-column key
+    projection is broadcast explicitly: callers only use this feed when
+    a footer bound proves the fact table under LOCAL_MOVE_EDGES rows,
+    so the broadcast is bounded by construction."""
+    o = table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    return li.join(F.broadcast(o), li.l_orderkey == o.o_orderkey).select(
+        "o_custkey", "l_suppkey"
+    )
+
+
+def _pairs_dedup(t):
+    """Arrow table ``(o_custkey, l_suppkey)`` -> (uc, us, w): DISTINCT
+    int pairs in ascending (custkey, suppkey) order with multiplicity
+    counts — the numpy twin of the projection's groupBy/count. Raises
+    on NULL keys (the TPC-H non-null key contract the projection's
+    string concat would silently NULL-collapse; cf. the q1 kernel's
+    magnitude guard)."""
+    import numpy as np
+
+    ck_col, sk_col = t.column("o_custkey"), t.column("l_suppkey")
+    if ck_col.null_count or sk_col.null_count:
+        raise ValueError(
+            "customer_supplier pairs contain NULL keys — the fused graph "
+            "kernels assume the TPC-H non-null key contract"
+        )
+    ck = ck_col.to_numpy(zero_copy_only=False).astype(np.int64)
+    sk = sk_col.to_numpy(zero_copy_only=False).astype(np.int64)
+    if len(ck) == 0:
+        e = np.empty(0, np.int64)
+        return e, e, e
+    cmax, smax = int(ck.max()), int(sk.max())
+    if int(ck.min()) < 0 or int(sk.min()) < 0 or cmax > (2**63 - 1) // (smax + 1):
+        # unpackable key space: lexicographic sort of the raw pairs
+        order = np.lexsort((sk, ck))
+        cs, ss = ck[order], sk[order]
+        starts = np.flatnonzero(
+            np.r_[True, (cs[1:] != cs[:-1]) | (ss[1:] != ss[:-1])]
+        )
+        w = np.diff(np.r_[starts, len(cs)]).astype(np.int64)
+        return cs[starts], ss[starts], w
+    key = ck * (smax + 1) + sk
+    ukey, w = np.unique(key, return_counts=True)
+    return ukey // (smax + 1), ukey % (smax + 1), w.astype(np.int64)
+
+
+def _pair_codes(uc, us):
+    """(s, d, names) for distinct int pairs: namespaced node ids
+    ('c<k>' / 's<k>' — byte-identical to the projection's concat) in a
+    lexicographically-sorted code space, built from the ~|V| DISTINCT
+    keys. Python str sort == Spark UTF8 binary sort on these ASCII
+    ids — the min-tiebreak invariant every numpy kernel relies on."""
+    import numpy as np
+
+    cu, su = np.unique(uc), np.unique(us)
+    names = np.array(
+        ["c%d" % x for x in cu.tolist()] + ["s%d" % x for x in su.tolist()],
+        dtype=object,
+    )
+    order = np.argsort(names)
+    rank = np.empty(len(order), np.int64)
+    rank[order] = np.arange(len(order))
+    s = rank[np.searchsorted(cu, uc)]
+    d = rank[len(cu) + np.searchsorted(su, us)]
+    return s, d, names[order]
+
+
 def undirect(edges: DataFrame) -> DataFrame:
     """Union each edge with its reverse (GDS UNDIRECTED orientation).
 
@@ -227,21 +303,68 @@ def _pagerank_local(
                 # coalesce(1), so the np.add.at contribution order — the
                 # one documented divergence surface — is unchanged.
                 s, d = np.concatenate([s, d]), np.concatenate([d, s])
-            n = len(names)
-            deg = np.bincount(s, minlength=n)
-            pr = np.full(n, 1.0 / n)
-            base = (1.0 - damping) / n
-            for _ in range(iterations):
-                share = np.where(deg > 0, pr / np.maximum(deg, 1), 0.0)
-                contrib = np.zeros(n)
-                np.add.at(contrib, d, share[s])
-                pr = base + damping * contrib
+            pr = _pagerank_np(s, d, len(names), iterations, damping)
             yield pa.RecordBatch.from_arrays(
                 [names, pa.array(pr, pa.float64())],
                 names=["node_id", "pr"],
             )
 
     out = edges.coalesce(1).mapInArrow(kernel, "node_id string, pr double")
+    return out.select("node_id", F.round("pr", 6).alias("pagerank"))
+
+
+def _pagerank_np(s, d, n, iterations, damping):
+    """The shared numpy PageRank loop (factored r20 so the string-fed
+    and fused pair-fed kernels run literally the same arithmetic):
+    same per-edge contribution terms and ``(1-d)/n`` base as the
+    distributed :func:`pagerank`."""
+    import numpy as np
+
+    deg = np.bincount(s, minlength=n)
+    pr = np.full(n, 1.0 / n)
+    base = (1.0 - damping) / n
+    for _ in range(iterations):
+        share = np.where(deg > 0, pr / np.maximum(deg, 1), 0.0)
+        contrib = np.zeros(n)
+        np.add.at(contrib, d, share[s])
+        pr = base + damping * contrib
+    return pr
+
+
+def pagerank_pairs_local(
+    pairs: DataFrame, iterations: int = 3, damping: float = 0.85
+) -> DataFrame:
+    """Fused single-task PageRank over the RAW customer-supplier pairs
+    (r20, guide §1.2/§2.4): ONE mapInArrow job replaces the projection
+    aggregate + exchange + checkpoint + kernel job — the kernel dedups
+    the int pairs, builds codes from the ~|V| distinct keys, mirrors in
+    memory, and runs the identical :func:`_pagerank_np` loop. The final
+    ROUND(pr, 6) stays a Spark expression (byte-identical rounding to
+    the distributed form). Callers must have PROVEN the graph small
+    (footer bound <= LOCAL_MOVE_EDGES); above the gate the projection +
+    distributed plan runs byte-unchanged. Parity vs the distributed
+    loop is pinned by tests/test_local_kernels.py at the bench SFs."""
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        tabs = [pa.Table.from_batches([b]) for b in batches]
+        if tabs:
+            t = pa.concat_tables(tabs)
+            uc, us, _ = _pairs_dedup(t)
+            if not len(uc):
+                return
+            s, d, names = _pair_codes(uc, us)
+            s2, d2 = np.concatenate([s, d]), np.concatenate([d, s])
+            pr = _pagerank_np(s2, d2, len(names), iterations, damping)
+            yield pa.RecordBatch.from_arrays(
+                [pa.array(names.tolist(), pa.string()),
+                 pa.array(pr, pa.float64())],
+                names=["node_id", "pr"],
+            )
+
+    out = pairs.coalesce(1).mapInArrow(kernel, "node_id string, pr double")
     return out.select("node_id", F.round("pr", 6).alias("pagerank"))
 
 
@@ -412,6 +535,27 @@ def _hierarchy_py(
 _NP_TWO_M_MAX = 3_000_000_000
 
 
+def _group_sum_sorted(keys, ws, span):
+    """Grouped int sums over integer ``keys`` (exclusive upper bound
+    ``span``), returned as (ascending unique keys, per-key sums).
+
+    Replaces the ``np.unique(return_inverse=True)`` + ``np.add.at``
+    idiom — r20 profiling put that sort-plus-scatter at ~65% of the
+    louvain hierarchy kernel. A STABLE integer argsort is numpy's radix
+    sort; when the key space fits int32 it runs 4 byte-passes instead
+    of the int64 quicksort-with-inverse, and the grouped sums become a
+    single ``reduceat`` over the sorted run boundaries. Ascending key
+    order is preserved (the min-tiebreak invariant callers rely on)."""
+    import numpy as np
+
+    order = np.argsort(
+        keys.astype(np.int32) if span <= 2**31 else keys, kind="stable"
+    )
+    sk = keys[order]
+    starts = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1]])
+    return sk[starts], np.add.reduceat(ws[order], starts)
+
+
 def _moves_np(s, d, w, m, parity_even, rounds):
     """Vectorized (numpy int64) Louvain local-moving rounds over code
     arrays ``(s, d, w)`` in a lexicographically-ordered code space of
@@ -421,7 +565,15 @@ def _moves_np(s, d, w, m, parity_even, rounds):
     min-label tiebreak, md5-parity half-sweeps (``parity_even`` is the
     per-code parity vector) — pinned equal by tests/test_local_kernels
     and the unrolled SQL oracles. Duplicate (s, d) rows sum, mirroring
-    the dict accumulation. Returns the per-code label array."""
+    the dict accumulation. Returns the per-code label array.
+
+    r20: only the active half-sweep's nodes can move in a round, so the
+    candidate scan is built from THEIR edges only (the discarded other
+    half was pure waste — labels of non-movers are read, never written),
+    and the per-round grouped kin sums run through
+    :func:`_group_sum_sorted` (radix argsort + reduceat) instead of
+    ``np.unique``. Scores are computed from the same pre-update label
+    array as before, so the result is bit-identical."""
     import numpy as np
 
     k = np.zeros(m, np.int64)
@@ -430,19 +582,23 @@ def _moves_np(s, d, w, m, parity_even, rounds):
     label = np.arange(m, dtype=np.int64)
     ns = s != d  # self-loops move with the node: excluded from the scan
     s2, d2, w2 = s[ns], d[ns], w[ns]
-    own_u = np.arange(m, dtype=np.int64)
-    zero_w = np.zeros(m, np.int64)
-    idx = None
+    sel = parity_even[s2]
+    halves = {
+        True: (s2[sel], d2[sel], w2[sel], np.flatnonzero(parity_even)),
+        False: (s2[~sel], d2[~sel], w2[~sel], np.flatnonzero(~parity_even)),
+    }
     for r in range(rounds):
         sig = np.zeros(m, np.int64)
         np.add.at(sig, label, k)
-        # candidate (node, community) kin sums: neighbor rows + a
-        # zero-kin own-community row per node (the distributed union)
-        keys = np.concatenate([s2 * m + label[d2], own_u * m + label])
-        ws = np.concatenate([w2, zero_w])
-        uk, inv = np.unique(keys, return_inverse=True)
-        kin = np.zeros(len(uk), np.int64)
-        np.add.at(kin, inv, ws)
+        ss, dd, ww, own = halves[r % 2 == 0]
+        if not len(own):
+            continue
+        # candidate (node, community) kin sums for the moving half:
+        # neighbor rows + a zero-kin own-community row per node (the
+        # distributed union)
+        keys = np.concatenate([ss * m + label[dd], own * m + label[own]])
+        ws = np.concatenate([ww, np.zeros(len(own), np.int64)])
+        uk, kin = _group_sum_sorted(keys, ws, m * m)
         u = uk // m
         c = uk % m
         score = two_m * kin - k[u] * (
@@ -454,15 +610,14 @@ def _moves_np(s, d, w, m, parity_even, rounds):
         starts = np.flatnonzero(np.r_[True, u[1:] != u[:-1]])
         counts = np.diff(np.r_[starts, len(u)])
         gmax = np.repeat(np.maximum.reduceat(score, starts), counts)
-        if idx is None or len(idx) != len(u):
-            idx = np.arange(len(u), dtype=np.int64)
+        idx = np.arange(len(u), dtype=np.int64)
         pos = np.where(score == gmax, idx, len(u))
         win = np.minimum.reduceat(pos, starts)
-        gu = u[starts]
-        movers = parity_even[gu] == (r % 2 == 0)
-        new_label = label.copy()
-        new_label[gu[movers]] = c[win[movers]]
-        label = new_label
+        # every group head is a mover by construction (the candidate
+        # scan only contains active-parity nodes); all reads of `label`
+        # above used the pre-round array, so in-place assignment keeps
+        # the synchronous-update semantics
+        label[u[starts]] = c[win]
     return label
 
 
@@ -493,14 +648,18 @@ def _hierarchy_np(s, d, w, names, rounds, levels):
         if lvl == levels - 1:
             break
         cs, cd = label[s], label[d]
-        uniq = np.unique(np.concatenate([cs, cd]))
+        # r20: presence mask instead of a 2|E|-element unique sort, and
+        # the contraction's weight sums through the shared radix-argsort
+        # grouped sum — both preserve ascending code order exactly.
+        present = np.zeros(m, bool)
+        present[cs] = True
+        present[cd] = True
+        uniq = np.flatnonzero(present)
         remap = np.zeros(m, np.int64)
         remap[uniq] = np.arange(len(uniq))
         mm = len(uniq)
         keys = remap[cs] * mm + remap[cd]
-        uk, inv = np.unique(keys, return_inverse=True)
-        w2 = np.zeros(len(uk), np.int64)
-        np.add.at(w2, inv, w)
+        uk, w2 = _group_sum_sorted(keys, w, mm * mm)
         s, d, w = uk // mm, uk % mm, w2
         names = names[uniq]
         total = remap[total]
@@ -617,6 +776,86 @@ def _louvain_local(
         )
 
     return edges_w.coalesce(1).mapInArrow(
+        kernel, "node_id string, community string"
+    )
+
+
+def louvain_pairs_local(
+    pairs: DataFrame,
+    rounds: int = 4,
+    levels: int = 2,
+    weighted: bool = False,
+) -> DataFrame:
+    """Fused single-task hierarchical Louvain over the RAW
+    customer-supplier pairs (r20, guide §1.2/§2.4): ONE mapInArrow job
+    replaces the projection aggregate + exchange + checkpoint + the
+    string-fed kernel job. The kernel dedups/counts the int pairs
+    (numpy; the groupBy twin), builds codes from the ~|V| distinct
+    keys, mirrors in memory, and runs the identical
+    :func:`_hierarchy_np` (``weighted=True``: multiplicity counts enter
+    every sum — the louvain_weighted semantics; else w=1 per distinct
+    pair). The arbitrary-precision dict fallback takes over above
+    ``_NP_TWO_M_MAX`` exactly like :func:`_louvain_local`. Callers must
+    have PROVEN the graph small (footer bound); above the gate the
+    projection + distributed plan runs byte-unchanged. Parity pinned by
+    tests/test_local_kernels.py at the bench SFs."""
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [pa.field("node_id", pa.string()), pa.field("community", pa.string())]
+        )
+        tabs = [pa.Table.from_batches([b]) for b in batches]
+        if not tabs:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.string())],
+                schema=schema,
+            )
+            return
+        t = pa.concat_tables(tabs)
+        uc, us, cnt = _pairs_dedup(t)
+        if not len(uc):
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.string())],
+                schema=schema,
+            )
+            return
+        s, d, names = _pair_codes(uc, us)
+        w = cnt if weighted else np.ones(len(s), np.int64)
+        if 2 * int(w.sum()) > _NP_TWO_M_MAX:
+            # arbitrary-precision fallback (cf. _louvain_local): mirror
+            # into the shared dict kernel — namespaces are disjoint so
+            # (v, u) never collides with another pair's (u, v)
+            names_py = names.tolist()
+            wmap: dict[tuple[str, str], int] = {}
+            for u, v, ww in zip(s, d, w):
+                a, b = names_py[u], names_py[v]
+                wmap[(a, b)] = wmap.get((a, b), 0) + int(ww)
+                wmap[(b, a)] = wmap.get((b, a), 0) + int(ww)
+            label = _hierarchy_py(wmap, rounds, levels)
+            items = list(label.items())
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array([x[0] for x in items], pa.string()),
+                    pa.array([x[1] for x in items], pa.string()),
+                ],
+                schema=schema,
+            )
+            return
+        s2, d2 = np.concatenate([s, d]), np.concatenate([d, s])
+        w2 = np.concatenate([w, w])
+        total, cnames = _hierarchy_np(s2, d2, w2, names, rounds, levels)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(names.tolist(), pa.string()),
+                pa.array(cnames[total].tolist(), pa.string()),
+            ],
+            schema=schema,
+        )
+
+    return pairs.coalesce(1).mapInArrow(
         kernel, "node_id string, community string"
     )
 
@@ -1386,6 +1625,61 @@ def _cc_local(base: DataFrame, rounds: int) -> DataFrame:
         )
 
     return base.coalesce(1).mapInArrow(
+        kernel, "node_id string, component string"
+    )
+
+
+def cc_pairs_local(
+    pairs: DataFrame, rounds: int, min_weight: int = 1
+) -> DataFrame:
+    """Fused single-task connected components over the RAW
+    customer-supplier pairs (r20, guide §1.2/§2.4): ONE mapInArrow job
+    replaces the projection aggregate + thinning filter + normalize/
+    distinct checkpoint + the string-fed kernel job. The kernel
+    dedups/counts the int pairs, drops pairs under ``min_weight`` (the
+    weight >= k thinning), builds codes from the SURVIVING pairs' keys
+    only (nodes isolated by thinning are absent, exactly like the
+    distributed base), and replays :func:`_cc_star_np`. Normalization
+    is implicit: every pair is (c-node, s-node) and 'c' < 's' in byte
+    order, so least/greatest == (src, dst) and a == b is impossible.
+    Callers must have PROVEN the graph small (footer bound); above the
+    gate the projection + distributed star rounds run byte-unchanged.
+    Parity pinned by tests/test_local_kernels.py at the bench SFs."""
+
+    def kernel(batches):
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [pa.field("node_id", pa.string()), pa.field("component", pa.string())]
+        )
+        tabs = [pa.Table.from_batches([b]) for b in batches]
+        if not tabs:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.string())],
+                schema=schema,
+            )
+            return
+        t = pa.concat_tables(tabs)
+        uc, us, cnt = _pairs_dedup(t)
+        keep = cnt >= min_weight
+        uc, us = uc[keep], us[keep]
+        if not len(uc):
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([], pa.string()), pa.array([], pa.string())],
+                schema=schema,
+            )
+            return
+        s, d, names = _pair_codes(uc, us)
+        comp = _cc_star_np(s, d, len(names), rounds)
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(names.tolist(), pa.string()),
+                pa.array(names[comp].tolist(), pa.string()),
+            ],
+            schema=schema,
+        )
+
+    return pairs.coalesce(1).mapInArrow(
         kernel, "node_id string, component string"
     )
 

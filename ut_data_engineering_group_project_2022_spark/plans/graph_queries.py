@@ -97,22 +97,29 @@ def graph_degree(spark: SparkSession, sf_dir: str) -> DataFrame:
     bench=True,
 )
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    eds = graph.customer_supplier_edges(spark, sf_dir)
-    # Size-dispatched (r19): undirected rows = 2x directed, and directed
-    # edges <= lineitem rows (each edge comes from >= 1 lineitem), so a
-    # parquet footer count can PROVE the graph small with zero jobs.
-    # mirror=True hands the kernel the DIRECTED list — half the Arrow
-    # transfer, same contribution order (see _pagerank_local). The
-    # checkpoint stays: it keeps the projection aggregate parallel
-    # (eliding it measured slower — the kernel's coalesce(1) serializes
-    # everything upstream of it).
-    ed = graph.materialized(eds)
+    # r20 fused feed: when the parquet footer PROVES the graph small
+    # (directed edges <= lineitem rows; zero jobs), the whole row runs
+    # as ONE mapInArrow task over the RAW int join pairs — the
+    # projection aggregate, its exchange, the checkpoint, and the
+    # string factorization all disappear (the r19 dead end fused only
+    # the projection and paid a 587k-string-row Arrow round trip; this
+    # fuses the ALGORITHM, so only ~16k label rows come back). Above
+    # the gate the r19 projection + distributed plan is byte-unchanged.
     n_li = catalog_row_count(sf_dir, "lineitem")
     if n_li is not None and 2 * n_li <= graph.LOCAL_MOVE_EDGES:
-        n = 2 * n_li  # footer-proven small: no count job
-    else:
-        n = 2 * ed.count()
-    return graph.pagerank_sized(ed, n, iterations=3, damping=0.85, mirror=True)
+        return graph.pagerank_pairs_local(
+            graph.customer_supplier_pairs(spark, sf_dir),
+            iterations=3,
+            damping=0.85,
+        )
+    eds = graph.customer_supplier_edges(spark, sf_dir)
+    # The checkpoint stays on this path: it keeps the projection
+    # aggregate parallel (eliding it measured slower in r19 — the
+    # kernel's coalesce(1) serializes everything upstream of it).
+    ed = graph.materialized(eds)
+    return graph.pagerank_sized(
+        ed, 2 * ed.count(), iterations=3, damping=0.85, mirror=True
+    )
 
 
 @register(
@@ -346,17 +353,20 @@ def _louvain_oracle(
     bench=True,
 )
 def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r20 fused feed (see graph_pagerank): footer-proven-small graphs
+    # run projection-dedup + the whole hierarchy as ONE mapInArrow task
+    # over the raw int join pairs; above the gate the projection +
+    # distributed hierarchy is byte-unchanged.
+    n_li = catalog_row_count(sf_dir, "lineitem")
+    if n_li is not None and 2 * n_li <= graph.LOCAL_MOVE_EDGES:
+        return graph.louvain_pairs_local(
+            graph.customer_supplier_pairs(spark, sf_dir), rounds=4
+        )
     edges = graph.customer_supplier_edges(spark, sf_dir)
     # The projection groupBy emits unique (c*, s*) pairs in disjoint node
     # namespaces, so the undirected union is duplicate-free by
-    # construction — skip the no-op distinct shuffle. The footer fact
-    # count bounds the edge count (zero-job smallness proof, r19).
-    return graph.louvain(
-        edges,
-        rounds=4,
-        assume_simple=True,
-        n_edge_rows=catalog_row_count(sf_dir, "lineitem"),
-    )
+    # construction — skip the no-op distinct shuffle.
+    return graph.louvain(edges, rounds=4, assume_simple=True, n_edge_rows=n_li)
 
 
 @register(
@@ -370,10 +380,17 @@ def graph_louvain(spark: SparkSession, sf_dir: str) -> DataFrame:
     tags=("graph", "community"),
 )
 def graph_louvain_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r20 fused feed (see graph_pagerank); the kernel's multiplicity
+    # counts ARE the projection's lineitem-count weights.
+    n_li = catalog_row_count(sf_dir, "lineitem")
+    if n_li is not None and 2 * n_li <= graph.LOCAL_MOVE_EDGES:
+        return graph.louvain_pairs_local(
+            graph.customer_supplier_pairs(spark, sf_dir),
+            rounds=4,
+            weighted=True,
+        )
     edges = graph.customer_supplier_edges(spark, sf_dir)
-    return graph.louvain_weighted(
-        edges, rounds=4, n_edge_rows=catalog_row_count(sf_dir, "lineitem")
-    )
+    return graph.louvain_weighted(edges, rounds=4, n_edge_rows=n_li)
 
 
 def _betweenness_oracle(max_depth: int = 8) -> str:
@@ -957,9 +974,17 @@ def _cc_oracle(rounds: int = 3, min_weight: int = 4) -> str:
     bench=True,
 )
 def graph_connected_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r20 fused feed (see graph_pagerank): the kernel's multiplicity
+    # counts implement the weight >= 2 thinning, and nodes isolated by
+    # thinning are absent exactly like the distributed base.
+    n_li = catalog_row_count(sf_dir, "lineitem")
+    if n_li is not None and n_li <= graph.LOCAL_MOVE_EDGES:
+        return graph.cc_pairs_local(
+            graph.customer_supplier_pairs(spark, sf_dir),
+            rounds=5,
+            min_weight=2,
+        )
     edges = graph.customer_supplier_edges(spark, sf_dir).filter(
         F.col("weight") >= 2
     )
-    return graph.connected_components(
-        edges, rounds=5, n_edge_rows=catalog_row_count(sf_dir, "lineitem")
-    )
+    return graph.connected_components(edges, rounds=5, n_edge_rows=n_li)
