@@ -393,6 +393,33 @@ def test_star_local_kernel_matches_distributed_bench_config(
     assert local == dist
 
 
+def test_star_load_footer_bound_proves_small_only(spark, monkeypatch):
+    """r20 (VERDICT item 6): n_staging_rows is an upper BOUND — a bound
+    under the gate takes the kernel with zero count jobs, a bound OVER
+    the gate must fall back to the bounded count (and still take the
+    kernel when the data is actually small), and a non-bootstrap state
+    ignores the bound entirely."""
+    from tests.fixtures import staging_batch_1
+    from ut_data_engineering_group_project_2022_spark.operators import star
+
+    m, a = staging_batch_1(spark)
+    base = _star_tables(star.load_batch(star.empty_star(spark), m, a))
+    # proven-small bound: same result
+    bounded = _star_tables(
+        star.load_batch(star.empty_star(spark), m, a, n_staging_rows=50)
+    )
+    assert bounded == base
+    # over-estimate: can never force the distributed path — the count
+    # fallback still proves the batch small and takes the kernel
+    over = _star_tables(
+        star.load_batch(
+            star.empty_star(spark), m, a,
+            n_staging_rows=star.LOCAL_STAR_ROWS + 1,
+        )
+    )
+    assert over == base
+
+
 def test_star_local_gate_skips_non_bootstrap_state(spark):
     """A state that already holds rows must NEVER take the first-batch
     kernel: batch 2 over a kernel-built state runs distributed and keys

@@ -179,3 +179,81 @@ def test_materialize_passthrough_when_already_checkpointed(spark):
     again = state.materialize()
     for f in fields(star.StarState):
         assert getattr(again, f.name) is getattr(state, f.name), f.name
+
+
+def test_synthetic_staging_selectexpr_parity(spark):
+    """r20: synthetic_staging was rewritten from ~60 py4j Column calls
+    to selectExpr strings (cold star_load py4j chatter); the rewrite
+    must be bit-identical — schema (names, types) and rows — to the
+    original Column-API construction, reproduced here as the
+    reference."""
+    from ut_data_engineering_group_project_2022_spark.catalog import table
+    from ut_data_engineering_group_project_2022_spark.plans.star_queries import (
+        GENDERS,
+        SUBJECTS,
+        TYPES,
+        synthetic_staging,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    doc = table(spark, sf, "documents").select("doc_id")
+    di = F.col("doc_id")
+
+    def pick(values, idx):
+        return F.element_at(
+            F.array(*[F.lit(v) for v in values]), (idx + 1).cast("int")
+        )
+
+    ref_main = doc.select(
+        F.when(di % 17 == 0, F.lit(None))
+        .otherwise(F.lit(1985) + di % 40)
+        .cast("int")
+        .alias("published-year"),
+        pick(SUBJECTS, di % 8).alias("subject"),
+        F.when(di % 5 == 0, F.lit(None)).otherwise(pick(TYPES, di % 4)).alias("type"),
+        F.when(di % 13 == 0, F.lit(None))
+        .otherwise(F.concat(F.lit("Venue "), (di % 20).cast("string")))
+        .alias("container-title"),
+        F.when(di % 11 == 0, F.lit(None))
+        .otherwise(F.concat(F.lit("Publisher "), (di % 7).cast("string")))
+        .alias("publisher"),
+        F.format_string("P%06d", di).alias("id"),
+        F.when(di % 19 == 0, F.lit(None))
+        .otherwise(F.concat(F.lit("10."), (F.lit(1000) + di).cast("string")))
+        .alias("doi"),
+        F.concat(F.lit("Paper "), di.cast("string")).alias("title"),
+        F.concat(F.lit("v"), (di % 5 + 1).cast("string")).alias("versions"),
+        F.when(di % 23 == 0, F.lit(None))
+        .otherwise((di * 37) % 101)
+        .cast("int")
+        .alias("is-referenced-by-count"),
+    )
+    exploded = doc.select(
+        di.alias("doc_id"),
+        F.explode(F.sequence(F.lit(0), (di % 3).cast("int"))).alias("j"),
+    )
+    aid = (F.col("doc_id") * 7 + F.col("j") * 13) % 60
+    ref_authors = exploded.select(
+        F.concat(F.lit("G"), aid.cast("string")).alias("given"),
+        F.concat(F.lit("F"), aid.cast("string")).alias("family"),
+        F.when(aid % 9 == 0, F.lit(None))
+        .otherwise(F.concat(F.lit("Institute "), (aid % 12).cast("string")))
+        .alias("affiliation"),
+        F.element_at(
+            F.array(*[F.lit(g) for g in GENDERS]), (aid % 3 + 1).cast("int")
+        ).alias("gender"),
+        F.concat(
+            F.lit("G"), aid.cast("string"), F.lit(" F"), aid.cast("string")
+        ).alias("full_name"),
+        F.format_string("P%06d", F.col("doc_id")).alias("id"),
+    )
+
+    new_main, new_authors = synthetic_staging(spark, sf)
+    for ref, new in ((ref_main, new_main), (ref_authors, new_authors)):
+        assert [(f.name, f.dataType) for f in new.schema] == [
+            (f.name, f.dataType) for f in ref.schema
+        ]
+        key = lambda r: tuple((v is None, v) for v in r)  # noqa: E731
+        assert sorted(map(tuple, new.collect()), key=key) == sorted(
+            map(tuple, ref.collect()), key=key
+        )

@@ -163,13 +163,18 @@ def empty_star(spark: SparkSession) -> StarState:
         F.lit(0).cast("int").alias("publication_year"),
     )
 
+    # ONE shared 0-partition RDD for all eight empties (r20): emptyRDD()
+    # is a py4j round trip, and the eight empties are schema-only — the
+    # RDD is identical.
+    erdd = spark.sparkContext.emptyRDD()
+
     def empty(schema):
         # NOT createDataFrame([], schema): that parallelizes the empty
         # list into defaultParallelism EMPTY partitions, so every scan
         # of a first-batch dim schedules 32 no-op tasks — measured r9 at
         # ~2.8 s per anti-join against one (vs 0.37 s against a
         # 0-partition empty). emptyRDD carries zero partitions.
-        return spark.createDataFrame(spark.sparkContext.emptyRDD(), schema)
+        return spark.createDataFrame(erdd, schema)
 
     return StarState(
         dim_year=dim_year.unionByName(sentinel),
@@ -884,7 +889,10 @@ def _star_local(
 
 
 def load_batch(
-    state: StarState, staging_main: DataFrame, staging_authors: DataFrame
+    state: StarState,
+    staging_main: DataFrame,
+    staging_authors: DataFrame,
+    n_staging_rows: int | None = None,
 ) -> StarState:
     """One micro-batch of the dimensional load (ref pop_DWH.py:140-307).
 
@@ -904,9 +912,16 @@ def load_batch(
     # Size-gated first-batch kernel (r19): an empty bootstrap warehouse
     # plus a small staging batch runs as one single-task job
     # (_star_local) instead of the ~18-checkpoint distributed batch.
-    # The gate count is one bounded partial scan (limit(N+1)); any
+    # ``n_staging_rows`` (r20, VERDICT item 6) is an optional
+    # caller-supplied UPPER BOUND on combined staging rows (e.g. a
+    # parquet footer count of the staging source times its max fan-out):
+    # it can only PROVE smallness — skipping the gate's bounded count
+    # job — never force the distributed path. Without a usable bound the
+    # gate count stays one bounded partial scan (limit(N+1)); any
     # non-bootstrap state skips the count entirely.
     if _bootstrap_only(state):
+        if n_staging_rows is not None and n_staging_rows <= LOCAL_STAR_ROWS:
+            return _star_local(state, staging_main, staging_authors)
         n = (
             staging_main.select(F.lit(1).alias("one"))
             .unionAll(staging_authors.select(F.lit(1).alias("one")))

@@ -31,7 +31,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ut_data_engineering_group_project_2022_spark.catalog import table
+from ut_data_engineering_group_project_2022_spark.catalog import (
+    parquet_row_count as catalog_row_count,
+    table,
+)
 from ut_data_engineering_group_project_2022_spark.operators import star
 from ut_data_engineering_group_project_2022_spark.plans.registry import register
 
@@ -57,57 +60,52 @@ GENDERS = ("male", "female", "unknown")
 def synthetic_staging(
     spark: SparkSession, sf_dir: str
 ) -> tuple[DataFrame, DataFrame]:
+    # Expressed as selectExpr strings (r20): the Column-API form built
+    # ~60 expression objects through py4j one call at a time (~0.3-0.5 s
+    # of pure driver chatter on the cold star_load path); each SQL
+    # string below is ONE parse call producing the same logical
+    # expressions (verified bit-equal at build time by
+    # tests/test_star.py::test_synthetic_staging_selectexpr_parity, and
+    # end-to-end by the 15 star/bi DuckDB oracles that replay this
+    # synthesis as SQL).
     doc = table(spark, sf_dir, "documents").select("doc_id")
-    di = F.col("doc_id")
 
-    def pick(values: tuple[str, ...], idx) -> F.Column:
-        return F.element_at(
-            F.array(*[F.lit(v) for v in values]), (idx + 1).cast("int")
-        )
+    def arr(values: tuple[str, ...]) -> str:
+        return "array(" + ", ".join(f"'{v}'" for v in values) + ")"
 
-    main = doc.select(
-        F.when(di % 17 == 0, F.lit(None))
-        .otherwise(F.lit(1985) + di % 40)
-        .cast("int")
-        .alias("published-year"),
-        pick(SUBJECTS, di % 8).alias("subject"),
-        F.when(di % 5 == 0, F.lit(None)).otherwise(pick(TYPES, di % 4)).alias("type"),
-        F.when(di % 13 == 0, F.lit(None))
-        .otherwise(F.concat(F.lit("Venue "), (di % 20).cast("string")))
-        .alias("container-title"),
-        F.when(di % 11 == 0, F.lit(None))
-        .otherwise(F.concat(F.lit("Publisher "), (di % 7).cast("string")))
-        .alias("publisher"),
-        F.format_string("P%06d", di).alias("id"),
-        F.when(di % 19 == 0, F.lit(None))
-        .otherwise(F.concat(F.lit("10."), (F.lit(1000) + di).cast("string")))
-        .alias("doi"),
-        F.concat(F.lit("Paper "), di.cast("string")).alias("title"),
-        F.concat(F.lit("v"), (di % 5 + 1).cast("string")).alias("versions"),
-        F.when(di % 23 == 0, F.lit(None))
-        .otherwise((di * 37) % 101)
-        .cast("int")
-        .alias("is-referenced-by-count"),
+    main = doc.selectExpr(
+        "CAST(CASE WHEN doc_id % 17 = 0 THEN NULL ELSE 1985 + doc_id % 40 "
+        "END AS INT) AS `published-year`",
+        f"element_at({arr(SUBJECTS)}, CAST(doc_id % 8 + 1 AS INT)) AS subject",
+        "CASE WHEN doc_id % 5 = 0 THEN NULL ELSE "
+        f"element_at({arr(TYPES)}, CAST(doc_id % 4 + 1 AS INT)) END AS type",
+        "CASE WHEN doc_id % 13 = 0 THEN NULL ELSE "
+        "concat('Venue ', CAST(doc_id % 20 AS STRING)) END AS `container-title`",
+        "CASE WHEN doc_id % 11 = 0 THEN NULL ELSE "
+        "concat('Publisher ', CAST(doc_id % 7 AS STRING)) END AS publisher",
+        "format_string('P%06d', doc_id) AS id",
+        "CASE WHEN doc_id % 19 = 0 THEN NULL ELSE "
+        "concat('10.', CAST(1000 + doc_id AS STRING)) END AS doi",
+        "concat('Paper ', CAST(doc_id AS STRING)) AS title",
+        "concat('v', CAST(doc_id % 5 + 1 AS STRING)) AS versions",
+        "CAST(CASE WHEN doc_id % 23 = 0 THEN NULL ELSE (doc_id * 37) % 101 "
+        "END AS INT) AS `is-referenced-by-count`",
     )
 
-    exploded = doc.select(
-        di.alias("doc_id"),
-        F.explode(F.sequence(F.lit(0), (di % 3).cast("int"))).alias("j"),
-    )
-    aid = (F.col("doc_id") * 7 + F.col("j") * 13) % 60
-    authors = exploded.select(
-        F.concat(F.lit("G"), aid.cast("string")).alias("given"),
-        F.concat(F.lit("F"), aid.cast("string")).alias("family"),
-        F.when(aid % 9 == 0, F.lit(None))
-        .otherwise(F.concat(F.lit("Institute "), (aid % 12).cast("string")))
-        .alias("affiliation"),
-        F.element_at(
-            F.array(*[F.lit(g) for g in GENDERS]), (aid % 3 + 1).cast("int")
-        ).alias("gender"),
-        F.concat(F.lit("G"), aid.cast("string"), F.lit(" F"), aid.cast("string")).alias(
-            "full_name"
-        ),
-        F.format_string("P%06d", F.col("doc_id")).alias("id"),
+    authors = doc.selectExpr(
+        "doc_id",
+        "explode(sequence(0, CAST(doc_id % 3 AS INT))) AS j",
+    ).selectExpr(
+        "concat('G', CAST((doc_id * 7 + j * 13) % 60 AS STRING)) AS given",
+        "concat('F', CAST((doc_id * 7 + j * 13) % 60 AS STRING)) AS family",
+        "CASE WHEN (doc_id * 7 + j * 13) % 60 % 9 = 0 THEN NULL ELSE "
+        "concat('Institute ', CAST((doc_id * 7 + j * 13) % 60 % 12 AS STRING)) "
+        "END AS affiliation",
+        f"element_at({arr(GENDERS)}, "
+        "CAST((doc_id * 7 + j * 13) % 60 % 3 + 1 AS INT)) AS gender",
+        "concat('G', CAST((doc_id * 7 + j * 13) % 60 AS STRING), ' F', "
+        "CAST((doc_id * 7 + j * 13) % 60 AS STRING)) AS full_name",
+        "format_string('P%06d', doc_id) AS id",
     )
     return main, authors
 
@@ -134,7 +132,21 @@ def _star_views(spark: SparkSession, sf_dir: str) -> None:
     state = _STATE_CACHE.get(key)
     if state is None:
         main, authors = synthetic_staging(spark, sf_dir)
-        state = star.load_batch(star.empty_star(spark), main, authors)
+        # r20 (VERDICT item 6): the staging batch is synthesized from
+        # `documents` with a fan-out of exactly 1 main row + at most 3
+        # author rows per doc (explode over doc_id % 3 + 1), so
+        # 4 x the parquet footer row count BOUNDS the combined staging
+        # rows — the loader's gate count job disappears when the footer
+        # proves the batch small. A missing footer falls back to the
+        # bounded count inside load_batch (prove-small-only, never
+        # forces the distributed path).
+        n_docs = catalog_row_count(sf_dir, "documents")
+        state = star.load_batch(
+            star.empty_star(spark),
+            main,
+            authors,
+            n_staging_rows=4 * n_docs if n_docs is not None else None,
+        )
         _STATE_CACHE[key] = state
     for view, attr in _VIEWS.items():
         getattr(state, attr).createOrReplaceTempView(view)
