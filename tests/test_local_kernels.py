@@ -590,6 +590,63 @@ def test_tpch_q1_local_kernel_decimal_fallback_path(spark, monkeypatch, tmp_path
     assert len(local) == 2
 
 
+def test_supplier_revenue_rank_local_matches_distributed(spark, monkeypatch):
+    """r20 (VERDICT item 4): the fused bi_rank_suppliers kernel
+    (scaled-integer revenue sum + in-kernel dense rank, one mapInArrow
+    job) must be bit-equal to the distributed groupBy + two-phase rank
+    at the bench config, and must reproduce the groupBy/rank corner
+    semantics on synthetics."""
+    from ut_data_engineering_group_project_2022_spark.operators import (
+        relational,
+    )
+    from ut_data_engineering_group_project_2022_spark.plans.bi_queries import (
+        bi_rank_suppliers_by_region_revenue as build,
+    )
+
+    fused_df = build(spark, SF_DIR)
+    assert "MapInArrow" in (
+        fused_df._jdf.queryExecution().executedPlan().toString()
+    )
+    fused = sorted(map(tuple, fused_df.collect()))
+    monkeypatch.setattr(relational, "LOCAL_TPCH_ROWS", 0)
+    dist_df = build(spark, SF_DIR)
+    dist = sorted(map(tuple, dist_df.collect()))
+    monkeypatch.undo()
+    assert fused == dist
+    assert [(f.name, f.dataType) for f in fused_df.schema] == [
+        (f.name, f.dataType) for f in dist_df.schema
+    ]
+    # synthetics through the kernel directly: duplicate suppkey with two
+    # names (two groups, same revenue, tied rank), NULL name (one
+    # group), all-NULL revenue group (NULLS LAST under F.desc), ties
+    feed = spark.createDataFrame(
+        [
+            (1, "alpha", 100.0, 0.1),
+            (1, "alpha", 50.0, 0.0),
+            (1, "beta", 100.0, 0.1),
+            (1, "beta", 50.0, 0.0),
+            (2, None, 140.0, 0.0),
+            (3, "gamma", float("nan"), 0.0),
+            (4, "delta", 140.0, 0.0),
+        ],
+        "s_suppkey bigint, s_name string, l_extendedprice double, "
+        "l_discount double",
+    )
+    got = sorted(
+        map(tuple, relational.supplier_revenue_rank_local(feed).collect()),
+        key=lambda r: (r[0], r[1] or ""),
+    )
+    # exact revenues: 100*0.9 + 50 = 140.0 for both (1, alpha) and
+    # (1, beta); NaN extendedprice -> NULL product -> NULL group sum
+    assert got == [
+        (1, "alpha", 140.0, 1),
+        (1, "beta", 140.0, 1),
+        (2, None, 140.0, 1),
+        (3, "gamma", None, 2),
+        (4, "delta", 140.0, 1),
+    ]
+
+
 def test_tpch_q1_magnitude_gate_falls_back_to_distributed(spark, tmp_path):
     """r20 (r19 ADVICE): decimal(18,4) in-type magnitudes can wrap the
     kernel's int64 scaled-integer multiplies while the distributed

@@ -283,3 +283,148 @@ def tpch_q1_local(filtered_li: DataFrame) -> DataFrame:
             "avg_disc double, count_order bigint",
         )
     )
+
+
+def lineitem_magnitudes_safe(sf_dir: str, cols=None) -> bool:
+    """Prove the Q1_SAFE_ABS magnitude bounds for lineitem money columns
+    from parquet footer statistics — zero Spark jobs (r20, shared by the
+    q1 and bi-suppliers kernels). Missing stats, NaN/Inf bounds, or
+    out-of-range values fail the proof (callers take the exact
+    distributed decimal plan)."""
+    from ut_data_engineering_group_project_2022_spark.catalog import (
+        parquet_column_minmax,
+    )
+
+    for colname in cols if cols is not None else Q1_SAFE_ABS:
+        bound = Q1_SAFE_ABS[colname]
+        mm = parquet_column_minmax(sf_dir, "lineitem", colname)
+        if mm is None:
+            return False
+        lo, hi = mm
+        if not (-bound <= lo <= hi <= bound):  # False for NaN/Inf too
+            return False
+    return True
+
+
+def supplier_revenue_rank_local(feed: DataFrame) -> DataFrame:
+    """Single-task tail of bi_rank_suppliers_by_region_revenue (r20,
+    guide §1.2/§4.2): one mapInArrow task replaces the decimal hash
+    aggregate (per-row BigDecimal multiply over the fact rows — the q1
+    cost shape), its exchange, and the gated global_dense_rank window.
+    ``feed`` is the broadcast-join output projected to
+    (s_suppkey, s_name, l_extendedprice, l_discount); the kernel runs
+    the scaled-integer revenue sum per (s_suppkey, s_name) group
+    (exactness: module docstring — ROUND(SUM(dec(38,8)), 2)::DOUBLE is
+    HALF_UP integer division + correctly-rounded float conversion) and
+    Spark's DENSE_RANK ... ORDER BY revenue DESC (ties equal; NULLS
+    LAST, matching F.desc). Callers must gate on LOCAL_TPCH_ROWS and
+    :func:`lineitem_magnitudes_safe`; the kernel re-proves the int64
+    bound on the actual scaled ints and raises rather than wraps."""
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [
+                pa.field("s_suppkey", pa.int64()),
+                pa.field("s_name", pa.string()),
+                pa.field("revenue", pa.float64()),
+                pa.field("rnk", pa.int32()),
+            ]
+        )
+        tabs = [pa.Table.from_batches([b]) for b in batches]
+        if not tabs:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([], t.type) for t in schema.types],
+                schema=schema,
+            )
+            return
+        t = pa.concat_tables(tabs).combine_chunks()
+        n = t.num_rows
+        if n == 0:
+            yield pa.RecordBatch.from_arrays(
+                [pa.array([], ty.type) for ty in schema.types],
+                schema=schema,
+            )
+            return
+
+        def col(name):
+            c = t.column(name).chunk(0)
+            arr = c.to_numpy(zero_copy_only=False)
+            valid = ~pa.compute.is_null(c).to_numpy(zero_copy_only=False)
+            return arr, valid
+
+        ext, ext_ok = col("l_extendedprice")
+        dis, dis_ok = col("l_discount")
+        ext_i, ext_null = _dec_scaled(ext, ext_ok, 4)
+        dis_i, dis_null = _dec_scaled(dis, dis_ok, 4)
+        m_ext = int(np.abs(ext_i[~ext_null]).max(initial=0))
+        m_dis = int(np.abs(dis_i[~dis_null]).max(initial=0))
+        if m_ext * (10**4 + m_dis) > 2**63 - 1:
+            raise ValueError(
+                "supplier_revenue_rank_local: input magnitudes exceed the "
+                "proven-safe int64 bound — the caller must take the "
+                "distributed decimal aggregate (Q1_SAFE_ABS)"
+            )
+        dp_i = ext_i * (10**4 - dis_i)
+        dp_null = ext_null | dis_null
+
+        sk_c = t.column("s_suppkey").chunk(0)
+        sk = sk_c.to_numpy(zero_copy_only=False).astype(np.int64)
+        nm_d = t.column("s_name").chunk(0).dictionary_encode()
+        nm_names = nm_d.dictionary
+        nm = nm_d.indices.to_numpy(zero_copy_only=False)
+        # NULL names group together (Spark groupBy treats NULLs equal):
+        # a nullable indices array arrives as float64 with NaN -> -1
+        if nm.dtype.kind == "f":
+            nm = np.where(np.isnan(nm), -1.0, nm)
+        nm = nm.astype(np.int64)
+        order = np.lexsort((nm, sk))
+        sks, nms = sk[order], nm[order]
+        bounds = np.flatnonzero(
+            np.r_[True, (sks[1:] != sks[:-1]) | (nms[1:] != nms[:-1])]
+        )
+        sums = _group_sums(order, bounds, dp_i, dp_null)
+        # SUM is NULL only when every row in the group is NULL
+        nn = (~dp_null)[order].astype(np.int64)
+        nn_counts = np.add.reduceat(nn, bounds)
+        g_sk = sks[bounds]
+        g_nm = nms[bounds]
+        revenue = [
+            _round_dec_to_double(s, 8, 2) if c else None
+            for s, c in zip(sums, nn_counts)
+        ]
+        # DENSE_RANK ORDER BY revenue DESC (F.desc = NULLS LAST; ties
+        # share a rank): rank = position of the value among the sorted
+        # DISTINCT non-null revenues, descending; NULLs rank after all
+        rev_nonnull = np.array(
+            [r for r in revenue if r is not None], dtype=np.float64
+        )
+        uniq = np.unique(rev_nonnull)  # ascending
+        k = len(uniq)
+        rnk = [
+            int(k - np.searchsorted(uniq, r, side="left"))
+            if r is not None
+            else k + 1
+            for r in revenue
+        ]
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(g_sk.tolist(), pa.int64()),
+                nm_names.take(
+                    pa.array(
+                        [int(x) if x >= 0 else None for x in g_nm],
+                        pa.int64(),
+                    )
+                ),
+                pa.array(revenue, pa.float64()),
+                pa.array(rnk, pa.int32()),
+            ],
+            schema=schema,
+        )
+
+    return feed.coalesce(1).mapInArrow(
+        kernel,
+        "s_suppkey bigint, s_name string, revenue double, rnk int",
+    )

@@ -34,7 +34,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window as W
 from pyspark.sql import functions as F
 
-from ut_data_engineering_group_project_2022_spark.catalog import table
+from ut_data_engineering_group_project_2022_spark.catalog import (
+    parquet_row_count as catalog_row_count,
+    table,
+)
+from ut_data_engineering_group_project_2022_spark.operators import relational
 from ut_data_engineering_group_project_2022_spark.operators.star import (
     global_dense_rank,
 )
@@ -218,6 +222,28 @@ def bi_rank_suppliers_by_region_revenue(spark: SparkSession, sf_dir: str) -> Dat
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
     )
+    # Size-dispatched (r20, VERDICT item 4): at bench scale the row is
+    # one unsplittable scan task doing per-row BigDecimal revenue math
+    # (the q1 cost shape) plus the rank's exchange. Below the gate the
+    # decimal aggregate AND the dense rank run as ONE scaled-integer
+    # mapInArrow task over the broadcast-join output (exactness:
+    # operators/relational.py; the footer-stats magnitude proof is the
+    # same one q1 uses). Above it the groupBy + two-phase rank below is
+    # byte-unchanged (the 100 TB shape).
+    n_li = catalog_row_count(sf_dir, "lineitem")
+    if (
+        relational.LOCAL_TPCH_ROWS
+        and n_li is not None
+        and n_li <= relational.LOCAL_TPCH_ROWS
+        and relational.lineitem_magnitudes_safe(
+            sf_dir, ("l_extendedprice", "l_discount")
+        )
+    ):
+        return relational.supplier_revenue_rank_local(
+            joined.select(
+                "s_suppkey", "s_name", "l_extendedprice", "l_discount"
+            )
+        )
     # Windowed-SUM + DISTINCT == one row per supplier: groupBy form (see
     # bi_rank_customers_by_order_count). ROUND applies to the exact
     # decimal group sum — same value as the windowed form.

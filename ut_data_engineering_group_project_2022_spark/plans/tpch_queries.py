@@ -17,7 +17,6 @@ from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
 from ut_data_engineering_group_project_2022_spark.catalog import (
-    parquet_column_minmax as catalog_column_minmax,
     parquet_row_count as catalog_row_count,
     table,
 )
@@ -40,17 +39,10 @@ def _fact_is_small(
 def _q1_magnitudes_safe(sf_dir: str) -> bool:
     """r20 (r19 ADVICE): the q1 kernel's scaled-integer multiplies are
     proven exact only inside Q1_SAFE_ABS; prove the bound from parquet
-    footer column stats (zero jobs). Missing stats, NaN/Inf bounds, or
-    out-of-range values all fail the proof -> the exact distributed
-    decimal aggregate runs instead."""
-    for colname, bound in relational.Q1_SAFE_ABS.items():
-        mm = catalog_column_minmax(sf_dir, "lineitem", colname)
-        if mm is None:
-            return False
-        lo, hi = mm
-        if not (-bound <= lo <= hi <= bound):  # False for NaN/Inf too
-            return False
-    return True
+    footer column stats (zero jobs — shared helper in relational.py).
+    Missing stats, NaN/Inf bounds, or out-of-range values all fail the
+    proof -> the exact distributed decimal aggregate runs instead."""
+    return relational.lineitem_magnitudes_safe(sf_dir)
 
 
 def _dec(col: str) -> F.Column:
