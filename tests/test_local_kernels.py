@@ -590,6 +590,41 @@ def test_tpch_q1_local_kernel_decimal_fallback_path(spark, monkeypatch, tmp_path
     assert len(local) == 2
 
 
+def test_mmr_rerank_local_matches_distributed(spark, monkeypatch):
+    """r20 (VERDICT item 5): the single-task MMR kernel must be
+    bit-equal to the distributed knn + k-round driver loop — bench
+    config, a pool-exhaustion case (k > candidates), and a tie-heavy
+    synthetic."""
+    from ut_data_engineering_group_project_2022_spark.catalog import table
+
+    def rows(df):
+        return [tuple(r) for r in df.orderBy("sel_order").collect()]
+
+    emb = table(spark, SF_DIR, "embeddings")
+    local = rows(similarity.mmr_rerank(emb, query_vec_id=0, k=5, pool=20))
+    monkeypatch.setattr(similarity, "LOCAL_KNN_ROWS", 0)
+    dist = rows(similarity.mmr_rerank(emb, query_vec_id=0, k=5, pool=20))
+    monkeypatch.undo()
+    assert local == dist and len(local) == 5
+
+    tiny = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (1, [1.0, 0.0, 0.0]),   # identical to query: rel 1.0
+            (2, [1.0, 0.0, 0.0]),   # tie with 1 -> id tiebreak
+            (3, [0.0, 1.0, 0.0]),   # orthogonal
+            (4, [0.5, 0.5, 0.0]),
+        ],
+        "vec_id bigint, embedding array<float>",
+    )
+    # k > pool candidates: both paths stop early with the same selection
+    local = rows(similarity.mmr_rerank(tiny, query_vec_id=0, k=9, pool=3))
+    monkeypatch.setattr(similarity, "LOCAL_KNN_ROWS", 0)
+    dist = rows(similarity.mmr_rerank(tiny, query_vec_id=0, k=9, pool=3))
+    monkeypatch.undo()
+    assert local == dist and len(local) == 3
+
+
 def test_supplier_revenue_rank_local_matches_distributed(spark, monkeypatch):
     """r20 (VERDICT item 4): the fused bi_rank_suppliers kernel
     (scaled-integer revenue sum + in-kernel dense rank, one mapInArrow

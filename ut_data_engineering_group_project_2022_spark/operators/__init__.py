@@ -17,3 +17,21 @@ def bounded_small(df, ceiling: int, known_rows: int | None = None) -> bool:
     if known_rows is not None and known_rows <= ceiling:
         return True
     return df.limit(ceiling + 1).count() <= ceiling
+
+
+def table_is_small(sf_dir: str, name: str, df, ceiling: int) -> bool:
+    """Footer-EXACT size gate for catalog tables (r20, r19 ADVICE: this
+    logic lived in three subtly-different copies). Unlike
+    :func:`bounded_small`'s ``known_rows`` (an upper bound that must
+    fall back to the limit-count when it exceeds the ceiling), the
+    parquet footer row count is the EXACT table size, so exceeding the
+    ceiling is definitive — no retry job. A missing/unreadable footer
+    falls back to the bounded ``limit(N+1).count()`` partial scan."""
+    from ut_data_engineering_group_project_2022_spark.catalog import (
+        parquet_row_count,
+    )
+
+    n = parquet_row_count(sf_dir, name)
+    if n is not None:
+        return n <= ceiling
+    return df.limit(ceiling + 1).count() <= ceiling

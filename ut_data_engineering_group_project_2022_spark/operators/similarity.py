@@ -1250,6 +1250,103 @@ def kcenter_greedy(
     )
 
 
+def _mmr_rerank_local(
+    emb: DataFrame,
+    query_vec_id: int,
+    k: int,
+    pool: int,
+    lam: float,
+    id_col: str,
+    vec_col: str,
+) -> DataFrame:
+    """Single-task MMR re-rank for a corpus known to fit one executor
+    (``<= LOCAL_KNN_ROWS`` rows — gated by :func:`mmr_rerank`, r20
+    VERDICT item 5). One mapInArrow job replaces the knn stage, the
+    pool checkpoint, and the k-round driver loop of
+    ``orderBy().limit(1).collect()`` round trips (each a full pool scan
+    — the exact shape kcenter_greedy shed in r19). Arithmetic mirrors
+    the distributed form term-for-term: the identical left-fold cosine
+    (:func:`_fold_scores`), HALF_UP 6dp rounding before every max-fold,
+    ``lam*rel - (1-lam)*maxs`` on the rounded inputs, (desc, asc id)
+    tiebreaks, and np.maximum == F.greatest (NaN wins in both). Above
+    the gate the distributed knn + driver-loop plan runs unchanged —
+    each pick there is a distributed top-1, so it is scale-valid.
+    Equality is pinned by tests/test_local_kernels.py and the chained
+    CTE oracle."""
+
+    def kernel(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        schema = pa.schema(
+            [
+                pa.field("sel_order", pa.int32()),
+                pa.field("vec_id", pa.int64()),
+                pa.field("relevance", pa.float64()),
+                pa.field("mmr", pa.float64()),
+            ]
+        )
+        rows = []
+        tabs = [pa.Table.from_batches([b]) for b in batches]
+        if tabs:
+            t = pa.concat_tables(tabs)
+            vids = t.column("vid").to_numpy(zero_copy_only=False).astype(
+                np.int64
+            )
+            V = _vec_matrix(t.column("v"))
+            qm = np.flatnonzero(vids == query_vec_id)
+            cm = np.flatnonzero(vids > query_vec_id)
+            if len(qm) and len(cm):
+                # candidate stage == knn_bruteforce: top-`pool` by the
+                # UNROUNDED fold score (desc, asc id), rel = rounded
+                scores = _fold_scores(V[qm][:1], V[cm])[0]
+                cids = vids[cm]
+                order = np.lexsort((cids, -scores))[:pool]
+                ids = cids[order]
+                rel = np.array(
+                    [_round_half_up6(float(s)) for s in scores[order]]
+                )
+                X = V[cm][order]
+                alive = np.ones(len(ids), bool)
+                maxs = None
+                for r in range(k):
+                    if not alive.any():
+                        break
+                    mmr = (
+                        rel
+                        if r == 0
+                        else lam * rel - (1.0 - lam) * maxs
+                    )
+                    ai = np.flatnonzero(alive)
+                    pick = ai[np.lexsort((ids[ai], -mmr[ai]))[0]]
+                    rows.append(
+                        (r, int(ids[pick]), float(rel[pick]), float(mmr[pick]))
+                    )
+                    alive[pick] = False
+                    sims = _fold_scores(X[pick][None, :], X)[0]
+                    srnd = np.array(
+                        [_round_half_up6(float(s)) for s in sims]
+                    )
+                    maxs = srnd if maxs is None else np.maximum(maxs, srnd)
+        cols = list(zip(*rows)) if rows else ([], [], [], [])
+        yield pa.RecordBatch.from_arrays(
+            [
+                pa.array(list(cols[0]), pa.int32()),
+                pa.array(list(cols[1]), pa.int64()),
+                pa.array(list(cols[2]), pa.float64()),
+                pa.array(list(cols[3]), pa.float64()),
+            ],
+            schema=schema,
+        )
+
+    feed = emb.select(
+        F.col(id_col).alias("vid"), as_double(vec_col).alias("v")
+    )
+    return feed.coalesce(1).mapInArrow(
+        kernel, "sel_order int, vec_id bigint, relevance double, mmr double"
+    )
+
+
 def mmr_rerank(
     emb: DataFrame,
     query_vec_id: int = 0,
@@ -1258,6 +1355,7 @@ def mmr_rerank(
     lam: float = 0.5,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    corpus_rows: int | None = None,
 ) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
     1998): greedily select k of the top-`pool` relevance candidates,
@@ -1277,6 +1375,14 @@ def mmr_rerank(
     identical argmaxes (vec_id tiebreaks). The oracle chains the same
     rounds as CTEs with a cumulative exclusion per round.
     """
+    # Size-gated single-task path (r20): below LOCAL_KNN_ROWS the whole
+    # program — candidate knn, pool checkpoint, and the k driver-side
+    # top-1 round trips — runs as one mapInArrow task. ``corpus_rows``
+    # (e.g. a parquet footer count) proves smallness with zero jobs.
+    if bounded_small(emb, LOCAL_KNN_ROWS, corpus_rows):
+        return _mmr_rerank_local(
+            emb, query_vec_id, k, pool, lam, id_col, vec_col
+        )
     q = emb.filter(F.col(id_col) == query_vec_id)
     c = emb.filter(F.col(id_col) > query_vec_id)
     cand = knn_bruteforce(q, c, k=pool, id_col=id_col, vec_col=vec_col)

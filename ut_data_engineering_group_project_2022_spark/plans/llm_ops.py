@@ -29,21 +29,16 @@ from ut_data_engineering_group_project_2022_spark.operators import (
     dedup,
     multimodal,
     similarity,
+    table_is_small,
     textml,
 )
 from ut_data_engineering_group_project_2022_spark.plans.registry import register
 
 
-def _table_is_small(
-    sf_dir: str, name: str, df: DataFrame, ceiling: int
-) -> bool:
-    """Size gate for the single-task kernels: parquet footer row count
-    when readable (driver-side, zero Spark jobs — catalog.py r19), else
-    the bounded ``limit(N+1).count()`` partial scan."""
-    n = parquet_row_count(sf_dir, name)
-    if n is not None:
-        return n <= ceiling
-    return df.limit(ceiling + 1).count() <= ceiling
+# r20 (r19 ADVICE): the footer-or-bounded-count gate is the shared
+# operators.table_is_small — the former local copy re-implemented it
+# with subtly different fallback semantics.
+_table_is_small = table_is_small
 
 # DuckDB shingle-set expression shared by the jaccard/minhash oracles.
 _SHINGLES_SQL = """
@@ -288,11 +283,15 @@ def llm_simhash_pairs_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
 def llm_knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
     n_emb = parquet_row_count(sf_dir, "embeddings")
+    # r20 (r19 ADVICE): the query-side filter (vec_id < 10 over unique
+    # ids) bounds the query side BY CONSTRUCTION at 10 rows, so the gate
+    # is zero-job; the table footer count could essentially never prove
+    # it under LOCAL_KNN_QUERIES and left a limit-count job behind.
     return similarity.knn_bruteforce(
         emb.filter(F.col("vec_id") < 10),
         emb.filter(F.col("vec_id") >= 10),
         k=5,
-        query_rows=n_emb,
+        query_rows=10,
         corpus_rows=n_emb,
     )
 
@@ -4047,11 +4046,13 @@ def llm_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = table(spark, sf_dir, "embeddings")
     n_emb = parquet_row_count(sf_dir, "embeddings")
+    # r20 (r19 ADVICE): vec_id == 0 bounds the query side by
+    # construction — zero-job gate (see llm_knn_bruteforce).
     vec = similarity.knn_bruteforce(
         emb.filter(F.col("vec_id") == 0),
         emb.filter(F.col("vec_id") > 0),
         k=20,
-        query_rows=n_emb,
+        query_rows=1,
         corpus_rows=n_emb,
     ).select(F.col("neighbor_id").alias("doc_id"), F.col("rn").alias("vec_rank"))
     fused = lex.join(vec, "doc_id", "full_outer")
@@ -4339,7 +4340,16 @@ def _mmr_oracle(k: int = 5) -> str:
 )
 def llm_mmr_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = table(spark, sf_dir, "embeddings")
-    return similarity.mmr_rerank(emb, query_vec_id=0, k=5, pool=20, lam=0.5)
+    # r20: the footer count proves the corpus small with zero jobs and
+    # the whole program (knn + k driver round trips) runs as one task.
+    return similarity.mmr_rerank(
+        emb,
+        query_vec_id=0,
+        k=5,
+        pool=20,
+        lam=0.5,
+        corpus_rows=parquet_row_count(sf_dir, "embeddings"),
+    )
 
 
 @register(

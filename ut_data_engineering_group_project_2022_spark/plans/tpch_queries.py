@@ -20,20 +20,13 @@ from ut_data_engineering_group_project_2022_spark.catalog import (
     parquet_row_count as catalog_row_count,
     table,
 )
-from ut_data_engineering_group_project_2022_spark.operators import relational
+from ut_data_engineering_group_project_2022_spark.operators import (
+    relational,
+    table_is_small,
+)
 from ut_data_engineering_group_project_2022_spark.plans.registry import register
 
 
-def _fact_is_small(
-    spark: SparkSession, sf_dir: str, name: str, df: DataFrame, ceiling: int
-) -> bool:
-    """Size gate for the single-task kernels: footer row count when the
-    parquet metadata is readable (zero Spark jobs), else the bounded
-    ``limit(N+1).count()`` partial scan the other r19 gates use."""
-    n = catalog_row_count(sf_dir, name)
-    if n is not None:
-        return n <= ceiling
-    return df.limit(ceiling + 1).count() <= ceiling
 
 
 def _q1_magnitudes_safe(sf_dir: str) -> bool:
@@ -115,9 +108,7 @@ def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scaled-integer multiplies; see Q1_SAFE_ABS.
     if (
         relational.LOCAL_TPCH_ROWS
-        and _fact_is_small(
-            spark, sf_dir, "lineitem", li, relational.LOCAL_TPCH_ROWS
-        )
+        and table_is_small(sf_dir, "lineitem", li, relational.LOCAL_TPCH_ROWS)
         and _q1_magnitudes_safe(sf_dir)
     ):
         return relational.tpch_q1_local(li)
