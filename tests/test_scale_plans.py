@@ -703,3 +703,49 @@ def test_tagged_upsert_has_no_batch_sized_window(spark):
         joined.count("windowspecdefinition("),
         joined,
     )
+
+
+def test_distributed_exchange_counts_match_committed(spark):
+    """r20 (VERDICT r19 item 2): the ~20 size-gated rows' DISTRIBUTED
+    (above-gate, 100 TB) plans are no longer timed by the bench at test
+    SFs, so their shape is pinned here: with every kernel gate forced
+    to 0, each row's initial-plan shuffle/broadcast exchange counts at
+    sf0.001 must match the committed record produced by
+    tools/bench_distributed.py --counts-only (counts at other SFs can
+    differ legitimately via size-based join planning). A mismatch means
+    the scale path's plan changed — rerun the tool, review the diff,
+    and commit the new record deliberately."""
+    import json
+    import sys
+    from pathlib import Path
+
+    repo = Path(__file__).resolve().parents[1]
+    sys.path.insert(0, str(repo / "tools"))
+    try:
+        import bench_distributed as bd
+    finally:
+        sys.path.pop(0)
+
+    expected = json.loads(
+        (repo / "bench_snapshots" / "distributed_exchange_counts_sf0001.json")
+        .read_text()
+    )["rows"]
+    assert set(expected) == set(bd.GATED_ROWS)
+
+    from ut_data_engineering_group_project_2022_spark.plans import all_queries
+
+    queries = all_queries()
+    saved = bd.disable_kernels()
+    try:
+        got = {
+            name: bd.exchange_counts(
+                queries[name].spark(spark, "/root/testdata/sf0.001")
+            )
+            for name in bd.GATED_ROWS
+        }
+    finally:
+        bd.restore_kernels(saved)
+    mismatches = {
+        n: (expected[n], got[n]) for n in got if got[n] != expected[n]
+    }
+    assert not mismatches, mismatches
