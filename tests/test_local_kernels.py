@@ -634,23 +634,32 @@ def test_supplier_revenue_rank_local_matches_distributed(spark, monkeypatch):
     from ut_data_engineering_group_project_2022_spark.operators import (
         relational,
     )
-    from ut_data_engineering_group_project_2022_spark.plans.bi_queries import (
-        bi_rank_suppliers_by_region_revenue as build,
+    from ut_data_engineering_group_project_2022_spark.plans import (
+        bi_queries as bq,
     )
 
-    fused_df = build(spark, SF_DIR)
-    assert "MapInArrow" in (
-        fused_df._jdf.queryExecution().executedPlan().toString()
-    )
-    fused = sorted(map(tuple, fused_df.collect()))
-    monkeypatch.setattr(relational, "LOCAL_TPCH_ROWS", 0)
-    dist_df = build(spark, SF_DIR)
-    dist = sorted(map(tuple, dist_df.collect()))
-    monkeypatch.undo()
-    assert fused == dist
-    assert [(f.name, f.dataType) for f in fused_df.schema] == [
-        (f.name, f.dataType) for f in dist_df.schema
-    ]
+    # all four gated bi rows (r20: the generalized grouped-measure
+    # kernel covers disc_revenue, dec4_sum and count_nonnull)
+    for name in (
+        "bi_rank_suppliers_by_region_revenue",
+        "bi_rank_customers_by_revenue",
+        "bi_rank_customers_by_order_count",
+        "bi_rank_parts_by_shipped_qty",
+    ):
+        build = getattr(bq, name)
+        fused_df = build(spark, SF_DIR)
+        assert "MapInArrow" in (
+            fused_df._jdf.queryExecution().executedPlan().toString()
+        ), name
+        fused = sorted(map(tuple, fused_df.collect()))
+        monkeypatch.setattr(relational, "LOCAL_TPCH_ROWS", 0)
+        dist_df = build(spark, SF_DIR)
+        dist = sorted(map(tuple, dist_df.collect()))
+        monkeypatch.undo()
+        assert fused == dist, name
+        assert [(f.name, f.dataType) for f in fused_df.schema] == [
+            (f.name, f.dataType) for f in dist_df.schema
+        ], name
     # synthetics through the kernel directly: duplicate suppkey with two
     # names (two groups, same revenue, tied rank), NULL name (one
     # group), all-NULL revenue group (NULLS LAST under F.desc), ties

@@ -306,47 +306,68 @@ def lineitem_magnitudes_safe(sf_dir: str, cols=None) -> bool:
     return True
 
 
-def supplier_revenue_rank_local(feed: DataFrame) -> DataFrame:
-    """Single-task tail of bi_rank_suppliers_by_region_revenue (r20,
-    guide §1.2/§4.2): one mapInArrow task replaces the decimal hash
-    aggregate (per-row BigDecimal multiply over the fact rows — the q1
-    cost shape), its exchange, and the gated global_dense_rank window.
-    ``feed`` is the broadcast-join output projected to
-    (s_suppkey, s_name, l_extendedprice, l_discount); the kernel runs
-    the scaled-integer revenue sum per (s_suppkey, s_name) group
-    (exactness: module docstring — ROUND(SUM(dec(38,8)), 2)::DOUBLE is
-    HALF_UP integer division + correctly-rounded float conversion) and
-    Spark's DENSE_RANK ... ORDER BY revenue DESC (ties equal; NULLS
-    LAST, matching F.desc). Callers must gate on LOCAL_TPCH_ROWS and
-    :func:`lineitem_magnitudes_safe`; the kernel re-proves the int64
-    bound on the actual scaled ints and raises rather than wraps."""
+def grouped_measure_rank_local(
+    feed: DataFrame,
+    key_col: str,
+    name_col: str,
+    measure: str,
+    value_cols: tuple,
+    out_col: str,
+) -> DataFrame:
+    """Single-task tail shared by the bi_rank_* rows (r20): one
+    mapInArrow task replaces the grouped decimal/count aggregate (and
+    its exchange) plus the gated global_dense_rank window. ``feed`` is
+    the broadcast-join output projected to (key, name, *value_cols);
+    the kernel groups by the (key, name) PAIR (never assumes dim-key
+    uniqueness), computes the measure exactly, and applies Spark's
+    DENSE_RANK ... ORDER BY measure DESC (ties equal; NULLS LAST,
+    matching F.desc). Measures:
+
+    - ``disc_revenue`` (l_extendedprice, l_discount):
+      ROUND(SUM(dec(18,4) x (1 - dec(18,4))), 2)::DOUBLE via scaled
+      ints — needs the Q1_SAFE_ABS magnitude proof (int64 headroom for
+      the product); re-proven in-kernel, raises rather than wraps.
+    - ``dec4_sum`` (one column): SUM(col::decimal(18,4))::DOUBLE.
+      NO magnitude proof needed: there is no product (python-int sums
+      are exact at any magnitude), the (18,4) cast overflows to NULL
+      identically on both paths (_dec_scaled), and the distributed
+      SUM's decimal(28,4) could only overflow past 10^10 rows — 2000x
+      above LOCAL_TPCH_ROWS.
+    - ``count_nonnull`` (one column): COUNT(col) as bigint (0 for
+      all-null groups, exactly like the distributed COUNT).
+
+    Callers gate on LOCAL_TPCH_ROWS (footer); the distributed groupBy +
+    two-phase rank above the gate is byte-unchanged. Parity pinned by
+    tests/test_local_kernels.py at the bench SFs + synthetics."""
+    out_type = "bigint" if measure == "count_nonnull" else "double"
 
     def kernel(batches):
         import numpy as np
         import pyarrow as pa
 
+        pa_out = pa.int64() if measure == "count_nonnull" else pa.float64()
         schema = pa.schema(
             [
-                pa.field("s_suppkey", pa.int64()),
-                pa.field("s_name", pa.string()),
-                pa.field("revenue", pa.float64()),
+                pa.field(key_col, pa.int64()),
+                pa.field(name_col, pa.string()),
+                pa.field(out_col, pa_out),
                 pa.field("rnk", pa.int32()),
             ]
         )
+
+        def empty():
+            return pa.RecordBatch.from_arrays(
+                [pa.array([], f.type) for f in schema], schema=schema
+            )
+
         tabs = [pa.Table.from_batches([b]) for b in batches]
         if not tabs:
-            yield pa.RecordBatch.from_arrays(
-                [pa.array([], t.type) for t in schema.types],
-                schema=schema,
-            )
+            yield empty()
             return
         t = pa.concat_tables(tabs).combine_chunks()
         n = t.num_rows
         if n == 0:
-            yield pa.RecordBatch.from_arrays(
-                [pa.array([], ty.type) for ty in schema.types],
-                schema=schema,
-            )
+            yield empty()
             return
 
         def col(name):
@@ -355,24 +376,38 @@ def supplier_revenue_rank_local(feed: DataFrame) -> DataFrame:
             valid = ~pa.compute.is_null(c).to_numpy(zero_copy_only=False)
             return arr, valid
 
-        ext, ext_ok = col("l_extendedprice")
-        dis, dis_ok = col("l_discount")
-        ext_i, ext_null = _dec_scaled(ext, ext_ok, 4)
-        dis_i, dis_null = _dec_scaled(dis, dis_ok, 4)
-        m_ext = int(np.abs(ext_i[~ext_null]).max(initial=0))
-        m_dis = int(np.abs(dis_i[~dis_null]).max(initial=0))
-        if m_ext * (10**4 + m_dis) > 2**63 - 1:
-            raise ValueError(
-                "supplier_revenue_rank_local: input magnitudes exceed the "
-                "proven-safe int64 bound — the caller must take the "
-                "distributed decimal aggregate (Q1_SAFE_ABS)"
-            )
-        dp_i = ext_i * (10**4 - dis_i)
-        dp_null = ext_null | dis_null
+        # per-row scaled-int contribution + null mask + output scale
+        if measure == "disc_revenue":
+            ext, ext_ok = col(value_cols[0])
+            dis, dis_ok = col(value_cols[1])
+            ext_i, ext_null = _dec_scaled(ext, ext_ok, 4)
+            dis_i, dis_null = _dec_scaled(dis, dis_ok, 4)
+            m_ext = int(np.abs(ext_i[~ext_null]).max(initial=0))
+            m_dis = int(np.abs(dis_i[~dis_null]).max(initial=0))
+            if m_ext * (10**4 + m_dis) > 2**63 - 1:
+                raise ValueError(
+                    "grouped_measure_rank_local: input magnitudes exceed "
+                    "the proven-safe int64 bound — the caller must take "
+                    "the distributed decimal aggregate (Q1_SAFE_ABS)"
+                )
+            v_i = ext_i * (10**4 - dis_i)
+            v_null = ext_null | dis_null
+            scale, round_to = 8, 2
+        elif measure == "dec4_sum":
+            x, x_ok = col(value_cols[0])
+            v_i, v_null = _dec_scaled(x, x_ok, 4)
+            scale, round_to = 4, 4
+        elif measure == "count_nonnull":
+            _, x_ok = col(value_cols[0])
+            v_i = x_ok.astype(np.int64)
+            v_null = np.zeros(n, bool)
+            scale = round_to = None
+        else:  # pragma: no cover
+            raise ValueError(f"unknown measure {measure!r}")
 
-        sk_c = t.column("s_suppkey").chunk(0)
+        sk_c = t.column(key_col).chunk(0)
         sk = sk_c.to_numpy(zero_copy_only=False).astype(np.int64)
-        nm_d = t.column("s_name").chunk(0).dictionary_encode()
+        nm_d = t.column(name_col).chunk(0).dictionary_encode()
         nm_names = nm_d.dictionary
         nm = nm_d.indices.to_numpy(zero_copy_only=False)
         # NULL names group together (Spark groupBy treats NULLs equal):
@@ -385,29 +420,33 @@ def supplier_revenue_rank_local(feed: DataFrame) -> DataFrame:
         bounds = np.flatnonzero(
             np.r_[True, (sks[1:] != sks[:-1]) | (nms[1:] != nms[:-1])]
         )
-        sums = _group_sums(order, bounds, dp_i, dp_null)
-        # SUM is NULL only when every row in the group is NULL
-        nn = (~dp_null)[order].astype(np.int64)
-        nn_counts = np.add.reduceat(nn, bounds)
+        sums = _group_sums(order, bounds, v_i, v_null)
         g_sk = sks[bounds]
         g_nm = nms[bounds]
-        revenue = [
-            _round_dec_to_double(s, 8, 2) if c else None
-            for s, c in zip(sums, nn_counts)
-        ]
-        # DENSE_RANK ORDER BY revenue DESC (F.desc = NULLS LAST; ties
-        # share a rank): rank = position of the value among the sorted
-        # DISTINCT non-null revenues, descending; NULLs rank after all
-        rev_nonnull = np.array(
-            [r for r in revenue if r is not None], dtype=np.float64
+        if measure == "count_nonnull":
+            values = [int(s) for s in sums]
+        else:
+            # SUM is NULL only when every row in the group is NULL
+            nn = (~v_null)[order].astype(np.int64)
+            nn_counts = np.add.reduceat(nn, bounds)
+            values = [
+                _round_dec_to_double(s, scale, round_to) if c else None
+                for s, c in zip(sums, nn_counts)
+            ]
+        # DENSE_RANK ORDER BY measure DESC (F.desc = NULLS LAST; ties
+        # share a rank): rank = position among the sorted DISTINCT
+        # non-null values, descending; NULLs rank after all
+        nonnull = np.array(
+            [v for v in values if v is not None],
+            dtype=np.int64 if measure == "count_nonnull" else np.float64,
         )
-        uniq = np.unique(rev_nonnull)  # ascending
+        uniq = np.unique(nonnull)  # ascending
         k = len(uniq)
         rnk = [
-            int(k - np.searchsorted(uniq, r, side="left"))
-            if r is not None
+            int(k - np.searchsorted(uniq, v, side="left"))
+            if v is not None
             else k + 1
-            for r in revenue
+            for v in values
         ]
         yield pa.RecordBatch.from_arrays(
             [
@@ -418,7 +457,7 @@ def supplier_revenue_rank_local(feed: DataFrame) -> DataFrame:
                         pa.int64(),
                     )
                 ),
-                pa.array(revenue, pa.float64()),
+                pa.array(values, pa_out),
                 pa.array(rnk, pa.int32()),
             ],
             schema=schema,
@@ -426,5 +465,19 @@ def supplier_revenue_rank_local(feed: DataFrame) -> DataFrame:
 
     return feed.coalesce(1).mapInArrow(
         kernel,
-        "s_suppkey bigint, s_name string, revenue double, rnk int",
+        f"{key_col} bigint, {name_col} string, {out_col} {out_type}, rnk int",
+    )
+
+
+def supplier_revenue_rank_local(feed: DataFrame) -> DataFrame:
+    """bi_rank_suppliers tail: see :func:`grouped_measure_rank_local`
+    (disc_revenue measure — the q1-recipe scaled-integer product with
+    the magnitude guard)."""
+    return grouped_measure_rank_local(
+        feed,
+        "s_suppkey",
+        "s_name",
+        "disc_revenue",
+        ("l_extendedprice", "l_discount"),
+        "revenue",
     )

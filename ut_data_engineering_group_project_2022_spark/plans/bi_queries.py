@@ -78,6 +78,24 @@ def bi_rank_customers_by_order_count(spark: SparkSession, sf_dir: str) -> DataFr
     # values with map-side combine and a rank input of one row per group
     # (the r5 two-phase-rank regression fix: the first checkpoint inside
     # global_dense_rank now materializes |customers| rows, not a window).
+    # Size-dispatched (r20, the bi-suppliers recipe): below the gate the
+    # grouped COUNT and the dense rank run as ONE mapInArrow task over
+    # the broadcast-join output (count needs no magnitude proof). The
+    # distributed groupBy + two-phase rank above is byte-unchanged.
+    n_o = catalog_row_count(sf_dir, "orders")
+    if (
+        relational.LOCAL_TPCH_ROWS
+        and n_o is not None
+        and n_o <= relational.LOCAL_TPCH_ROWS
+    ):
+        return relational.grouped_measure_rank_local(
+            joined.select("c_custkey", "c_name", "o_orderkey"),
+            "c_custkey",
+            "c_name",
+            "count_nonnull",
+            ("o_orderkey",),
+            "n_orders",
+        )
     counted = joined.groupBy("c_custkey", "c_name").agg(
         F.count("o_orderkey").alias("n_orders")
     )
@@ -111,6 +129,23 @@ def bi_rank_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Windowed-SUM + DISTINCT == one row per customer: groupBy form (see
     # bi_rank_customers_by_order_count). Decimal sum keeps cross-engine
     # exactness; the cast to double happens once per group row.
+    # Size-dispatched (r20, the bi-suppliers recipe): a single-column
+    # decimal(18,4) sum needs NO magnitude proof (no product — see
+    # grouped_measure_rank_local), so the gate is the footer count only.
+    n_o = catalog_row_count(sf_dir, "orders")
+    if (
+        relational.LOCAL_TPCH_ROWS
+        and n_o is not None
+        and n_o <= relational.LOCAL_TPCH_ROWS
+    ):
+        return relational.grouped_measure_rank_local(
+            joined.select("c_custkey", "c_name", "o_totalprice"),
+            "c_custkey",
+            "c_name",
+            "dec4_sum",
+            ("o_totalprice",),
+            "revenue",
+        )
     summed = joined.groupBy("c_custkey", "c_name").agg(
         F.sum(F.col("o_totalprice").cast("decimal(18,4)"))
         .cast("double")
@@ -181,6 +216,22 @@ def bi_rank_parts_by_shipped_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
     # Windowed-SUM + DISTINCT == one row per part: groupBy form (see
     # bi_rank_customers_by_order_count).
+    # Size-dispatched (r20, the bi-suppliers recipe): single-column
+    # decimal sum, footer-count gate only (no product, no proof needed).
+    n_li = catalog_row_count(sf_dir, "lineitem")
+    if (
+        relational.LOCAL_TPCH_ROWS
+        and n_li is not None
+        and n_li <= relational.LOCAL_TPCH_ROWS
+    ):
+        return relational.grouped_measure_rank_local(
+            joined.select("p_partkey", "p_name", "l_quantity"),
+            "p_partkey",
+            "p_name",
+            "dec4_sum",
+            ("l_quantity",),
+            "total_qty",
+        )
     collapsed = joined.groupBy("p_partkey", "p_name").agg(
         F.sum(F.col("l_quantity").cast("decimal(18,4)"))
         .cast("double")
