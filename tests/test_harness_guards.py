@@ -407,13 +407,14 @@ def test_ols_trace_conditioned_adjudication():
     assert entry[1] == "confirm" and "needs a re-run" in entry[2]
     # slow miss with quiet local weather (140 < gate 156) -> OUTSIDE
     assert bc.outside_rows(rec(hi_at(120.0) + 0.3, 140.0)) == ["graph_pagerank"]
-    # fast-side miss (r19): never weather-adjudicated, surfaced with its
-    # own "fast" status (the deliberate post-optimization population
-    # shift), and EXCLUDED from band_outside — that list is the
-    # slow-side investigate-these-regressions set
+    # fast-side miss (r20, r19 ADVICE): never weather-adjudicated,
+    # surfaced with its own "fast" status AND included in band_outside
+    # again — the bands describe the re-based new-code population, so
+    # an anomalously fast reading is a measurement/plan anomaly to
+    # investigate (the r19-only suppression is over)
     lo = f["a"] + f["b"] * 1.2 - 2 * f["sigma"]
     fast = rec(lo - 0.3, 170.0)
-    assert bc.outside_rows(fast) == []
+    assert bc.outside_rows(fast) == ["graph_pagerank"]
     (entry,) = [t for t in bc.check(fast) if t[0] == "graph_pagerank"]
     assert entry[1] == "fast" and "FAST-side" in entry[2]
     # inside stays inside

@@ -140,11 +140,19 @@ def outside_rows(payload: dict) -> list[str] | None:
 
 
 def outside_from(results: list[tuple[str | None, str, str]]) -> list[str] | None:
-    """band_outside from check()'s structured verdicts (status field only)."""
+    """band_outside from check()'s structured verdicts (status field only).
+
+    r20: "fast" misses are REPORTED again (r19 ADVICE) — the r19-only
+    suppression existed because the bands then described the pre-r19
+    plans; after the r20 re-base on new-code records a fast miss is an
+    anomaly worth listing (weather cannot speed a row past the quiet
+    population, so it points at a measurement or plan bug)."""
     if any(status == "inapplicable" for _, status, _ in results):
         return None
     return sorted(
-        row for row, status, _ in results if status in ("outside", "confirm")
+        row
+        for row, status, _ in results
+        if status in ("outside", "confirm", "fast")
     )
 
 
@@ -223,19 +231,14 @@ def check(payload: dict) -> list[tuple[str | None, str, str]]:
                       needs a re-run (included in band_outside),
       "outside"       SLOW-side outside with no in-record weather
                       explanation — investigate,
-      "fast"          FAST-side outside: the reading undercuts every
-                      fitted (pre-r19-plan) record. The r19
-                      optimization round deliberately changed these
-                      rows' execution, so new-code records read below
-                      the old bands by design (the population-shift
-                      re-base case, README discipline) — rendered for
-                      the log, excluded from band_outside, which is an
-                      investigate-these-regressions list. Weather can
-                      slow a row, never speed it past the quiet
-                      population, so a fast miss is not maskable host
-                      noise; the residual risk (a measurement bug that
-                      computes less) is covered by the oracle gates,
-                      not by a latency band.
+      "fast"          FAST-side outside: the reading undercuts the
+                      re-based new-code band. Weather can slow a row,
+                      never speed it past the quiet population, so a
+                      fast miss is a measurement or plan anomaly —
+                      INCLUDED in band_outside again as of the r20
+                      re-base (r19 ADVICE; the r19-only suppression
+                      existed because the bands then described the
+                      pre-r19 plans).
     """
     sf = payload.get("sf")
     if sf != 0.1:
@@ -328,9 +331,9 @@ def check(payload: dict) -> list[tuple[str | None, str, str]]:
                 f"gate {gate:.0f} — OUTSIDE"))
         elif v < lo:
             results.append((row, "fast",
-                f"{prefix} — FAST-side miss (below the pre-r19-plan "
-                "band; expected after the r19 optimization — re-base "
-                "pending on new-code records)"))
+                f"{prefix} — FAST-side miss (below the re-based new-code "
+                "band) — investigate: weather cannot speed a row, so "
+                "this is a measurement or plan anomaly"))
         else:
             # slow-side miss with no trace on this record
             results.append((row, "outside", f"{prefix} — OUTSIDE"))
@@ -359,9 +362,9 @@ def check(payload: dict) -> list[tuple[str | None, str, str]]:
                 f"{gate:.0f} (ambient median {tm:.0f}) — OUTSIDE"))
         elif v < lo:
             results.append((row, "fast",
-                f"{prefix} — FAST-side miss (below the pre-r19-plan "
-                "band; expected after the r19 optimization — re-base "
-                "pending on new-code records)"))
+                f"{prefix} — FAST-side miss (below the re-based new-code "
+                "band) — investigate: weather cannot speed a row, so "
+                "this is a measurement or plan anomaly"))
         else:
             results.append((row, "outside", f"{prefix} — OUTSIDE"))
     return results

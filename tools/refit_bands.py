@@ -86,6 +86,22 @@ XSPEC = {
     "llm_semdedup": "trace_median",
     "star_load_seconds": "probe_mean3",
 }
+# r20 re-base (VERDICT r19 item 3): the five banded rows' execution
+# changed in the r19/r20 optimization rounds (single-task kernels, then
+# the r20 fused pair feeds / loader gate), so pre-r20 readings describe
+# RETIRED plans. Records from rounds before a row's epoch are excluded
+# from that row's fit (the filename round number — BENCH_r{N} /
+# r{N}_*.json — is the population key the chronological sort already
+# parses). semdedup's kernel is r19 code unchanged in r20, but only the
+# r20 records are unambiguously post-optimization (the r19-named
+# snapshots mix pre/post states), so all five rows re-base on r20+.
+EPOCH_MIN_ROUND = {
+    "graph_connected_components": 20,
+    "graph_pagerank": 20,
+    "llm_semdedup": 20,
+    "star_load_seconds": 20,
+    "graph_louvain": 20,
+}
 # graph_louvain stays probe-independent: flat mean +/- 2 sigma, fitted
 # on FLAG-NULL records only (an OLS row has its regressor to absorb a
 # flagged record's weather, a flat band does not), with the committed-
@@ -151,6 +167,18 @@ def load_records(warnings: list[str] | None = None) -> list[tuple[str, float, fl
     out = []
     for f in candidates:
         d = json.loads(f.read_text())
+        # r20: the driver also records a LOW-core-count bench
+        # (BENCH_r19_c8 was the first); its row values are structurally
+        # different (dispatch-bound rows speed UP on fewer cores), so a
+        # record whose wrapper declares cpus != 32 never enters the fit.
+        cpus = d.get("cpus")
+        if cpus is not None and cpus != 32:
+            if warnings is not None:
+                warnings.append(
+                    f"# SKIPPED record {f.name}: cpus={cpus} (fits "
+                    "describe the 32-core bench)"
+                )
+            continue
         if "queries" not in d and isinstance(d.get("parsed"), dict):
             d = d["parsed"]
         probes = [d.get(f"job_latency_ms_{k}") for k in ("start", "warm", "end")]
@@ -176,6 +204,15 @@ def load_records(warnings: list[str] | None = None) -> list[tuple[str, float, fl
             tm = statistics.median(d["job_probe_trace_ms"])
         out.append((f.name, sum(probes) / 3, tm, d))
     return out
+
+
+def _round_of(name: str) -> int:
+    """Round number encoded in a record filename (BENCH_r{N}.json /
+    r{N}_*.json) — the population key for EPOCH_MIN_ROUND."""
+    import re
+
+    m = re.match(r"(?:BENCH_)?r(\d+)", name)
+    return int(m.group(1)) if m else 0
 
 
 def ols(xs: list[float], ys: list[float]) -> tuple[float, float, float, float]:
@@ -266,14 +303,23 @@ def refit() -> tuple[dict, dict, dict, tuple[float, float], tuple[float, float],
 
     fits, fallback, flat = {}, {}, {}
     for row, xkind in XSPEC.items():
-        pairs, skipped = [], 0
+        pairs, skipped, epoch_dropped = [], 0, 0
         for name, p3, tm, d in records:
             v = _row_value(row, d)
+            if v is not None and _round_of(name) < EPOCH_MIN_ROUND.get(row, 0):
+                epoch_dropped += 1
+                continue
             x = tm if xkind == "trace_median" else p3
             if v is None or x is None:
                 skipped += v is not None  # trace-less record for a tm row
                 continue
             pairs.append((x / 100.0, v))
+        if epoch_dropped:
+            lines.append(
+                f"# {row}: {epoch_dropped} pre-r{EPOCH_MIN_ROUND[row]} "
+                "record(s) excluded (retired-plan population, "
+                "EPOCH_MIN_ROUND)"
+            )
         f = _fit_row(f"{row} (on {xkind})", pairs, lines, skipped)
         if f is not None:
             fits[row] = {**f, "x": xkind}
@@ -281,6 +327,7 @@ def refit() -> tuple[dict, dict, dict, tuple[float, float], tuple[float, float],
         pairs = [
             (p3 / 100.0, v) for name, p3, tm, d in records
             if (v := _row_value(row, d)) is not None
+            and _round_of(name) >= EPOCH_MIN_ROUND.get(row, 0)
         ]
         f = _fit_row(f"{row} (probe_mean3 fallback)", pairs, lines, 0)
         if f is not None:
@@ -290,6 +337,8 @@ def refit() -> tuple[dict, dict, dict, tuple[float, float], tuple[float, float],
         for name, p3, tm, d in records:
             v = _row_value(row, d)
             if v is None:
+                continue
+            if _round_of(name) < EPOCH_MIN_ROUND.get(row, 0):
                 continue
             if d.get("noise_flag"):
                 continue
